@@ -1,0 +1,309 @@
+"""RGB-D backend module: map update + windowed/full-batch optimization.
+
+TPU-native analog of `RGBDBackendModule`
+(`src/backend/RGBDBackendModule.cc:78-440`): per frame it
+  1. inserts the frontend packet into the measurement map (`updateMap`,
+     :264),
+  2. checks the sliding-window trigger (`SlidingWindow::check`,
+     `backend/RGBDBackendModule.hpp:87-145`: window size W, overlap V ->
+     optimize [start, start+W) when frame start+W-1 arrives, then
+     start += W - V), or defers everything to one full-batch solve
+     (`--use_full_batch_opt`),
+  3. builds the window graph functionally (our `formulation.py`; the
+     reference likewise *reconstructs* each window graph from the map,
+     `constructGraph` :280-341) and runs LM,
+  4. writes the optimized values back into the global estimate store (the
+     analog of `Formulation::updateTheta` + accessor caches).
+
+The optimization step itself is a single jitted computation; only the
+trigger logic runs in Python (it is pure frame-count arithmetic, matching
+the reference's host-side check).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.lie import SE3, se3_compose, se3_identity, se3_inverse
+from ..core.types import FrontendOutput
+from ..utils.config import BackendConfig, CapacityConfig
+from . import formulation as fm
+from .map import MeasurementMap, WindowData, slice_window, update_map
+from .solver import LMConfig, LMResult, lm_optimize
+
+
+@dataclasses.dataclass
+class EstimateStore:
+    """Global state estimates over all frames (device arrays)."""
+
+    X: SE3            # (F,) camera poses
+    H: SE3            # (F, O) object motions
+    L: SE3            # (F, O) object poses (propagated, see accessor)
+    static_points: jax.Array   # (NS, 3)
+    static_valid: jax.Array    # (NS,)
+    dyn_points: jax.Array      # (F, ND, 3)
+    dyn_valid: jax.Array       # (F, ND)
+    X_valid: jax.Array         # (F,)
+    motion_valid: jax.Array    # (F, O)
+
+    @staticmethod
+    def create(f: int, ns: int, nd: int, no: int, dtype=jnp.float32):
+        return EstimateStore(
+            X=se3_identity((f,), dtype),
+            H=se3_identity((f, no), dtype),
+            L=se3_identity((f, no), dtype),
+            static_points=jnp.zeros((ns, 3), dtype),
+            static_valid=jnp.zeros((ns,), bool),
+            dyn_points=jnp.zeros((f, nd, 3), dtype),
+            dyn_valid=jnp.zeros((f, nd), bool),
+            X_valid=jnp.zeros((f,), bool),
+            motion_valid=jnp.zeros((f, no), bool),
+        )
+
+
+class SlidingWindowTrigger:
+    """Frame-count arithmetic of `SlidingWindow::check`
+    (`backend/RGBDBackendModule.hpp:120-144`)."""
+
+    def __init__(self, size: int, overlap: int, first_frame: int = 0):
+        assert 0 <= overlap < size
+        self.size = size
+        self.overlap = overlap
+        self.start = first_frame
+
+    def check(self, frame_idx: int):
+        """Returns window start if [start, start+size) is complete at this
+        frame, else None."""
+        if frame_idx >= self.start + self.size - 1:
+            s = self.start
+            self.start = s + (self.size - self.overlap)
+            return s
+        return None
+
+
+@functools.partial(jax.jit, static_argnames=("window", "cfg", "updater"))
+def optimize_window_jit(
+    m: MeasurementMap,
+    start,
+    window: int,
+    cfg: BackendConfig,
+    lm_cfg: LMConfig,
+    anchor: SE3,
+    use_anchor,
+    updater: int = 0,
+):
+    """Slice a window from the map, build + solve its graph.  One XLA program.
+
+    `anchor` pins the first window pose (gauge); `use_anchor` selects between
+    the provided anchor (overlap with previous window) and the frontend pose.
+    """
+    w = slice_window(m, start, window)
+    masks = fm.build_masks(w, cfg)
+    anchor_pose = SE3(
+        jnp.where(use_anchor, anchor.R, w.X_init.R[0]),
+        jnp.where(use_anchor, anchor.t, w.X_init.t[0]),
+    )
+    if updater == 0:
+        values = fm.init_values(w, masks, cfg)
+        spec = fm.world_motion_families(cfg)
+        resid = lambda v: fm.world_motion_residuals(v, w, masks, cfg, anchor_pose)
+    else:
+        values = fm.init_values_world_pose(w, masks, cfg)
+        spec = fm.world_pose_families(cfg)
+        resid = lambda v: fm.world_pose_residuals(v, w, masks, cfg, anchor_pose)
+
+    result = lm_optimize(resid, spec.robust, values, lm_cfg)
+    return result, masks
+
+
+class RGBDBackend:
+    """Stateful driver; all heavy lifting happens in jitted callees."""
+
+    def __init__(
+        self,
+        cfg: BackendConfig,
+        cap: CapacityConfig,
+        dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        self.cap = cap
+        self.dtype = dtype
+        f, ns, nd, no = (
+            cap.max_frames,
+            cap.max_static_tracks,
+            cap.max_dynamic_tracks,
+            cap.max_objects,
+        )
+        self.map = MeasurementMap.create(f, ns, nd, no, dtype)
+        self.est = EstimateStore.create(f, ns, nd, no, dtype)
+        self.n_frames = 0
+        self.trigger = SlidingWindowTrigger(
+            cfg.opt_window_size, cfg.opt_window_overlap
+        )
+        self.lm_cfg = LMConfig(
+            max_iterations=cfg.lm_max_iterations,
+            initial_lambda=cfg.lm_initial_lambda,
+            lambda_factor=cfg.lm_lambda_factor,
+            max_lambda=cfg.lm_max_lambda,
+            min_lambda=cfg.lm_min_lambda,
+            rel_error_tol=cfg.lm_rel_error_tol,
+            abs_error_tol=cfg.lm_abs_error_tol,
+            cg_max_iterations=cfg.cg_max_iterations,
+            cg_tol=cfg.cg_tol,
+        )
+        self.last_result: Optional[LMResult] = None
+
+    # ------------------------------------------------------------------
+    def spin(self, packet: FrontendOutput):
+        """Insert one frontend packet; optimize if a window completed."""
+        k = self.n_frames
+        self.map = update_map(self.map, packet, k)
+        self.n_frames += 1
+
+        if self.cfg.use_full_batch_opt:
+            return None
+        start = self.trigger.check(k)
+        if start is not None:
+            self._optimize(start, self.cfg.opt_window_size)
+        return self.last_result
+
+    def finish(self):
+        """End-of-sequence: full-batch solve or final partial window."""
+        if self.cfg.use_full_batch_opt:
+            self._optimize(0, self._full_batch_len())
+        elif self.n_frames > self.trigger.start + 1:
+            self._optimize(
+                self.trigger.start, min(self.cfg.opt_window_size, self.cap.max_frames)
+            )
+        return self.last_result
+
+    def _full_batch_len(self) -> int:
+        # static shape: round up to the map capacity or next multiple of 32
+        n = self.n_frames
+        return min(self.cap.max_frames, max(self.cfg.opt_window_size, n))
+
+    # ------------------------------------------------------------------
+    def _optimize(self, start: int, window: int):
+        window = min(window, self.cap.max_frames - start)
+        if window < 2:
+            return
+        # anchor: previous estimate of the first window pose if it was
+        # already optimized (window overlap), else frontend init
+        use_anchor = bool(np.asarray(self.est.X_valid)[start])
+        anchor = self.est.X[start]
+        result, masks = optimize_window_jit(
+            self.map,
+            start,
+            window,
+            self.cfg,
+            self.lm_cfg,
+            anchor,
+            jnp.asarray(use_anchor),
+            self.cfg.backend_updater_enum,
+        )
+        self.last_result = result
+        self._write_back(start, window, result.values, masks)
+
+    def _write_back(self, start: int, window: int, values: dict, masks):
+        """Scatter optimized window values into the estimate store."""
+        est = self.est
+        sl = slice(start, start + window)
+        X = values["X"]
+        est.X = SE3(est.X.R.at[sl].set(X.R), est.X.t.at[sl].set(X.t))
+        est.X_valid = est.X_valid.at[sl].set(np.asarray(masks.frame))
+        if "H" in values:
+            H = values["H"]
+            est.H = SE3(est.H.R.at[sl].set(H.R), est.H.t.at[sl].set(H.t))
+            est.motion_valid = est.motion_valid.at[sl].set(
+                np.asarray(masks.motion_active)
+            )
+        if "L" in values:
+            L = values["L"]
+            est.L = SE3(est.L.R.at[sl].set(L.R), est.L.t.at[sl].set(L.t))
+            est.motion_valid = est.motion_valid.at[sl].set(
+                np.asarray(masks.motion_active)
+            )
+        new_static_valid = jnp.any(masks.static_obs, axis=0)
+        est.static_points = jnp.where(
+            new_static_valid[:, None], values["sp"], est.static_points
+        )
+        est.static_valid = est.static_valid | new_static_valid
+        est.dyn_points = est.dyn_points.at[sl].set(values["dp"])
+        est.dyn_valid = est.dyn_valid.at[sl].set(np.asarray(masks.dyn_obs))
+
+    # ------------------------------------------------------------------
+    # Accessor (analog of `Accessor<MAP>`, `backend/Accessor.hpp:51-207`)
+    # ------------------------------------------------------------------
+    def camera_poses(self):
+        """(F,) SE3 + validity of optimized camera trajectory."""
+        return self.est.X, self.est.X_valid
+
+    def object_motions(self):
+        if self.cfg.backend_updater_enum == 0:
+            return self.est.H, self.est.motion_valid
+        # LLWorld: H_k = L_k L_{k-1}^-1 (`WorldPoseAccessor::getObjectMotion`)
+        L = self.est.L
+        H = se3_compose(SE3(L.R[1:], L.t[1:]), se3_inverse(SE3(L.R[:-1], L.t[:-1])))
+        pad = se3_identity((1, L.R.shape[1]), L.R.dtype)
+        Hfull = SE3(
+            jnp.concatenate([pad.R, H.R], axis=0),
+            jnp.concatenate([pad.t, H.t], axis=0),
+        )
+        valid = self.est.motion_valid & jnp.concatenate(
+            [jnp.zeros_like(self.est.motion_valid[:1]), self.est.motion_valid[:-1]],
+            axis=0,
+        )
+        return Hfull, valid
+
+    def object_poses(self):
+        """Propagate L_k = H_k L_{k-1} from centroid init, the analog of
+        `WorldMotionAccessor::postUpdateCallback`
+        (`src/backend/rgbd/WorldMotionEstimator.cc:68-152`) +
+        `propogateObjectPoses` (`src/common/DynamicObjects.cc:48-160`)."""
+        if self.cfg.backend_updater_enum == 1:
+            return self.est.L, self.est.motion_valid
+        H, hvalid = self.est.H, self.est.motion_valid
+        F, O = hvalid.shape
+        centroids, cvalid = self.object_centroids()
+        L_R = np.tile(np.eye(3, dtype=np.float32), (F, O, 1, 1))
+        L_t = np.zeros((F, O, 3), np.float32)
+        lvalid = np.zeros((F, O), bool)
+        Hn_R, Hn_t = np.asarray(H.R), np.asarray(H.t)
+        hv = np.asarray(hvalid)
+        cen = np.asarray(centroids)
+        cv = np.asarray(cvalid)
+        for j in range(O):
+            have = False
+            for k in range(F):
+                if not have:
+                    if cv[k, j]:
+                        L_t[k, j] = cen[k, j]
+                        lvalid[k, j] = True
+                        have = True
+                elif hv[k, j]:
+                    R_prev, t_prev = L_R[k - 1, j], L_t[k - 1, j]
+                    L_R[k, j] = Hn_R[k, j] @ R_prev
+                    L_t[k, j] = Hn_R[k, j] @ t_prev + Hn_t[k, j]
+                    lvalid[k, j] = lvalid[k - 1, j]
+                else:
+                    have = False
+        return SE3(jnp.asarray(L_R), jnp.asarray(L_t)), jnp.asarray(lvalid)
+
+    def object_centroids(self):
+        """Per (frame, object) centroid of optimized dynamic points
+        (`Accessor::computeObjectCentroid`, `Accessor-impl.hpp:118-294`)."""
+        dp = self.est.dyn_points
+        dv = self.est.dyn_valid
+        obj = self.map.dyn_obj
+        O = self.cap.max_objects
+        onehot = jax.nn.one_hot(jnp.where(dv, obj, -1), O, dtype=dp.dtype)
+        counts = jnp.einsum("fno->fo", onehot)
+        sums = jnp.einsum("fnd,fno->fod", dp, onehot)
+        cent = sums / jnp.maximum(counts[..., None], 1.0)
+        return cent, counts > 0

@@ -1,0 +1,392 @@
+"""Graph construction for the RGB-D dynamic-SLAM backend.
+
+TPU-native re-design of the reference's `Formulation<MAP>` template-method
+machinery (`backend/Formulation.hpp:149-458`, `Formulation-impl.hpp:40-667`)
+and its two concrete formulations:
+
+  * **WorldMotion** ("MotionInWorld", updater 0,
+    `src/backend/rgbd/WorldMotionEstimator.cc`): values {X_k, H_k^j,
+    m^w_{i,k}}; factors PoseToPoint per dynamic/static observation +
+    LandmarkMotionTernary(m_{k-1}, m_k, H_k) + Between(H_{k-1}, H_k, I)
+    smoothing.
+  * **WorldPose** ("LLWorld", updater 1,
+    `src/backend/rgbd/WorldPoseEstimator.cc`): values {X_k, L_k^j,
+    m^w_{i,k}}; factors PoseToPoint + LandmarkMotionPose + pose smoothing.
+
+Instead of per-factor graph insertion with bookkeeping loops
+(`updateStaticObservations` / `updateDynamicObservations`), the graph *is*
+the masked (frame x slot) grid: each factor family evaluates as one dense
+batched residual with a validity mask, and "adding a factor" is flipping a
+mask bit.  Min-observation gating (min 2 static / 3 dynamic obs with
+backtracking, `FormulationParams`, `Formulation.hpp:117-121`) becomes a
+per-tracklet count + broadcast compare.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.lie import (
+    SE3,
+    se3_apply,
+    se3_compose,
+    se3_identity,
+    se3_inverse,
+)
+from ..ops import factors
+from ..utils.config import BackendConfig
+from .map import WindowData
+from .solver import RobustSpec
+
+
+class WindowMasks(NamedTuple):
+    """Static factor-activation masks derived from a WindowData."""
+
+    static_obs: jax.Array      # (W, NS) pose-to-point factors on static points
+    dyn_obs: jax.Array         # (W, ND) pose-to-point factors on dynamic points
+    ternary: jax.Array         # (W, ND) motion factor rows (k-1,k); row 0 False
+    smoothing: jax.Array       # (W, O)  motion smoothing rows (k-1,k); row 0 False
+    motion_active: jax.Array   # (W, O)  H_k^j participates in any factor
+    odometry: jax.Array        # (W,)    odom factor between k-1,k; row 0 False
+    frame: jax.Array           # (W,)    frame has data
+
+
+def build_masks(w: WindowData, cfg: BackendConfig) -> WindowMasks:
+    fvalid = w.frame_valid
+    # ---- static: obs valid & tracklet seen >= min_static times in window
+    s_valid = w.static_valid & fvalid[:, None]
+    s_count = jnp.sum(s_valid, axis=0)                     # (NS,)
+    static_obs = s_valid & (s_count >= cfg.min_static_observations)[None, :]
+
+    # ---- dynamic: tracklet must keep the same object slot; count >= min_dyn
+    d_valid = w.dyn_valid & fvalid[:, None] & (w.dyn_obj >= 0)
+    d_count = jnp.sum(d_valid, axis=0)                     # (ND,)
+    gated = d_valid & (d_count >= cfg.min_dynamic_observations)[None, :]
+
+    # ternary motion factor between (k-1, k): both obs valid, same object
+    prev_valid = jnp.concatenate([jnp.zeros_like(gated[:1]), gated[:-1]], axis=0)
+    same_obj = jnp.concatenate(
+        [jnp.zeros_like(gated[:1]), w.dyn_obj[1:] == w.dyn_obj[:-1]], axis=0
+    )
+    ternary = gated & prev_valid & same_obj
+
+    # dynamic point observation factor: the reference adds a PoseToPoint for
+    # every observation of a gated tracklet (`Formulation-impl.hpp:307-584`)
+    dyn_obs = gated
+
+    # ---- per-(frame, object) motion variable activity
+    no = w.motion_valid.shape[1]
+    obj_onehot = jax.nn.one_hot(
+        jnp.where(ternary, w.dyn_obj, -1), no, dtype=jnp.float32
+    )                                                      # (W, ND, O)
+    motion_active = jnp.einsum("wno->wo", obj_onehot) > 0  # (W, O)
+
+    # smoothing factor between H_{k-1}, H_k when both are active
+    prev_active = jnp.concatenate(
+        [jnp.zeros_like(motion_active[:1]), motion_active[:-1]], axis=0
+    )
+    smoothing = (
+        motion_active & prev_active
+        if cfg.use_smoothing_factor
+        else jnp.zeros_like(motion_active)
+    )
+
+    odometry = fvalid & jnp.concatenate([jnp.zeros_like(fvalid[:1]), fvalid[:-1]])
+    if not cfg.use_vo_factor:
+        odometry = jnp.zeros_like(odometry)
+
+    return WindowMasks(
+        static_obs=static_obs,
+        dyn_obs=dyn_obs,
+        ternary=ternary,
+        smoothing=smoothing,
+        motion_active=motion_active,
+        odometry=odometry,
+        frame=fvalid,
+    )
+
+
+# --------------------------------------------------------------------------
+# Initial values
+# --------------------------------------------------------------------------
+
+
+def _first_valid_world_point(xyz, valid, X: SE3):
+    """(W,N,3),(W,N),(W,) poses -> (N,3) world point from first valid obs.
+
+    Replaces the reference's "initialize landmark from the first observation
+    transformed by the frontend pose" (`Formulation-impl.hpp:203-305`).
+    """
+    world = jax.vmap(se3_apply)(X, xyz)                    # (W, N, 3)
+    # index of first valid frame per tracklet
+    big = jnp.where(valid, jnp.arange(valid.shape[0])[:, None], valid.shape[0])
+    first = jnp.min(big, axis=0)                           # (N,)
+    first_c = jnp.clip(first, 0, valid.shape[0] - 1)
+    pts = jnp.take_along_axis(world, first_c[None, :, None], axis=0)[0]
+    return jnp.where((first < valid.shape[0])[:, None], pts, 0.0)
+
+
+def init_values(
+    w: WindowData,
+    masks: WindowMasks,
+    cfg: BackendConfig,
+    prev: dict | None = None,
+    prev_mask: dict | None = None,
+) -> dict:
+    """Linearization point for a window.
+
+    X from frontend odometry; H identity (`--init_H_with_identity`) or
+    frontend motion; points back-projected through the frontend poses.  If
+    `prev` estimates are provided (sliding-window overlap / re-optimization),
+    they override wherever `prev_mask` is set.
+    """
+    W, NS = masks.static_obs.shape
+    ND = masks.dyn_obs.shape[1]
+    X = w.X_init
+    if cfg.init_H_with_identity:
+        H = se3_identity(w.motion_init.batch_shape, w.motion_init.dtype)
+    else:
+        H = w.motion_init
+    sp = _first_valid_world_point(w.static_xyz, masks.static_obs, X)
+    dp = jax.vmap(se3_apply)(X, w.dyn_xyz)                 # (W, ND, 3) per-frame
+    dp = jnp.where(masks.dyn_obs[..., None], dp, 0.0)
+
+    vals = {"X": X, "H": H, "sp": sp, "dp": dp}
+    if prev is not None:
+        def merge(new, old, m):
+            if isinstance(new, SE3):
+                return SE3(
+                    jnp.where(m[..., None, None], old.R, new.R),
+                    jnp.where(m[..., None], old.t, new.t),
+                )
+            return jnp.where(m[..., None], old, new)
+
+        vals = {
+            k: merge(vals[k], prev[k], prev_mask[k]) for k in vals
+        }
+    return vals
+
+
+# --------------------------------------------------------------------------
+# Residual families — WorldMotion formulation
+# --------------------------------------------------------------------------
+
+
+class FamilySpec(NamedTuple):
+    names: tuple
+    robust: tuple
+
+
+def world_motion_families(cfg: BackendConfig) -> FamilySpec:
+    k = cfg.huber_k_static
+    return FamilySpec(
+        names=(
+            "anchor",
+            "odometry",
+            "static_obs",
+            "dyn_obs",
+            "ternary",
+            "smoothing",
+        ),
+        robust=(
+            RobustSpec(),
+            RobustSpec(),
+            RobustSpec("huber", k),
+            RobustSpec("huber", cfg.huber_k_dynamic),
+            RobustSpec("huber", cfg.huber_k_dynamic),
+            RobustSpec(),
+        ),
+    )
+
+
+def world_motion_residuals(
+    values: dict,
+    w: WindowData,
+    masks: WindowMasks,
+    cfg: BackendConfig,
+    anchor: SE3 | None = None,
+):
+    """All residual families of the WorldMotion formulation, whitened+masked.
+
+    Mirrors the factor set of `WorldMotionFormulation::dynamicPointUpdate
+    Callback` (`src/backend/rgbd/WorldMotionEstimator.cc:155-238`) and
+    `objectUpdateContext` (:240-316).
+    """
+    X: SE3 = values["X"]
+    H: SE3 = values["H"]
+    sp = values["sp"]
+    dp = values["dp"]
+    dtype = sp.dtype
+
+    pose_sigma = jnp.asarray(
+        [cfg.odometry_rotation_sigma] * 3 + [cfg.odometry_translation_sigma] * 3,
+        dtype,
+    )
+    smooth_sigma = jnp.asarray(
+        [cfg.constant_object_motion_rotation_sigma] * 3
+        + [cfg.constant_object_motion_translation_sigma] * 3,
+        dtype,
+    )
+
+    # -- anchor prior on the first valid frame pose (gauge fixing, analog of
+    # the initial pose prior in `Formulation::addOdometry` bootstrap)
+    anchor_pose = anchor if anchor is not None else w.X_init[0]
+    r_anchor = factors.prior_residual(X[0], anchor_pose)[None, :] / (
+        cfg.initial_pose_prior_sigma
+    )
+
+    # -- odometry between consecutive poses, measured by frontend VO
+    odo_meas = jax.vmap(lambda a, b: se3_compose(se3_inverse(a), b))(
+        w.X_init[:-1], w.X_init[1:]
+    )
+    r_odo = factors.between_residual(X[:-1], X[1:], odo_meas) / pose_sigma
+    r_odo = jnp.where(masks.odometry[1:, None], r_odo, 0.0)
+
+    # -- static pose-to-point (W, NS, 3)
+    r_static = jax.vmap(
+        lambda Xk, zk: factors.pose_to_point_residual(Xk, sp, zk)
+    )(X, w.static_xyz)
+    r_static = r_static / cfg.static_point_noise_sigma
+    r_static = jnp.where(masks.static_obs[..., None], r_static, 0.0)
+
+    # -- dynamic pose-to-point (W, ND, 3)
+    r_dyn = jax.vmap(
+        lambda Xk, mk, zk: factors.pose_to_point_residual(Xk, mk, zk)
+    )(X, dp, w.dyn_xyz)
+    r_dyn = r_dyn / cfg.dynamic_point_noise_sigma
+    r_dyn = jnp.where(masks.dyn_obs[..., None], r_dyn, 0.0)
+
+    # -- landmark motion ternary (W-1 rows laid out at k>=1): gather H_k^j
+    obj_idx = jnp.clip(w.dyn_obj, 0, H.batch_shape[1] - 1)  # (W, ND)
+    Hk = SE3(
+        jnp.take_along_axis(H.R, obj_idx[..., None, None], axis=1),
+        jnp.take_along_axis(H.t, obj_idx[..., None], axis=1),
+    )                                                       # (W, ND) SE3
+    m_prev = dp[:-1]
+    m_cur = dp[1:]
+    Hk_cur = SE3(Hk.R[1:], Hk.t[1:])
+    r_ternary = factors.landmark_motion_ternary_residual(m_prev, m_cur, Hk_cur)
+    r_ternary = r_ternary / cfg.motion_ternary_factor_noise_sigma
+    r_ternary = jnp.where(masks.ternary[1:, ..., None], r_ternary, 0.0)
+
+    # -- motion smoothing Between(H_{k-1}, H_k, I) (W-1, O, 6)
+    r_smooth = factors.motion_smoothing_residual(
+        SE3(H.R[:-1], H.t[:-1]), SE3(H.R[1:], H.t[1:])
+    ) / smooth_sigma
+    r_smooth = jnp.where(masks.smoothing[1:, ..., None], r_smooth, 0.0)
+
+    return [r_anchor, r_odo, r_static, r_dyn, r_ternary, r_smooth]
+
+
+# --------------------------------------------------------------------------
+# Residual families — WorldPose formulation (LLWorld, updater 1)
+# --------------------------------------------------------------------------
+
+
+def world_pose_families(cfg: BackendConfig) -> FamilySpec:
+    k = cfg.huber_k_static
+    return FamilySpec(
+        names=(
+            "anchor",
+            "odometry",
+            "static_obs",
+            "dyn_obs",
+            "motion_pose",
+            "pose_smoothing",
+        ),
+        robust=(
+            RobustSpec(),
+            RobustSpec(),
+            RobustSpec("huber", k),
+            RobustSpec("huber", cfg.huber_k_dynamic),
+            RobustSpec("huber", cfg.huber_k_dynamic),
+            RobustSpec(),
+        ),
+    )
+
+
+def world_pose_residuals(
+    values: dict,
+    w: WindowData,
+    masks: WindowMasks,
+    cfg: BackendConfig,
+    anchor: SE3 | None = None,
+):
+    """WorldPose (LLWorld) formulation: object poses L_k^j as variables.
+
+    Mirrors `WorldPoseFormulation::dynamicPointUpdateCallback`
+    (`src/backend/rgbd/WorldPoseEstimator.cc:84-166`) and
+    `objectUpdateContext` (:169-286): LandmarkMotionPoseFactor on point
+    pairs + LandmarkPoseSmoothingFactor on L triplets.
+    """
+    X: SE3 = values["X"]
+    L: SE3 = values["L"]
+    sp = values["sp"]
+    dp = values["dp"]
+    dtype = sp.dtype
+
+    pose_sigma = jnp.asarray(
+        [cfg.odometry_rotation_sigma] * 3 + [cfg.odometry_translation_sigma] * 3,
+        dtype,
+    )
+    smooth_sigma = jnp.asarray(
+        [cfg.constant_object_motion_rotation_sigma] * 3
+        + [cfg.constant_object_motion_translation_sigma] * 3,
+        dtype,
+    )
+
+    anchor_pose = anchor if anchor is not None else w.X_init[0]
+    r_anchor = factors.prior_residual(X[0], anchor_pose)[None, :] / (
+        cfg.initial_pose_prior_sigma
+    )
+
+    odo_meas = jax.vmap(lambda a, b: se3_compose(se3_inverse(a), b))(
+        w.X_init[:-1], w.X_init[1:]
+    )
+    r_odo = factors.between_residual(X[:-1], X[1:], odo_meas) / pose_sigma
+    r_odo = jnp.where(masks.odometry[1:, None], r_odo, 0.0)
+
+    r_static = jax.vmap(
+        lambda Xk, zk: factors.pose_to_point_residual(Xk, sp, zk)
+    )(X, w.static_xyz)
+    r_static = r_static / cfg.static_point_noise_sigma
+    r_static = jnp.where(masks.static_obs[..., None], r_static, 0.0)
+
+    r_dyn = jax.vmap(
+        lambda Xk, mk, zk: factors.pose_to_point_residual(Xk, mk, zk)
+    )(X, dp, w.dyn_xyz)
+    r_dyn = r_dyn / cfg.dynamic_point_noise_sigma
+    r_dyn = jnp.where(masks.dyn_obs[..., None], r_dyn, 0.0)
+
+    # LandmarkMotionPose on (m_{k-1}, m_k, L_{k-1}, L_k)
+    obj_idx = jnp.clip(w.dyn_obj, 0, L.batch_shape[1] - 1)
+    Lk = SE3(
+        jnp.take_along_axis(L.R, obj_idx[..., None, None], axis=1),
+        jnp.take_along_axis(L.t, obj_idx[..., None], axis=1),
+    )
+    r_mp = factors.landmark_motion_pose_residual(
+        dp[:-1], dp[1:], SE3(Lk.R[:-1], Lk.t[:-1]), SE3(Lk.R[1:], Lk.t[1:])
+    )
+    r_mp = r_mp / cfg.motion_ternary_factor_noise_sigma
+    r_mp = jnp.where(masks.ternary[1:, ..., None], r_mp, 0.0)
+
+    # LandmarkPoseSmoothing on (L_{k-2}, L_{k-1}, L_k): need three
+    # consecutive active frames for the object
+    r_ps = factors.landmark_pose_smoothing_residual(
+        SE3(L.R[:-2], L.t[:-2]), SE3(L.R[1:-1], L.t[1:-1]), SE3(L.R[2:], L.t[2:])
+    ) / smooth_sigma
+    triple = masks.smoothing[1:-1] & masks.smoothing[2:]
+    r_ps = jnp.where(triple[..., None], r_ps, 0.0)
+
+    return [r_anchor, r_odo, r_static, r_dyn, r_mp, r_ps]
+
+
+def init_values_world_pose(
+    w: WindowData, masks: WindowMasks, cfg: BackendConfig
+) -> dict:
+    """Initial L from frontend-propagated object poses; X/points as usual."""
+    vals = init_values(w, masks, cfg)
+    return {"X": vals["X"], "L": w.obj_pose_init, "sp": vals["sp"], "dp": vals["dp"]}

@@ -1,0 +1,163 @@
+"""Batched pinhole / stereo camera model.
+
+TPU-native replacement for the reference's `Camera`/`CameraParams`/
+`StereoCamera` (reference: dynosam `common/Camera.hpp:34-47`,
+`common/StereoCamera.hpp:38`).  All ops are vectorized over arbitrary leading
+batch dims and differentiable; analytic Jacobians are provided for the hot
+paths (projection) and verified against `jax.jacfwd` in tests.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .lie import SE3, se3_apply, se3_inverse
+
+
+class CameraParams(NamedTuple):
+    """Pinhole intrinsics (Cal3_S2 equivalent, zero skew).
+
+    fx, fy, cx, cy are scalars (or broadcastable arrays for batched rigs).
+    width/height are static python ints used for containment checks.
+    """
+
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    width: int = 0
+    height: int = 0
+
+    @staticmethod
+    def create(fx, fy, cx, cy, width=0, height=0, dtype=jnp.float32) -> "CameraParams":
+        c = lambda x: jnp.asarray(x, dtype=dtype)
+        return CameraParams(c(fx), c(fy), c(cx), c(cy), int(width), int(height))
+
+    @property
+    def K(self) -> jax.Array:
+        z = jnp.zeros_like(self.fx)
+        o = jnp.ones_like(self.fx)
+        return jnp.stack(
+            [
+                jnp.stack([self.fx, z, self.cx], axis=-1),
+                jnp.stack([z, self.fy, self.cy], axis=-1),
+                jnp.stack([z, z, o], axis=-1),
+            ],
+            axis=-2,
+        )
+
+
+class StereoParams(NamedTuple):
+    """Rectified stereo rig: left pinhole + baseline (metres)."""
+
+    left: CameraParams
+    baseline: jax.Array
+
+
+def project_local(params: CameraParams, p_cam: jax.Array, eps: float = 1e-9):
+    """Project camera-frame points (..., 3) to pixels (..., 2).
+
+    Returns (uv, depth).  Points behind the camera produce garbage uv but a
+    negative depth, so callers mask on ``depth > 0`` (the vectorized analog of
+    the reference's CheiralityException handling,
+    `factors/Pose3FlowProjectionFactor.h:130-134`).
+    """
+    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    zs = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+    u = params.fx * x / zs + params.cx
+    v = params.fy * y / zs + params.cy
+    return jnp.stack([u, v], axis=-1), z
+
+
+def project(params: CameraParams, pose_w_c: SE3, p_world: jax.Array):
+    """World points through camera at pose ``X_wc`` (camera-to-world)."""
+    p_cam = se3_apply(se3_inverse(pose_w_c), p_world)
+    return project_local(params, p_cam)
+
+
+def backproject(params: CameraParams, uv: jax.Array, depth: jax.Array) -> jax.Array:
+    """Pixels (..., 2) + metric depth (...,) -> camera-frame points (..., 3)."""
+    u, v = uv[..., 0], uv[..., 1]
+    x = (u - params.cx) / params.fx * depth
+    y = (v - params.cy) / params.fy * depth
+    return jnp.stack([x, y, depth], axis=-1)
+
+
+def backproject_to_world(
+    params: CameraParams, uv: jax.Array, depth: jax.Array, pose_w_c: SE3
+) -> jax.Array:
+    return se3_apply(pose_w_c, backproject(params, uv, depth))
+
+
+def project_jacobian_point(params: CameraParams, p_cam: jax.Array) -> jax.Array:
+    """d(uv)/d(p_cam): (..., 2, 3) analytic Jacobian of projection."""
+    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    iz = 1.0 / z
+    iz2 = iz * iz
+    fx, fy = params.fx, params.fy
+    zr = jnp.zeros_like(x)
+    row_u = jnp.stack([fx * iz, zr, -fx * x * iz2], axis=-1)
+    row_v = jnp.stack([zr, fy * iz, -fy * y * iz2], axis=-1)
+    return jnp.stack([row_u, row_v], axis=-2)
+
+
+def project_jacobian_pose(params: CameraParams, p_cam: jax.Array) -> jax.Array:
+    """d(uv)/d(xi) for uv = pi(Exp(-xi)·(X^-1 p_w)) with xi=[w,v] on the pose.
+
+    This is the standard 2x6 pose Jacobian for a world-to-camera projection,
+    matching the analytic form used by the reference's flow factor
+    (`factors/Pose3FlowProjectionFactor.h:96-115`, note their overall -1).
+    """
+    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    iz = 1.0 / z
+    iz2 = iz * iz
+    fx, fy = params.fx, params.fy
+    # columns: [w1 w2 w3 | v1 v2 v3]
+    ru = jnp.stack(
+        [
+            fx * x * y * iz2,
+            -fx * (1.0 + x * x * iz2),
+            fx * y * iz,
+            -fx * iz,
+            jnp.zeros_like(x),
+            fx * x * iz2,
+        ],
+        axis=-1,
+    )
+    rv = jnp.stack(
+        [
+            fy * (1.0 + y * y * iz2),
+            -fy * x * y * iz2,
+            -fy * x * iz,
+            jnp.zeros_like(x),
+            -fy * iz,
+            fy * y * iz2,
+        ],
+        axis=-1,
+    )
+    return jnp.stack([ru, rv], axis=-2)
+
+
+def in_image(params: CameraParams, uv: jax.Array, border: float = 0.0) -> jax.Array:
+    """Boolean containment mask (reference `Camera::isKeypointContained`)."""
+    u, v = uv[..., 0], uv[..., 1]
+    return (
+        (u >= border)
+        & (u < params.width - border)
+        & (v >= border)
+        & (v < params.height - border)
+    )
+
+
+def disparity_to_depth(disparity: jax.Array, fx_baseline: float, scale: float = 1.0):
+    """Stereo disparity -> metric depth: d = (fx*b) / (disp/scale).
+
+    The reference's KITTI preprocessor uses baseline=387.5744 (already
+    fx-scaled) with scale 256 (`dataprovider/KittiDataProvider.hpp:482-512`).
+    """
+    disp = disparity / scale
+    safe = jnp.where(disp <= 0, 1.0, disp)
+    return jnp.where(disp <= 0, 0.0, fx_baseline / safe)

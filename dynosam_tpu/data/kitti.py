@@ -1,0 +1,164 @@
+"""KITTI-tracking dataset loader (reference loader type 0).
+
+Layout and semantics match `KittiDataLoader`
+(`dataprovider/KittiDataProvider.hpp:352+`):
+
+    <root>/image_0/%06d.png      grayscale/rgb images
+    <root>/depth/%06d.png        16-bit disparity; depth = baseline /
+                                 (disp / scale) with baseline 387.5744,
+                                 scale 256 (`KittiDataProvider.hpp:482-512`)
+    <root>/flow/%06d.flo         dense optical flow k -> k+1
+    <root>/motion/%06d.png       motion instance masks (preferred) or
+    <root>/semantic/%06d.png     semantic instance masks
+    <root>/pose_gt.txt           camera pose per frame (4x4 rows),
+                                 aligned so frame 0 = identity
+    <root>/object_pose.txt       per-frame object poses (KITTI format)
+    <root>/times.txt             timestamps
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import CameraParams
+from ..frontend.frontend import FrameImages
+from .base import DatasetProvider, GroundTruthFrame, to_gray
+
+KITTI_BASELINE = 387.5744
+KITTI_DEPTH_SCALE = 256.0
+
+
+def _read_flo(path: str) -> np.ndarray:
+    """Middlebury .flo reader (cv::readOpticalFlow format)."""
+    with open(path, "rb") as f:
+        magic = np.fromfile(f, np.float32, count=1)
+        if magic.size == 0 or magic[0] != 202021.25:
+            raise ValueError(f"bad .flo magic in {path}")
+        w = int(np.fromfile(f, np.int32, count=1)[0])
+        h = int(np.fromfile(f, np.int32, count=1)[0])
+        data = np.fromfile(f, np.float32, count=2 * w * h)
+    return data.reshape(h, w, 2)
+
+
+class KittiDataset(DatasetProvider):
+    def __init__(
+        self,
+        path: str,
+        starting_frame: int = -1,
+        ending_frame: int = -1,
+        baseline: float = KITTI_BASELINE,
+        depth_scale: float = KITTI_DEPTH_SCALE,
+        prefer_motion_mask: bool = True,
+    ):
+        super().__init__(path, starting_frame, ending_frame)
+        self.baseline = baseline
+        self.depth_scale = depth_scale
+        self.rgb_dir = os.path.join(path, "image_0")
+        self.depth_dir = os.path.join(path, "depth")
+        self.flow_dir = os.path.join(path, "flow")
+        mask_dir = os.path.join(path, "motion")
+        if not (prefer_motion_mask and os.path.isdir(mask_dir)):
+            mask_dir = os.path.join(path, "semantic")
+        self.mask_dir = mask_dir
+        self._n = len(
+            [f for f in os.listdir(self.rgb_dir) if f.endswith(".png")]
+        )
+        self.timestamps = self._load_times()
+        self.gt_poses = self._load_pose_gt()
+        self._cam: Optional[CameraParams] = None
+
+    # ------------------------------------------------------------------
+    def _load_times(self):
+        p = os.path.join(self.path, "times.txt")
+        if os.path.exists(p):
+            return np.loadtxt(p).reshape(-1)
+        return np.arange(self._n, dtype=np.float64) * 0.1
+
+    def _load_pose_gt(self):
+        p = os.path.join(self.path, "pose_gt.txt")
+        if not os.path.exists(p):
+            return None
+        rows = np.loadtxt(p)
+        poses = []
+        first_inv = None
+        for r in rows:
+            vals = r[1:] if r.shape[0] in (13, 17) else r
+            T = np.eye(4)
+            T[:3, :4] = np.asarray(vals[:12]).reshape(3, 4)
+            if first_inv is None:
+                first_inv = np.linalg.inv(T)
+            poses.append(first_inv @ T)  # align first frame to identity
+        return poses
+
+    def __len__(self):
+        return self._n
+
+    def camera_params(self) -> CameraParams:
+        if self._cam is None:
+            import cv2
+
+            img = cv2.imread(
+                os.path.join(self.rgb_dir, "000000.png"), cv2.IMREAD_UNCHANGED
+            )
+            h, w = img.shape[:2]
+            # KITTI-tracking intrinsics (seq 00-12 rig); CameraParams.yaml
+            self._cam = CameraParams.create(
+                721.5377, 721.5377, 609.5593, 172.854, w, h
+            )
+        return self._cam
+
+    # ------------------------------------------------------------------
+    def frame(self, idx: int) -> FrameImages:
+        import cv2
+
+        name = f"{idx:06d}"
+        rgb = cv2.imread(os.path.join(self.rgb_dir, name + ".png"),
+                         cv2.IMREAD_UNCHANGED)
+        gray = to_gray(rgb)
+
+        disp = cv2.imread(os.path.join(self.depth_dir, name + ".png"),
+                          cv2.IMREAD_UNCHANGED).astype(np.float64)
+        d = disp / self.depth_scale
+        with np.errstate(divide="ignore", invalid="ignore"):
+            depth = np.where(d > 0, self.baseline / np.maximum(d, 1e-9), 0.0)
+
+        flow_path = os.path.join(self.flow_dir, name + ".flo")
+        if os.path.exists(flow_path):
+            flow = _read_flo(flow_path)
+        else:
+            flow = np.zeros((*gray.shape, 2), np.float32)
+
+        mask_path = os.path.join(self.mask_dir, name + ".png")
+        if os.path.exists(mask_path):
+            mask = cv2.imread(mask_path, cv2.IMREAD_UNCHANGED).astype(np.int32)
+            if mask.ndim == 3:
+                mask = mask[..., 0].astype(np.int32)
+        else:
+            # text-format semantic mask (`loadSemanticMask`)
+            txt = os.path.join(self.mask_dir, name + ".txt")
+            if os.path.exists(txt):
+                mask = np.loadtxt(txt, dtype=np.int32).reshape(gray.shape)
+            else:
+                mask = np.zeros(gray.shape, np.int32)
+
+        return FrameImages(
+            gray=jnp.asarray(gray, jnp.float32),
+            depth=jnp.asarray(depth, jnp.float32),
+            flow=jnp.asarray(flow, jnp.float32),
+            mask=jnp.asarray(mask, jnp.int32),
+        )
+
+    def ground_truth(self, idx: int) -> Optional[GroundTruthFrame]:
+        if self.gt_poses is None or idx >= len(self.gt_poses):
+            return None
+        return GroundTruthFrame(
+            frame_id=idx,
+            timestamp=float(self.timestamps[min(idx, len(self.timestamps) - 1)]),
+            X_world=self.gt_poses[idx],
+            object_poses={},
+            object_motions={},
+        )

@@ -1,0 +1,168 @@
+"""Feature detection as dense convolutions.
+
+Replaces the reference's sparse detector stack — cv::GFTT / ORB extractor
+with quadtree distribution and adaptive non-maximum suppression
+(`frontend/vision/FeatureDetector.hpp:57-97`,
+`frontend/vision/ORBextractor.hpp:58`, `frontend/anms/`) — with a dense
+TPU formulation:
+
+  * Shi-Tomasi corner response = min eigenvalue of the 2x2 structure tensor,
+    computed with separable box/Sobel convolutions (pure XLA convs on the
+    whole image).
+  * Spatial distribution = grid non-max suppression: one max-pool per cell
+    (the analog of both the occupancy grid `OccupandyGrid2D` binning and the
+    ANMS step — bucketed NMS is how the reference distributes features,
+    `StaticFeatureTracker.cc:309-379`).
+  * Top-K selection over cell winners gives a fixed-size candidate list.
+
+Everything is static-shaped: detection returns exactly `max_corners`
+candidates with a validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _conv2(img: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Single-channel 2D convolution with SAME padding (NHWC conv)."""
+    x = img[None, :, :, None]
+    k = kernel[:, :, None, None]
+    out = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return out[0, :, :, 0]
+
+
+def sobel_gradients(gray: jax.Array):
+    kx = jnp.asarray(
+        [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], gray.dtype
+    ) / 8.0
+    ky = kx.T
+    return _conv2(gray, kx), _conv2(gray, ky)
+
+
+def shi_tomasi_response(gray: jax.Array, window: int = 5) -> jax.Array:
+    """Min-eigenvalue corner response (cv::goodFeaturesToTrack quality)."""
+    ix, iy = sobel_gradients(gray)
+    box = jnp.ones((window, window), gray.dtype) / (window * window)
+    sxx = _conv2(ix * ix, box)
+    syy = _conv2(iy * iy, box)
+    sxy = _conv2(ix * iy, box)
+    # min eig of [[sxx, sxy], [sxy, syy]]
+    tr = sxx + syy
+    det_rad = jnp.sqrt(
+        jnp.maximum((sxx - syy) ** 2 + 4.0 * sxy * sxy, 0.0)
+    )
+    return 0.5 * (tr - det_rad)
+
+
+def harris_response(gray: jax.Array, window: int = 5, k: float = 0.04):
+    ix, iy = sobel_gradients(gray)
+    box = jnp.ones((window, window), gray.dtype) / (window * window)
+    sxx = _conv2(ix * ix, box)
+    syy = _conv2(iy * iy, box)
+    sxy = _conv2(ix * iy, box)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - k * tr * tr
+
+
+class Detections(NamedTuple):
+    uv: jax.Array      # (K, 2) float pixel coords (x, y)
+    score: jax.Array   # (K,)
+    valid: jax.Array   # (K,) bool
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_corners", "cell_size", "min_distance")
+)
+def detect_grid_nms(
+    response: jax.Array,
+    occupied_or_invalid: jax.Array,
+    max_corners: int = 1000,
+    cell_size: int = 16,
+    quality_level: float = 0.001,
+    min_distance: int = 0,
+) -> Detections:
+    """Grid-NMS corner selection.
+
+    response: (H, W) corner score.  occupied_or_invalid: (H, W) bool — pixels
+    to suppress (existing feature neighbourhoods, dynamic-object masks,
+    image border: the reference's equivalents are the occupancy grid, the
+    semantic mask exclusion and `shrink_row/col`).  Returns top
+    `max_corners` cell-winners above `quality_level * max(response)`.
+    """
+    h, wd = response.shape
+    resp = jnp.where(occupied_or_invalid, -jnp.inf, response)
+
+    # pad to multiples of cell_size
+    ph = -h % cell_size
+    pw = -wd % cell_size
+    resp_p = jnp.pad(resp, ((0, ph), (0, pw)), constant_values=-jnp.inf)
+    hh, ww = resp_p.shape
+    cells = resp_p.reshape(
+        hh // cell_size, cell_size, ww // cell_size, cell_size
+    ).transpose(0, 2, 1, 3).reshape(hh // cell_size, ww // cell_size, -1)
+    win = jnp.argmax(cells, axis=-1)                 # (CH, CW)
+    win_score = jnp.take_along_axis(cells, win[..., None], axis=-1)[..., 0]
+
+    cy = jnp.arange(hh // cell_size)[:, None] * cell_size + win // cell_size
+    cx = jnp.arange(ww // cell_size)[None, :] * cell_size + win % cell_size
+
+    flat_score = win_score.reshape(-1)
+    flat_uv = jnp.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1).astype(
+        response.dtype
+    )
+
+    k = min(max_corners, flat_score.shape[0])
+    top_score, top_idx = jax.lax.top_k(flat_score, k)
+    top_uv = flat_uv[top_idx]
+    thresh = quality_level * jnp.maximum(jnp.max(top_score), 1e-12)
+    valid = jnp.isfinite(top_score) & (top_score > thresh)
+
+    if k < max_corners:
+        pad = max_corners - k
+        top_uv = jnp.pad(top_uv, ((0, pad), (0, 0)))
+        top_score = jnp.pad(top_score, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return Detections(uv=top_uv, score=top_score, valid=valid)
+
+
+def occupancy_mask(
+    shape, uv: jax.Array, valid: jax.Array, radius: int
+) -> jax.Array:
+    """(H, W) bool mask marking a disc around each existing feature —
+    the analog of `OccupandyGrid2D` keep-away binning.
+
+    Implemented by scattering points then max-pooling with a (2r+1) window.
+    """
+    h, w = shape
+    grid = jnp.zeros((h, w), jnp.float32)
+    xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+    grid = grid.at[yi, xi].max(jnp.where(valid, 1.0, 0.0))
+    if radius > 0:
+        win = 2 * radius + 1
+        grid = jax.lax.reduce_window(
+            grid, -jnp.inf, jax.lax.max, (win, win), (1, 1), "SAME"
+        )
+    return grid > 0.5
+
+
+def border_mask(shape, shrink_row: int, shrink_col: int) -> jax.Array:
+    """(H, W) bool: True where detection is forbidden (image border),
+    the analog of `shrink_row/shrink_col` (`TrackerParams`)."""
+    h, w = shape
+    r = jnp.zeros((h, w), bool)
+    if shrink_row > 0:
+        r = r.at[:shrink_row, :].set(True)
+        r = r.at[-shrink_row:, :].set(True)
+    if shrink_col > 0:
+        r = r.at[:, :shrink_col].set(True)
+        r = r.at[:, -shrink_col:].set(True)
+    return r

@@ -1,0 +1,284 @@
+"""RGB-D instance frontend: the per-frame vision pipeline.
+
+TPU-native redesign of `RGBDInstanceFrontendModule`
+(`src/frontend/RGBDInstanceFrontendModule.cc:56-481`).  One frame step runs
+(see the reference call stack, SURVEY §3.2):
+
+  track -> depth association -> ego-motion PnP-RANSAC (+ joint optical-flow
+  refinement) -> scene-flow dynamicity -> per-object motion RANSAC (+ joint
+  flow + motion-only refinement) -> object pose propagation -> output packet
+
+Everything after image ingestion is one jitted computation; per-object
+motion solving is a `vmap` over object slots (replacing the reference's TBB
+`parallel_for_each`, `RGBDInstanceFrontendModule.cc:297-315`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import CameraParams, backproject
+from ..core.lie import (
+    SE3,
+    se3_apply,
+    se3_compose,
+    se3_identity,
+    se3_inverse,
+)
+from ..core.types import INVALID_ID, DynamicObs, FrontendOutput, ObjectObs, StaticObs
+from ..ops.klt import bilinear_sample
+from ..ops.ransac import STATUS_VALID, RansacResult, ransac_pose_3d2d
+from ..utils.config import FrontendConfig
+from . import refine
+from .tracker import TrackerState, track_frame
+
+# per-object correspondence capacity for the motion solvers
+DPO = 512
+
+
+class FrameImages(NamedTuple):
+    gray: jax.Array    # (H, W) float
+    depth: jax.Array   # (H, W) float metric depth (0/neg = invalid)
+    flow: jax.Array    # (H, W, 2) dense flow mapping frame k -> k+1
+    mask: jax.Array    # (H, W) int32 instance labels (0 = background)
+
+
+class FrontendState(NamedTuple):
+    tracker: TrackerState
+    X_world: SE3            # ^wX_{k-1}
+    s_lmk: jax.Array        # (NS, 3) static landmarks in world (at k-1)
+    s_lmk_valid: jax.Array
+    d_lmk: jax.Array        # (ND, 3) dynamic landmarks in world (at k-1)
+    d_lmk_valid: jax.Array
+    obj_pose: SE3           # (O,) propagated ^wL_{k-1}
+    obj_pose_valid: jax.Array
+    frame_idx: jax.Array
+
+    @staticmethod
+    def create(ns: int, nd: int, no: int, dtype=jnp.float32) -> "FrontendState":
+        return FrontendState(
+            tracker=TrackerState.create(ns, nd, no, dtype),
+            X_world=se3_identity((), dtype),
+            s_lmk=jnp.zeros((ns, 3), dtype),
+            s_lmk_valid=jnp.zeros((ns,), bool),
+            d_lmk=jnp.zeros((nd, 3), dtype),
+            d_lmk_valid=jnp.zeros((nd,), bool),
+            obj_pose=se3_identity((no,), dtype),
+            obj_pose_valid=jnp.zeros((no,), bool),
+            frame_idx=jnp.asarray(0, jnp.int32),
+        )
+
+
+def _depth_at(depth: jax.Array, uv: jax.Array, max_depth: float):
+    d = bilinear_sample(depth, uv)
+    return d, (d > 0.0) & (d < max_depth)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "use_klt", "first_frame")
+)
+def frontend_step(
+    state: FrontendState,
+    prev_images: FrameImages,
+    images: FrameImages,
+    cam: CameraParams,
+    cfg: FrontendConfig,
+    key: jax.Array,
+    use_klt: bool = True,
+    first_frame: bool = False,
+):
+    """Process one frame: (state at k-1, images) -> (state at k, packet)."""
+    tcfg = cfg.tracker
+    prev_uv_s = state.tracker.s_uv
+    prev_uv_d = state.tracker.d_uv
+
+    trk, report = track_frame(
+        state.tracker,
+        prev_images.gray,
+        images.gray,
+        prev_images.flow,
+        images.mask,
+        tcfg,
+        use_klt=use_klt,
+        first_frame=first_frame,
+    )
+
+    # ---------------- depth association (`Frame::updateDepths`)
+    s_depth, s_dok = _depth_at(images.depth, trk.s_uv, cfg.max_background_depth)
+    d_depth, d_dok = _depth_at(images.depth, trk.d_uv, cfg.max_object_depth)
+    s_xyz = backproject(cam, trk.s_uv, s_depth)
+    d_xyz = backproject(cam, trk.d_uv, d_depth)
+    s_obs_ok = trk.s_active & s_dok
+    d_obs_ok = trk.d_active & d_dok
+
+    # ---------------- ego motion (`solveCameraMotion`)
+    key_e, key_o = jax.random.split(key)
+    ego_corr = s_obs_ok & (trk.s_age > 0) & state.s_lmk_valid
+    ego = ransac_pose_3d2d(
+        key_e,
+        state.s_lmk,
+        trk.s_uv,
+        s_xyz,
+        ego_corr,
+        cam,
+        iters=cfg.camera_solver.ransac_iterations,
+        threshold_px=2.0,
+        min_inliers=5,
+    )
+    ego_ok = ego.status == STATUS_VALID
+    # fallback: propagate with identity relative motion (the reference sets
+    # X = X_{k-1} on failure, `RGBDInstanceFrontendModule.cc:239-241`)
+    accept_ego = ego_ok & (not first_frame)
+    X_k = SE3(
+        jnp.where(accept_ego, ego.pose.R, state.X_world.R),
+        jnp.where(accept_ego, ego.pose.t, state.X_world.t),
+    )
+
+    if cfg.refine_camera_pose_with_joint_of and not first_frame:
+        prev_d, prev_dok = _depth_at(
+            prev_images.depth, prev_uv_s, cfg.max_background_depth
+        )
+        fp = refine.optimize_flow_and_pose(
+            cam,
+            X_k,
+            state.X_world,
+            prev_uv_s,
+            prev_d,
+            trk.s_uv - prev_uv_s,
+            ego.inliers & prev_dok,
+        )
+        X_k = SE3(
+            jnp.where(ego_ok, fp.pose.R, X_k.R),
+            jnp.where(ego_ok, fp.pose.t, X_k.t),
+        )
+
+    # ---------------- scene-flow dynamicity (`vision_tools::trackDynamic`)
+    # world scene flow of dynamic tracks seen at k-1 and k
+    prop = d_obs_ok & (trk.d_age > 0) & state.d_lmk_valid
+    m_cur_w = se3_apply(X_k, d_xyz)
+    sf = jnp.linalg.norm(m_cur_w - state.d_lmk, axis=-1)
+    is_static_pt = sf < cfg.scene_flow_mag_threshold
+    no = trk.obj_labels.shape[0]
+    obj_of = jnp.where(prop, trk.d_obj, -1)
+    onehot = jax.nn.one_hot(obj_of, no, dtype=s_xyz.dtype)     # (ND, O)
+    n_per_obj = jnp.einsum("no->o", onehot)
+    n_static = jnp.einsum("no,n->o", onehot, is_static_pt.astype(s_xyz.dtype))
+    frac_static = n_static / jnp.maximum(n_per_obj, 1.0)
+    obj_is_dynamic = (
+        trk.obj_active
+        & (n_per_obj >= cfg.min_dynamic_features_per_object)
+        & (frac_static <= cfg.scene_flow_percentage)
+    )
+
+    # ---------------- object motions (`solveObjectMotions`), vmapped
+    # compact each object's correspondences into (O, DPO)
+    def gather_obj(j):
+        score = jnp.where(prop & (trk.d_obj == j), 1.0, -jnp.inf) - (
+            jnp.arange(prop.shape[0]) * 1e-9
+        )
+        _, idx = jax.lax.top_k(score, DPO)
+        ok = prop[idx] & (trk.d_obj[idx] == j)
+        return idx, ok
+
+    obj_ids = jnp.arange(no)
+    idxs, oks = jax.vmap(gather_obj)(obj_ids)              # (O, DPO)
+
+    def solve_obj(j, idx, ok, k_obj):
+        p_prev_w = state.d_lmk[idx]
+        uv_cur = trk.d_uv[idx]
+        xyz_cur = d_xyz[idx]
+        res = ransac_pose_3d2d(
+            k_obj, p_prev_w, uv_cur, xyz_cur, ok, cam,
+            iters=cfg.object_solver.ransac_iterations,
+            threshold_px=2.0,
+            min_inliers=5,
+        )
+        # H_w = X_k ∘ G^-1 (ref: `ObjectMotionSovler`, MotionSolver.cc:492-511)
+        H = se3_compose(X_k, se3_inverse(res.pose))
+        ok_solved = res.status == STATUS_VALID
+        if cfg.refine_motion_with_3d:
+            uv_prev = prev_uv_d[idx]
+            mr = refine.optimize_motion_only(
+                cam, H, state.X_world, X_k, p_prev_w, uv_prev, uv_cur,
+                res.inliers,
+            )
+            H = SE3(
+                jnp.where(ok_solved, mr.motion.R, H.R),
+                jnp.where(ok_solved, mr.motion.t, H.t),
+            )
+            inl = jnp.where(ok_solved, mr.inliers, res.inliers)
+        else:
+            inl = res.inliers
+        return H, inl, ok_solved
+
+    keys_o = jax.random.split(key_o, no)
+    H_all, obj_inl, solved = jax.vmap(solve_obj)(obj_ids, idxs, oks, keys_o)
+    motion_valid = solved & obj_is_dynamic & (not first_frame)
+
+    # scatter per-object inliers back to the (ND,) dynamic pool
+    d_inlier = jnp.zeros(prop.shape, bool)
+    d_inlier = d_inlier.at[idxs.reshape(-1)].max(
+        (obj_inl & oks).reshape(-1)
+    )
+
+    # ---------------- object pose propagation (`propogateObjectPoses`)
+    # L_k = H_k L_{k-1}; first sighting initializes L at the object centroid
+    centroid = jnp.einsum("no,nd->od", onehot, m_cur_w) / jnp.maximum(
+        n_per_obj[:, None], 1.0
+    )
+    prop_pose = se3_compose(H_all, state.obj_pose)
+    can_prop = state.obj_pose_valid & motion_valid
+    L_k = SE3(
+        jnp.where(
+            can_prop[:, None, None],
+            prop_pose.R,
+            jnp.broadcast_to(jnp.eye(3, dtype=centroid.dtype), prop_pose.R.shape),
+        ),
+        jnp.where(can_prop[:, None], prop_pose.t, centroid),
+    )
+    pose_valid = can_prop | (trk.obj_active & (n_per_obj > 0))
+
+    # ---------------- output packet
+    static_out = StaticObs(uv=trk.s_uv, xyz=s_xyz, valid=s_obs_ok)
+    dyn_valid_out = d_obs_ok & (
+        jnp.where(trk.d_obj >= 0, motion_valid[jnp.clip(trk.d_obj, 0, no - 1)], False)
+    )
+    dynamic_out = DynamicObs(
+        uv=trk.d_uv,
+        xyz=d_xyz,
+        obj=jnp.where(dyn_valid_out, trk.d_obj, INVALID_ID),
+        valid=dyn_valid_out,
+    )
+    objects_out = ObjectObs(
+        motion=H_all,
+        motion_valid=motion_valid,
+        pose=L_k,
+        pose_valid=pose_valid,
+        label=trk.obj_labels,
+    )
+    packet = FrontendOutput(
+        frame_id=state.frame_idx,
+        timestamp=state.frame_idx.astype(images.gray.dtype),
+        X_world=X_k,
+        static_obs=static_out,
+        dynamic_obs=dynamic_out,
+        objects=objects_out,
+    )
+
+    # ---------------- state update
+    new_state = FrontendState(
+        tracker=trk,
+        X_world=X_k,
+        s_lmk=se3_apply(X_k, s_xyz),
+        s_lmk_valid=s_obs_ok,
+        d_lmk=m_cur_w,
+        d_lmk_valid=d_obs_ok,
+        obj_pose=L_k,
+        obj_pose_valid=pose_valid,
+        frame_idx=state.frame_idx + 1,
+    )
+    return new_state, packet, report, ego

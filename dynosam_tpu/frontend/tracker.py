@@ -1,0 +1,278 @@
+"""Static + dynamic feature tracking over fixed slot pools.
+
+TPU-native redesign of the reference's `FeatureTracker`
+(`src/frontend/vision/FeatureTracker.cc:54-342`) and
+`KltFeatureTracker`/`ExternalFlowFeatureTracker`
+(`src/frontend/vision/StaticFeatureTracker.cc`):
+
+  * **Static tracks** (`trackStatic`): propagate previous inliers by
+    pyramidal KLT (`ops/klt.py`) or by sampling the precomputed dense flow
+    (the reference's ExternalFlow mode), verify with batched homography
+    RANSAC, re-detect Shi-Tomasi corners into free slots up to
+    `max_features_per_frame`, recycle tracklets older than
+    `max_feature_track_age`.
+  * **Dynamic tracks** (`trackDynamic`): propagate object features through
+    the dense optical flow, keep only features whose propagated position
+    lands on the *same* instance label, densely sample new grid points
+    (every `semantic_mask_step_size` px) on uncovered object pixels.
+  * **Object table**: instance labels -> dense object slots (allocate-only;
+    labels are assumed temporally consistent, as provided by the datasets'
+    tracking GT or by ByteTrack).
+
+Everything is a pure function of (state, images) -> (state, outputs) with
+static shapes, so one frame step is a single fused XLA program.
+
+Tracklet ids ARE slot indices (see `core/types.py`) — the allocation
+primitive `assign_slots` fills free slots with new candidates using only
+sorts/cumsums (no host round-trip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import INVALID_ID
+from ..ops import homography
+from ..ops.klt import bilinear_sample, flow_at, klt_track, nearest_at
+from ..utils.config import TrackerConfig
+from .detect import border_mask, detect_grid_nms, occupancy_mask, shi_tomasi_response
+
+
+class TrackerState(NamedTuple):
+    # static pool (NS,)
+    s_uv: jax.Array
+    s_active: jax.Array
+    s_age: jax.Array
+    # dynamic pool (ND,)
+    d_uv: jax.Array
+    d_active: jax.Array
+    d_obj: jax.Array      # object slot per dynamic track
+    d_age: jax.Array
+    # object table (O,)
+    obj_labels: jax.Array  # global instance label per slot (-1 = free)
+    obj_active: jax.Array  # label seen in current frame
+
+    @staticmethod
+    def create(ns: int, nd: int, no: int, dtype=jnp.float32) -> "TrackerState":
+        return TrackerState(
+            s_uv=jnp.zeros((ns, 2), dtype),
+            s_active=jnp.zeros((ns,), bool),
+            s_age=jnp.zeros((ns,), jnp.int32),
+            d_uv=jnp.zeros((nd, 2), dtype),
+            d_active=jnp.zeros((nd,), bool),
+            d_obj=jnp.full((nd,), INVALID_ID, jnp.int32),
+            d_age=jnp.zeros((nd,), jnp.int32),
+            obj_labels=jnp.full((no,), INVALID_ID, jnp.int32),
+            obj_active=jnp.zeros((no,), bool),
+        )
+
+
+def assign_slots(free: jax.Array, want: jax.Array):
+    """Pair the first n wanted candidates with the first n free slots.
+
+    free: (M,) bool over slots; want: (C,) bool over candidates (already in
+    priority order).  Returns (slot_idx (K,), cand_idx (K,), pair_ok (K,))
+    with K = min(M, C) static.
+    """
+    m, c = free.shape[0], want.shape[0]
+    k = min(m, c)
+    slot_order = jnp.argsort(~free, stable=True)
+    cand_order = jnp.argsort(~want, stable=True)
+    n = jnp.minimum(jnp.sum(free), jnp.sum(want))
+    ok = jnp.arange(k) < n
+    return slot_order[:k], cand_order[:k], ok
+
+
+class TrackOutputs(NamedTuple):
+    """Per-frame tracking report (analog of `FeatureTrackerInfo`,
+    `frontend/vision/Vision-Definitions.hpp:62-94`)."""
+
+    n_static_tracked: jax.Array
+    n_static_new: jax.Array
+    n_dynamic_tracked: jax.Array
+    n_dynamic_new: jax.Array
+    homography_inliers: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_klt", "first_frame"))
+def track_frame(
+    state: TrackerState,
+    prev_gray: jax.Array,
+    cur_gray: jax.Array,
+    flow_prev: jax.Array,     # (H, W, 2): maps pixels of frame k-1 into k
+    mask_cur: jax.Array,      # (H, W) int32 instance labels of frame k
+    cfg: TrackerConfig,
+    use_klt: bool = True,
+    first_frame: bool = False,
+):
+    """One tracking step: (state at k-1, images) -> (state at k, report).
+
+    The returned state's `s_uv/d_uv` are positions in frame k; `*_age > 0`
+    marks tracks that were propagated (exist at both k-1 and k), age == 0
+    marks fresh detections.
+    """
+    h, w = cur_gray.shape
+    dtype = cur_gray.dtype
+
+    # ------------------------------------------------------------ static
+    if first_frame:
+        s_uv, s_ok = state.s_uv, jnp.zeros_like(state.s_active)
+        homo_inl = jnp.asarray(0, jnp.int32)
+    else:
+        if use_klt:
+            res = klt_track(
+                prev_gray,
+                cur_gray,
+                state.s_uv,
+                state.s_active,
+                win=cfg.klt_window,
+                levels=cfg.klt_levels,
+                iters=cfg.klt_iterations,
+            )
+            s_uv, s_ok = res.uv, res.ok
+        else:
+            s_uv = state.s_uv + flow_at(flow_prev, state.s_uv)
+            s_ok = state.s_active
+        inb = (
+            (s_uv[:, 0] >= cfg.shrink_col)
+            & (s_uv[:, 0] < w - cfg.shrink_col)
+            & (s_uv[:, 1] >= cfg.shrink_row)
+            & (s_uv[:, 1] < h - cfg.shrink_row)
+        )
+        on_bg = nearest_at(mask_cur, s_uv) == 0
+        s_ok = s_ok & inb & on_bg & state.s_active
+        # geometric verification (findHomography RANSAC analog)
+        hres = homography.ransac_homography(
+            jax.random.PRNGKey(0), state.s_uv, s_uv, s_ok,
+            iters=128, threshold=3.0,
+        )
+        enough = hres.n_inliers >= 10
+        s_ok = jnp.where(enough, s_ok & hres.inliers, s_ok)
+        homo_inl = hres.n_inliers
+
+    s_age = jnp.where(s_ok, state.s_age + 1, 0)
+    recycle = s_age > cfg.max_feature_track_age
+    s_ok = s_ok & ~recycle
+    n_tracked = jnp.sum(s_ok)
+
+    # re-detect into free slots
+    resp = shi_tomasi_response(cur_gray)
+    occupied = occupancy_mask(
+        (h, w), s_uv, s_ok,
+        int(cfg.min_distance_btw_tracked_and_detected_features),
+    )
+    forbid = (
+        occupied
+        | (mask_cur != 0)
+        | border_mask((h, w), max(cfg.shrink_row, 4), max(cfg.shrink_col, 4))
+    )
+    dets = detect_grid_nms(
+        resp,
+        forbid,
+        max_corners=cfg.max_features_per_frame,
+        cell_size=max(8, cfg.cell_size // 2),
+    )
+    budget = cfg.max_features_per_frame - n_tracked
+    want = dets.valid & (jnp.cumsum(dets.valid) <= budget)
+    slot_i, cand_i, pair_ok = assign_slots(~s_ok, want)
+    new_uv = dets.uv[cand_i]
+    s_uv = s_uv.at[slot_i].set(
+        jnp.where(pair_ok[:, None], new_uv, s_uv[slot_i])
+    )
+    s_active_new = s_ok.at[slot_i].set(s_ok[slot_i] | pair_ok)
+    s_age = s_age.at[slot_i].set(jnp.where(pair_ok, 0, s_age[slot_i]))
+    n_new_static = jnp.sum(pair_ok)
+
+    # ------------------------------------------------------------ objects
+    # label census of the current mask (labels capped to [0, 256))
+    label_cap = 256
+    labels_flat = jnp.clip(mask_cur.reshape(-1), 0, label_cap - 1)
+    counts = jnp.zeros((label_cap,), jnp.int32).at[labels_flat].add(1)
+    counts = counts.at[0].set(0)  # background
+    present = counts >= 50        # minimum pixel support for an object
+    # match present labels to existing table
+    table = state.obj_labels                              # (O,)
+    label_ids = jnp.arange(label_cap, dtype=jnp.int32)
+    in_table = jnp.any(table[None, :] == label_ids[:, None], axis=1)
+    new_label = present & ~in_table
+    slot_free = table == INVALID_ID
+    slot_i2, cand_i2, ok2 = assign_slots(slot_free, new_label)
+    table = table.at[slot_i2].set(
+        jnp.where(ok2, label_ids[cand_i2], table[slot_i2])
+    )
+    obj_active = jnp.where(
+        table >= 0, present[jnp.clip(table, 0, label_cap - 1)], False
+    )
+
+    # ------------------------------------------------------------ dynamic
+    if first_frame:
+        d_uv, d_ok = state.d_uv, jnp.zeros_like(state.d_active)
+    else:
+        d_uv = state.d_uv + flow_at(flow_prev, state.d_uv)
+        inb_d = (
+            (d_uv[:, 0] >= cfg.shrink_col)
+            & (d_uv[:, 0] < w - cfg.shrink_col)
+            & (d_uv[:, 1] >= cfg.shrink_row)
+            & (d_uv[:, 1] < h - cfg.shrink_row)
+        )
+        cur_label_at = nearest_at(mask_cur, d_uv)
+        my_label = jnp.where(
+            state.d_obj >= 0, table[jnp.clip(state.d_obj, 0, table.shape[0] - 1)], -2
+        )
+        same = cur_label_at == my_label
+        d_ok = state.d_active & inb_d & same
+    d_age = jnp.where(d_ok, state.d_age + 1, 0)
+    over_age = d_age > cfg.max_feature_track_age
+    d_ok = d_ok & ~over_age
+    n_dyn_tracked = jnp.sum(d_ok)
+
+    # dense grid sampling of uncovered object pixels
+    step = cfg.semantic_mask_step_size
+    gy = jnp.arange(step // 2, h, step)
+    gx = jnp.arange(step // 2, w, step)
+    gyy, gxx = jnp.meshgrid(gy, gx, indexing="ij")
+    cand_uv = jnp.stack(
+        [gxx.reshape(-1), gyy.reshape(-1)], axis=-1
+    ).astype(dtype)                                        # (C, 2)
+    cand_label = nearest_at(mask_cur, cand_uv)
+    occupied_d = occupancy_mask((h, w), d_uv, d_ok, step // 2)
+    cand_free = ~nearest_at(occupied_d.astype(jnp.int32), cand_uv).astype(bool)
+    # object slot for each candidate label
+    eq = cand_label[:, None] == table[None, :]             # (C, O)
+    cand_slot = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    cand_has_obj = jnp.any(eq, axis=1) & (cand_label > 0)
+    cand_want = cand_has_obj & cand_free
+    slot_i3, cand_i3, ok3 = assign_slots(~d_ok, cand_want)
+    d_uv = d_uv.at[slot_i3].set(
+        jnp.where(ok3[:, None], cand_uv[cand_i3], d_uv[slot_i3])
+    )
+    d_obj = state.d_obj.at[slot_i3].set(
+        jnp.where(ok3, cand_slot[cand_i3], state.d_obj[slot_i3])
+    )
+    d_active_new = d_ok.at[slot_i3].set(d_ok[slot_i3] | ok3)
+    d_age = d_age.at[slot_i3].set(jnp.where(ok3, 0, d_age[slot_i3]))
+    n_dyn_new = jnp.sum(ok3)
+
+    new_state = TrackerState(
+        s_uv=s_uv,
+        s_active=s_active_new,
+        s_age=s_age,
+        d_uv=d_uv,
+        d_active=d_active_new,
+        d_obj=d_obj,
+        d_age=d_age,
+        obj_labels=table,
+        obj_active=obj_active,
+    )
+    report = TrackOutputs(
+        n_static_tracked=n_tracked,
+        n_static_new=n_new_static,
+        n_dynamic_tracked=n_dyn_tracked,
+        n_dynamic_new=n_dyn_new,
+        homography_inliers=homo_inl,
+    )
+    return new_state, report

@@ -1,0 +1,247 @@
+"""Vectorized RANSAC rigid-motion solvers — the OpenGV replacement.
+
+The reference solves ego/object motion with OpenGV sample-consensus loops
+(Kneip PnP / Arun 3-point, <=500 iterations, probability-based early stop;
+`frontend/vision/MotionSolver-inl.hpp:45-87`,
+`src/frontend/vision/MotionSolver.cc:111-536`).  A sequential
+hypothesize-and-verify loop is hostile to TPUs, so this module runs the
+*fixed-iteration batched* equivalent:
+
+  1. sample all K minimal sets at once (Gumbel top-k over the validity mask
+     — no replacement inside a set),
+  2. solve all K closed-form weighted-Procrustes (Kabsch/Arun) alignments as
+     one batched 3x3 SVD,
+  3. score all K x N residuals in one einsum (3D distance or 2D
+     reprojection, matching the reference's 3d3d / 3d2d modes),
+  4. pick the argmax-inlier hypothesis and polish it with a fixed number of
+     Gauss-Newton steps on the inliers (6x6 dense solves).
+
+With K = `ransac_iterations` (500) this evaluates the *same* number of
+hypotheses as the reference's worst case, but as three batched kernels.
+Everything vmaps over objects, so per-object motion solving is one fused
+computation instead of the reference's TBB task loop
+(`RGBDInstanceFrontendModule.cc:297-315`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import CameraParams, project_local
+from ..core.lie import (
+    SE3,
+    se3_apply,
+    se3_exp,
+    se3_inverse,
+    se3_retract,
+)
+
+# TrackingStatus analog (`MotionSolver.hpp:102-110`)
+STATUS_VALID = 0
+STATUS_FEW_MATCHES = 1
+STATUS_INVALID = 2
+
+_MIN_SET = 3  # minimal set for 3D rigid alignment
+
+
+class RansacResult(NamedTuple):
+    pose: SE3            # best model T (src -> dst frame)
+    inliers: jax.Array   # (N,) bool
+    n_inliers: jax.Array # () int32
+    status: jax.Array    # () int32 TrackingStatus
+
+
+def procrustes(src: jax.Array, dst: jax.Array, w: jax.Array) -> SE3:
+    """Weighted rigid alignment: T = argmin sum w_i ||dst_i - T src_i||^2.
+
+    src/dst: (..., N, 3), w: (..., N).  Closed-form Kabsch/Arun (the same
+    estimator OpenGV's 3-point Arun solver uses).  Batched SVD on (...,3,3).
+    """
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    wn = w / wsum
+    c_src = jnp.einsum("...n,...nd->...d", wn, src)
+    c_dst = jnp.einsum("...n,...nd->...d", wn, dst)
+    src0 = src - c_src[..., None, :]
+    dst0 = dst - c_dst[..., None, :]
+    # covariance H = sum w dst0 src0^T  (3x3)
+    Hcov = jnp.einsum("...n,...ni,...nj->...ij", wn, dst0, src0)
+    U, _, Vt = jnp.linalg.svd(Hcov)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
+    D = jnp.concatenate(
+        [
+            jnp.ones((*det.shape, 2), det.dtype),
+            det[..., None],
+        ],
+        axis=-1,
+    )
+    R = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt)
+    t = c_dst - jnp.einsum("...ij,...j->...i", R, c_src)
+    return SE3(R, t)
+
+
+def _sample_minimal_sets(key, valid, iters: int):
+    """(iters, 3) distinct indices drawn from valid slots (Gumbel top-3)."""
+    n = valid.shape[-1]
+    g = jax.random.gumbel(key, (iters, n))
+    logits = jnp.where(valid[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(logits, _MIN_SET)
+    return idx
+
+
+def ransac_rigid(
+    key,
+    src: jax.Array,          # (N, 3) points in frame A
+    dst: jax.Array,          # (N, 3) points in frame B (3d3d) — may be dummy
+    valid: jax.Array,        # (N,) bool
+    iters: int = 500,
+    threshold: float = 0.1,  # 3D inlier distance OR pixel threshold (reproj)
+    uv: Optional[jax.Array] = None,       # (N, 2) observed pixels (3d2d mode)
+    cam: Optional[CameraParams] = None,
+    refine_steps: int = 5,
+    min_inliers: int = 5,
+) -> RansacResult:
+    """Robustly estimate T with dst ~ T(src).
+
+    3d3d mode (uv None): inlier test ||dst - T src|| < threshold — the
+    analog of `geometricOutlierRejection3d3d` (Arun).
+    3d2d mode (uv given): `dst` must still hold 3D hypotheses-support points
+    (e.g. backprojected current-frame depth); scoring and refinement use the
+    reprojection pi(T^-1 ... ) of `src` against `uv` with a pixel threshold —
+    the analog of `geometricOutlierRejection3d2d` (Kneip PnP), with the
+    camera convention T = ^w X_c so that src (world) maps into the camera by
+    T^-1.  (reference: `MotionSolver.cc:202-429`)
+    """
+    n = src.shape[0]
+    k_sets, k_refine = jax.random.split(key)
+    idx = _sample_minimal_sets(k_sets, valid, iters)            # (K, 3)
+    src_min = src[idx]                                          # (K, 3, 3)
+    dst_min = dst[idx]
+    w_min = jnp.ones(idx.shape, src.dtype)
+    hyp = procrustes(src_min, dst_min, w_min)                   # (K,) SE3
+
+    reproj = uv is not None
+    if reproj:
+        # procrustes maps src(world) -> dst(camera); the camera pose we
+        # score with is its inverse (^wX_c with p_cam = X^-1 p_w).
+        hyp = se3_inverse(hyp)
+
+    def residuals_for(T: SE3):
+        if reproj:
+            # broadcast: T batch (K,), src (N,3) -> (K, N, 3): R^T (src - t)
+            p_cam = jnp.einsum("kij,knj->kni", jnp.swapaxes(T.R, -1, -2),
+                               src[None] - T.t[:, None, :])
+            pred, z = project_local(cam, p_cam)
+            err = jnp.linalg.norm(pred - uv[None], axis=-1)
+            err = jnp.where(z > 0.05, err, jnp.inf)
+        else:
+            moved = jnp.einsum("kij,nj->kni", T.R, src) + T.t[:, None, :]
+            err = jnp.linalg.norm(moved - dst[None], axis=-1)
+        return err                                              # (K, N)
+
+    err = residuals_for(hyp)
+    inl = (err < threshold) & valid[None, :]
+    scores = jnp.sum(inl, axis=-1)                              # (K,)
+    best = jnp.argmax(scores)
+    best_pose = SE3(hyp.R[best], hyp.t[best])
+    best_inl = inl[best]
+    n_inl = scores[best]
+
+    # ---- polish: fixed GN iterations on the inlier set
+    def gn_step(T: SE3, _):
+        if reproj:
+            p_cam = se3_apply(se3_inverse(T), src)
+            pred, z = project_local(cam, p_cam)
+            r = (pred - uv).reshape(-1)                          # (2N,)
+            wrow = (best_inl & (z > 0.05)).astype(src.dtype)
+            w2 = jnp.repeat(wrow, 2)
+
+            def res_fn(xi):
+                Ti = se3_retract(T, xi)
+                p_c = se3_apply(se3_inverse(Ti), src)
+                pr, _ = project_local(cam, p_c)
+                return (pr - uv).reshape(-1)
+        else:
+            moved = se3_apply(T, src)
+            r = (moved - dst).reshape(-1)
+            w2 = jnp.repeat(best_inl.astype(src.dtype), 3)
+
+            def res_fn(xi):
+                return (se3_apply(se3_retract(T, xi), src) - dst).reshape(-1)
+
+        J = jax.jacfwd(res_fn)(jnp.zeros(6, src.dtype))          # (D, 6)
+        Jw = J * w2[:, None]
+        A = Jw.T @ J + 1e-6 * jnp.eye(6, dtype=src.dtype)
+        g = Jw.T @ r
+        xi = jnp.linalg.solve(A, -g)
+        return se3_retract(T, xi), None
+
+    refined, _ = jax.lax.scan(gn_step, best_pose, None, length=refine_steps)
+
+    # recompute inliers under the refined model
+    if reproj:
+        p_cam = se3_apply(se3_inverse(refined), src)
+        pred, z = project_local(cam, p_cam)
+        final_err = jnp.linalg.norm(pred - uv, axis=-1)
+        final_err = jnp.where(z > 0.05, final_err, jnp.inf)
+    else:
+        final_err = jnp.linalg.norm(se3_apply(refined, src) - dst, axis=-1)
+    final_inl = (final_err < threshold) & valid
+    n_final = jnp.sum(final_inl)
+
+    n_valid = jnp.sum(valid)
+    status = jnp.where(
+        n_valid < _MIN_SET + 2,
+        STATUS_FEW_MATCHES,
+        jnp.where(n_final >= min_inliers, STATUS_VALID, STATUS_INVALID),
+    ).astype(jnp.int32)
+
+    # fall back to identity if invalid
+    ok = status == STATUS_VALID
+    pose = SE3(
+        jnp.where(ok, refined.R, jnp.eye(3, dtype=src.dtype)),
+        jnp.where(ok, refined.t, jnp.zeros(3, src.dtype)),
+    )
+    return RansacResult(pose, final_inl & ok, n_final, status)
+
+
+def ransac_pose_3d2d(
+    key,
+    p_world: jax.Array,   # (N,3) landmarks in world (previous frame state)
+    uv: jax.Array,        # (N,2) current observed pixels
+    xyz_cur: jax.Array,   # (N,3) current backprojected (camera frame) support
+    valid: jax.Array,
+    cam: CameraParams,
+    iters: int = 500,
+    threshold_px: float = 2.0,
+    refine_steps: int = 5,
+    min_inliers: int = 5,
+) -> RansacResult:
+    """Camera-pose PnP: find ^wX_c with pi(X^-1 p_w) = uv.
+
+    Hypotheses come from 3-point Procrustes between current camera-frame
+    points and world landmarks (RGB-D gives us depth, so minimal alignment
+    is cheaper and better-conditioned than P3P); scoring/refinement is pure
+    3d2d reprojection like the reference's Kneip PnP path.
+    """
+    return ransac_rigid(
+        key,
+        src=p_world,
+        dst=xyz_cur,
+        valid=valid,
+        iters=iters,
+        threshold=threshold_px,
+        uv=uv,
+        cam=cam,
+        refine_steps=refine_steps,
+        min_inliers=min_inliers,
+    )
+
+
+def _rigid_hypotheses_world(xyz_cur_min, p_world_min):
+    """Pose T with xyz_cur ~ T^-1 p_world: align world->cam then invert."""
+    w = jnp.ones(xyz_cur_min.shape[:-1], xyz_cur_min.dtype)
+    world_to_cam = procrustes(p_world_min, xyz_cur_min, w)
+    return se3_inverse(world_to_cam)

@@ -1,0 +1,86 @@
+"""Device mesh construction and sharding specs for distributed BA.
+
+The trajectory (frame) axis is the natural data-parallel axis of dynamic
+SLAM (SURVEY §5.7): keyframe blocks shard over ``frames``; the dynamic
+track axis shards over ``tracks`` (the model-parallel analog — per-object
+track blocks, SURVEY §2.31).  Static landmarks are replicated (they couple
+every frame, like weights).  XLA/GSPMD then inserts the Schur-reduction
+collectives (psum over ICI) automatically from these annotations — that is
+the TPU-native replacement for the reference's shared-memory queues.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..backend.map import MeasurementMap
+from ..core.lie import SE3
+
+FRAME_AXIS = "frames"
+TRACK_AXIS = "tracks"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """2D (frames x tracks) mesh; tracks axis gets a factor of 2 when the
+    device count allows."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if n % 2 == 0 and n >= 4:
+        shape = (n // 2, 2)
+    else:
+        shape = (n, 1)
+    mesh_devs = mesh_utils.create_device_mesh(shape, devices=devs[:n])
+    return Mesh(mesh_devs, (FRAME_AXIS, TRACK_AXIS))
+
+
+def map_shardings(mesh: Mesh) -> "MeasurementMap":
+    """A MeasurementMap-shaped pytree of NamedShardings.
+
+    Frame-indexed arrays shard over `frames`; the dynamic-track axis over
+    `tracks`; static landmark slots replicated (coupled to all frames).
+    """
+    f = lambda *spec: NamedSharding(mesh, P(*spec))
+    FA, TA = FRAME_AXIS, TRACK_AXIS
+    return MeasurementMap(
+        static_xyz=f(FA, None, None),
+        static_uv=f(FA, None, None),
+        static_valid=f(FA, None),
+        dyn_xyz=f(FA, TA, None),
+        dyn_uv=f(FA, TA, None),
+        dyn_obj=f(FA, TA),
+        dyn_valid=f(FA, TA),
+        X_init=SE3(f(FA, None, None), f(FA, None)),
+        timestamps=f(FA),
+        frame_ids=f(FA),
+        frame_valid=f(FA),
+        motion_init=SE3(f(FA, None, None, None), f(FA, None, None)),
+        motion_valid=f(FA, None),
+        obj_pose_init=SE3(f(FA, None, None, None), f(FA, None, None)),
+        obj_label=f(FA, None),
+    )
+
+
+def values_shardings(mesh: Mesh, formulation: int = 0) -> dict:
+    """Shardings for the optimization values pytree (WorldMotion layout)."""
+    f = lambda *spec: NamedSharding(mesh, P(*spec))
+    FA, TA = FRAME_AXIS, TRACK_AXIS
+    pose_key = "H" if formulation == 0 else "L"
+    return {
+        "X": SE3(f(FA, None, None), f(FA, None)),
+        pose_key: SE3(f(FA, None, None, None), f(FA, None, None)),
+        "sp": f(None, None),               # replicated: couples all frames
+        "dp": f(FA, TA, None),
+    }
+
+
+def shard_map_data(m: MeasurementMap, mesh: Mesh) -> MeasurementMap:
+    """Place a measurement map onto the mesh with the canonical shardings."""
+    sh = map_shardings(mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), m, sh,
+        is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+    )

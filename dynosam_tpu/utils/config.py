@@ -1,0 +1,134 @@
+"""Configuration dataclasses with the reference's default values.
+
+Mirrors the reference's two-tier YAML + gflags config surface
+(`params/FrontendParams.yaml`, `params/backend.flags`,
+`params/frontend.flags`, `params/pipeline.flags`) as plain dataclasses so
+every experiment knob of the reference exists here with the same default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    # reference: FrontendParams.yaml tracker_params + frontend.flags
+    max_features_per_frame: int = 1000
+    max_nr_keypoints_before_anms: int = 2000
+    shrink_row: int = 0
+    shrink_col: int = 0
+    semantic_mask_step_size: int = 4          # frontend.flags
+    use_propogate_mask: bool = False          # frontend.flags (sic)
+    use_dynamic_track: bool = False           # frontend.flags
+    use_byte_tracker: bool = False            # frontend.flags
+    max_feature_track_age: int = 25           # FeatureTracker.cc:227-231
+    min_distance_btw_tracked_and_detected_features: float = 8.0
+    cell_size: int = 30                       # occupancy grid bin (px)
+    klt_window: int = 21
+    klt_levels: int = 3
+    klt_iterations: int = 30
+    klt_eps: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionSolverConfig:
+    # reference: FrontendParams.yaml camera/object_motion_solver
+    ransac_threshold_pnp: float = 0.2
+    ransac_iterations: int = 500
+    ransac_probability: float = 0.995
+    ransac_threshold_mono: float = 2e-4       # MotionSolver.cc 2d2d default
+    ransac_threshold_stereo: float = 0.001    # 3d3d
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    # reference: FrontendParams.yaml
+    scene_flow_mag_threshold: float = 0.12
+    scene_flow_dist_threshold: float = 0.5
+    max_background_depth: float = 40.0
+    max_object_depth: float = 25.0
+    use_ego_motion_pnp: bool = True
+    use_object_motion_pnp: bool = True
+    refine_camera_pose_with_joint_of: bool = True
+    refine_motion_with_joint_of: bool = True
+    refine_motion_with_3d: bool = True
+    joint_of_outlier_reject: bool = True
+    refinement_3d_outlier_reject: bool = True
+    min_dynamic_features_per_object: int = 30  # VisionTools.cc demotion rule
+    scene_flow_percentage: float = 0.5
+    camera_solver: MotionSolverConfig = dataclasses.field(default_factory=MotionSolverConfig)
+    object_solver: MotionSolverConfig = dataclasses.field(default_factory=MotionSolverConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    # reference: params/backend.flags
+    constant_object_motion_rotation_sigma: float = 0.01
+    constant_object_motion_translation_sigma: float = 0.01
+    motion_ternary_factor_noise_sigma: float = 1e-5
+    odometry_rotation_sigma: float = 0.05
+    odometry_translation_sigma: float = 0.1
+    static_point_noise_sigma: float = 0.06
+    dynamic_point_noise_sigma: float = 0.0625
+    opt_window_size: int = 10
+    opt_window_overlap: int = 4
+    use_vo_factor: bool = True
+    use_smoothing_factor: bool = True
+    use_full_batch_opt: bool = False
+    backend_updater_enum: int = 0             # 0=MotionInWorld, 1=LLWorld
+    init_H_with_identity: bool = True
+    # Formulation gating (Formulation.hpp:117-121)
+    min_static_observations: int = 2
+    min_dynamic_observations: int = 3
+    # robust kernel (RGBDBackendModule noise models, Huber k)
+    huber_k_static: float = 0.0001
+    huber_k_dynamic: float = 0.0001
+    # first pose prior sigma (RGBDBackendModule initial prior)
+    initial_pose_prior_sigma: float = 1e-4
+    # LM settings (gtsam LevenbergMarquardtParams defaults)
+    lm_initial_lambda: float = 1e-5
+    lm_lambda_factor: float = 10.0
+    lm_max_lambda: float = 1e7
+    lm_min_lambda: float = 1e-10
+    lm_max_iterations: int = 30
+    lm_rel_error_tol: float = 1e-5
+    lm_abs_error_tol: float = 1e-5
+    cg_max_iterations: int = 200
+    cg_tol: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Fixed capacities for the slot pools (static shapes under jit)."""
+
+    max_static_tracks: int = 1200    # NS: >= max_features_per_frame
+    max_dynamic_tracks: int = 4096   # ND
+    max_objects: int = 16            # O
+    max_frames: int = 512            # F cap for full-batch state
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # reference: params/pipeline.flags
+    data_provider_type: int = 0
+    starting_frame: int = -1
+    ending_frame: int = -1
+    use_backend: bool = True
+    output_path: Optional[str] = None
+    save_frontend_json: bool = False
+    frontend_from_file: bool = False
+    use_frontend_logger: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DynoConfig:
+    """Aggregate of all param groups (analog of `DynoParams`,
+    `pipeline/PipelineParams.hpp:43-78`)."""
+
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
+    capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)

@@ -1,0 +1,23 @@
+"""Test config: run on a virtual 8-device CPU mesh.
+
+The environment may pre-register a TPU backend (axon plugin) at interpreter
+startup; `jax.config.update` after import reliably forces CPU, and
+`jax_num_cpu_devices` gives us an 8-device virtual mesh for multi-chip
+sharding tests without hardware.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# persistent compile cache: the LM while-loop programs dominate suite time
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,181 @@
+"""Frontend tracking tests: KLT on synthetic translation, detection,
+homography RANSAC, slot allocation, full tracker steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynosam_tpu.frontend import detect
+from dynosam_tpu.frontend.tracker import TrackerState, assign_slots, track_frame
+from dynosam_tpu.ops import homography, klt
+from dynosam_tpu.utils.config import TrackerConfig
+
+
+def checkerboard(h, w, rng, blobs=200):
+    """Textured random-blob image, good for KLT."""
+    img = np.zeros((h, w), np.float32)
+    ys = rng.integers(5, h - 5, blobs)
+    xs = rng.integers(5, w - 5, blobs)
+    for y, x in zip(ys, xs):
+        img[y - 2 : y + 3, x - 2 : x + 3] += rng.uniform(50, 200)
+    # smooth a bit
+    from scipy.ndimage import gaussian_filter
+
+    return gaussian_filter(img, 1.0)
+
+
+def test_bilinear_sample():
+    img = jnp.arange(12.0).reshape(3, 4)
+    # exact grid points
+    np.testing.assert_allclose(
+        klt.bilinear_sample(img, jnp.array([[1.0, 1.0], [2.0, 2.0]])),
+        [5.0, 10.0],
+    )
+    # midpoint
+    np.testing.assert_allclose(
+        klt.bilinear_sample(img, jnp.array([[0.5, 0.5]])), [2.5]
+    )
+
+
+def test_klt_tracks_translation(rng):
+    h, w = 120, 160
+    img = checkerboard(h, w, rng)
+    dx, dy = 3.3, -2.1
+    # shift by resampling
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    from scipy.ndimage import map_coordinates
+
+    img2 = map_coordinates(img, [yy + dy, xx + dx], order=1, mode="nearest")
+    pts = jnp.asarray(
+        rng.uniform([20, 20], [w - 20, h - 20], size=(50, 2)), jnp.float32
+    )
+    res = klt.klt_track(
+        jnp.asarray(img), jnp.asarray(img2.astype(np.float32)),
+        pts, jnp.ones(50, bool), win=15, levels=3, iters=15,
+    )
+    ok = np.asarray(res.ok)
+    disp = np.asarray(res.uv - pts)
+    assert ok.sum() > 30
+    # the image moved by (-dx, -dy) in content terms: content at (x,y) in
+    # img appears at (x - dx, y - dy) in img2
+    med = np.median(disp[ok], axis=0)
+    np.testing.assert_allclose(med, [-dx, -dy], atol=0.3)
+
+
+def test_detect_corners(rng):
+    h, w = 96, 128
+    img = np.zeros((h, w), np.float32)
+    corners = [(20, 30), (50, 70), (80, 100)]
+    for (y, x) in corners:
+        img[y:, x:] += 100.0  # step corners
+    resp = detect.shi_tomasi_response(jnp.asarray(img))
+    dets = detect.detect_grid_nms(
+        resp, jnp.zeros((h, w), bool), max_corners=30, cell_size=8,
+        quality_level=1e-4,
+    )
+    uv = np.asarray(dets.uv)[np.asarray(dets.valid)]
+    assert len(uv) >= 3
+    for (y, x) in corners:
+        d = np.linalg.norm(uv - [x, y], axis=1).min()
+        assert d < 6.0, (x, y, uv)
+
+
+def test_homography_ransac(rng):
+    n = 100
+    H_gt = np.array([[1.02, 0.01, 3.0], [-0.01, 0.99, -2.0], [1e-5, 0, 1.0]])
+    p = rng.uniform(0, [320, 240], size=(n, 2))
+    ph = np.concatenate([p, np.ones((n, 1))], axis=1)
+    q = (ph @ H_gt.T)
+    q = q[:, :2] / q[:, 2:]
+    q += rng.normal(size=q.shape) * 0.3
+    out_idx = rng.choice(n, 25, replace=False)
+    q[out_idx] += rng.uniform(20, 80, size=(25, 2))
+    res = homography.ransac_homography(
+        jax.random.PRNGKey(0),
+        jnp.asarray(p, jnp.float32),
+        jnp.asarray(q, jnp.float32),
+        jnp.ones(n, bool),
+        iters=200,
+        threshold=3.0,
+    )
+    inl = np.asarray(res.inliers)
+    assert int(res.n_inliers) >= 65
+    assert inl[out_idx].sum() <= 3
+
+
+def test_assign_slots():
+    free = jnp.asarray([False, True, False, True, True])
+    want = jnp.asarray([True, False, True, True, False, False, True])
+    slot_i, cand_i, ok = assign_slots(free, want)
+    # 3 free slots, 4 wanted -> 3 pairs
+    assert int(ok.sum()) == 3
+    s = np.asarray(slot_i)[np.asarray(ok)]
+    c = np.asarray(cand_i)[np.asarray(ok)]
+    assert set(s.tolist()) == {1, 3, 4}
+    assert c.tolist() == [0, 2, 3]
+
+
+def make_scene(rng, h=96, w=128, shift=(2.0, 1.0), obj_shift=(5.0, 3.0)):
+    base = checkerboard(h, w, rng)
+    from scipy.ndimage import map_coordinates
+
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img2 = map_coordinates(
+        base, [yy + shift[1], xx + shift[0]], order=1, mode="nearest"
+    ).astype(np.float32)
+    # object box with its own motion
+    mask1 = np.zeros((h, w), np.int32)
+    mask1[30:60, 40:70] = 5
+    mask2 = np.zeros((h, w), np.int32)
+    oy, ox = int(30 - shift[1] + obj_shift[1]), int(40 - shift[0] + obj_shift[0])
+    mask2[oy : oy + 30, ox : ox + 30] = 5
+    # dense flow: background moves by -shift; object pixels by obj-bg
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[..., 0] = -shift[0]
+    flow[..., 1] = -shift[1]
+    flow[mask1 == 5, 0] = -shift[0] + obj_shift[0]
+    flow[mask1 == 5, 1] = -shift[1] + obj_shift[1]
+    return base, img2, mask1, mask2, flow
+
+
+def test_tracker_two_frames(rng):
+    h, w = 96, 128
+    base, img2, mask1, mask2, flow = make_scene(rng)
+    cfg = TrackerConfig(
+        max_features_per_frame=150,
+        semantic_mask_step_size=4,
+        klt_window=11,
+        klt_levels=2,
+        max_feature_track_age=25,
+    )
+    st = TrackerState.create(ns=200, nd=512, no=8)
+    zero_flow = jnp.zeros((h, w, 2), jnp.float32)
+
+    st, rep0 = track_frame(
+        st, jnp.asarray(base), jnp.asarray(base), zero_flow,
+        jnp.asarray(mask1), cfg, use_klt=True, first_frame=True,
+    )
+    assert int(rep0.n_static_new) > 30
+    assert int(rep0.n_dynamic_new) > 20
+    # object table picked up label 5
+    labels = np.asarray(st.obj_labels)
+    assert 5 in labels.tolist()
+
+    st1, rep1 = track_frame(
+        st, jnp.asarray(base), jnp.asarray(img2), jnp.asarray(flow),
+        jnp.asarray(mask2), cfg, use_klt=True, first_frame=False,
+    )
+    assert int(rep1.n_static_tracked) > 20
+    assert int(rep1.n_dynamic_tracked) > 10
+    # tracked statics moved by ~-shift
+    moved = np.asarray(st1.s_uv - st.s_uv)[
+        np.asarray(st1.s_active & (st1.s_age > 0))
+    ]
+    med = np.median(moved, axis=0)
+    np.testing.assert_allclose(med, [-2.0, -1.0], atol=0.5)
+    # dynamic features stay on the object: all propagated dyn tracks carry
+    # the object slot of label 5
+    slot = labels.tolist().index(5)
+    d_act = np.asarray(st1.d_active & (st1.d_age > 0))
+    assert (np.asarray(st1.d_obj)[d_act] == slot).all()
