@@ -75,6 +75,58 @@ def main():
     dt = time.perf_counter() - t0
     fps = n / dt
 
+    # ---- secondary: backend BA throughput (stderr; headline stays 1 line).
+    # Opt-in: the LM while-loop compile takes minutes on the remote-compile
+    # TPU path, which would risk the driver's bench timeout.
+    if os.environ.get("DYNO_BENCH_BACKEND") != "1":
+        print(
+            json.dumps(
+                {
+                    "metric": "frontend_frames_per_s_per_chip",
+                    "value": round(fps, 3),
+                    "unit": "frames/s",
+                    "vs_baseline": round(fps / REF_BASELINE_FPS, 3),
+                }
+            )
+        )
+        return
+    try:
+        from dynosam_tpu.backend.backend import optimize_window_jit
+        from dynosam_tpu.backend.map import MeasurementMap, update_map
+        from dynosam_tpu.backend.solver import LMConfig
+        from dynosam_tpu.core.lie import se3_identity
+        from dynosam_tpu.testing.simulator import Scenario, ScenarioConfig
+        from dynosam_tpu.utils.config import BackendConfig
+
+        scfg = ScenarioConfig(
+            n_frames=10, n_static=800, n_objects=4, pts_per_object=200,
+            ns=1024, nd=1024, no=8,
+        )
+        sc = Scenario(scfg)
+        m = MeasurementMap.create(10, 1024, 1024, 8)
+        for k, pkt in enumerate(sc.frontend_outputs()):
+            m = update_map(m, pkt, k)
+        bcfg = BackendConfig(lm_max_iterations=10, cg_max_iterations=60)
+        lm_cfg = LMConfig(max_iterations=10, cg_max_iterations=60)
+        anchor = se3_identity((), jnp.float32)
+        args = (m, 0, 10, bcfg, lm_cfg, anchor, jnp.asarray(False), 0)
+        res, _ = optimize_window_jit(*args)  # compile
+        jax.block_until_ready(res.error)
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            res, _ = optimize_window_jit(*args)
+        jax.block_until_ready(res.error)
+        ba_dt = (time.perf_counter() - t0) / reps
+        iters = int(res.iterations)
+        print(
+            f"backend: window10 solve {ba_dt*1e3:.1f} ms, "
+            f"{iters/ba_dt:.1f} LM iters/s, final err {float(res.error):.3f}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # never break the headline metric
+        print(f"backend bench failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {

@@ -390,3 +390,100 @@ def init_values_world_pose(
     """Initial L from frontend-propagated object poses; X/points as usual."""
     vals = init_values(w, masks, cfg)
     return {"X": vals["X"], "L": w.obj_pose_init, "sp": vals["sp"], "dp": vals["dp"]}
+
+
+# --------------------------------------------------------------------------
+# Analytic Gauss-Newton diagonals (damping + Jacobi preconditioner)
+# --------------------------------------------------------------------------
+
+
+def _skew_sq_diag(y: jax.Array) -> jax.Array:
+    """diag(hat(y)^T hat(y)) = (y_y^2+y_z^2, y_x^2+y_z^2, y_x^2+y_y^2)."""
+    x2 = y[..., 0] ** 2
+    y2 = y[..., 1] ** 2
+    z2 = y[..., 2] ** 2
+    return jnp.stack([y2 + z2, x2 + z2, x2 + y2], axis=-1)
+
+
+def world_motion_gn_diag(
+    values: dict, sqrt_w: list, w: WindowData, masks: WindowMasks,
+    cfg: BackendConfig
+) -> dict:
+    """Exact-to-leading-order diag(J^T W J) for the WorldMotion families.
+
+    Pose-to-point jacobians wrt a pose tangent xi=[omega, v] are
+    [hat(y) | -I] with y the point in the pose's frame (approximated by the
+    *measured* local point — exact at the optimum); point jacobians are
+    orthonormal rotations, so their diagonal contribution is the scalar
+    weight.  Between/prior/smoothing pose factors contribute ~1/sigma^2 per
+    component.  Family order matches `world_motion_residuals`.
+    """
+    X: SE3 = values["X"]
+    H: SE3 = values["H"]
+    dtype = X.t.dtype
+    W_, O = masks.smoothing.shape
+    NS = masks.static_obs.shape[1]
+    ND = masks.dyn_obs.shape[1]
+
+    w_anchor, w_odo, w_static, w_dyn, w_tern, w_smooth = [
+        s**2 for s in sqrt_w
+    ]
+
+    pose_sig = jnp.asarray(
+        [cfg.odometry_rotation_sigma] * 3 + [cfg.odometry_translation_sigma] * 3,
+        dtype,
+    )
+    smooth_sig = jnp.asarray(
+        [cfg.constant_object_motion_rotation_sigma] * 3
+        + [cfg.constant_object_motion_translation_sigma] * 3,
+        dtype,
+    )
+
+    # ---- X diag (W, 6)
+    dX = jnp.zeros((W_, 6), dtype)
+    dX = dX.at[0].add(w_anchor[0] / cfg.initial_pose_prior_sigma**2)
+    odo_w = (w_odo * masks.odometry[1:].astype(dtype))[:, None] / pose_sig**2
+    dX = dX.at[:-1].add(odo_w)
+    dX = dX.at[1:].add(odo_w)
+    # static obs: y ~ measured local point
+    ws = w_static * masks.static_obs.astype(dtype) / cfg.static_point_noise_sigma**2
+    rot_part = jnp.einsum("kn,knd->kd", ws, _skew_sq_diag(w.static_xyz))
+    trans_part = jnp.einsum("kn->k", ws)[:, None] * jnp.ones((1, 3), dtype)
+    dX = dX + jnp.concatenate([rot_part, trans_part], axis=-1)
+    wd = w_dyn * masks.dyn_obs.astype(dtype) / cfg.dynamic_point_noise_sigma**2
+    rot_d = jnp.einsum("kn,knd->kd", wd, _skew_sq_diag(w.dyn_xyz))
+    trans_d = jnp.einsum("kn->k", wd)[:, None] * jnp.ones((1, 3), dtype)
+    dX = dX + jnp.concatenate([rot_d, trans_d], axis=-1)
+
+    # ---- sp diag (NS, 3): rotation columns are orthonormal -> weight
+    dsp = jnp.einsum("kn->n", ws)[:, None] * jnp.ones((1, 3), dtype)
+
+    # ---- dp diag (W, ND, 3)
+    ddp = wd[..., None] * jnp.ones((1, 1, 3), dtype)
+    wt = (
+        w_tern
+        * masks.ternary[1:].astype(dtype)
+        / cfg.motion_ternary_factor_noise_sigma**2
+    )                                           # (W-1, ND)
+    ddp = ddp.at[:-1].add(wt[..., None])        # m_{k-1} slot (identity J)
+    ddp = ddp.at[1:].add(wt[..., None])         # m_k slot (rotation J)
+
+    # ---- H diag (W, O, 6): ternary J_H = -[hat(y) | -I], y = H^-1 m_k ~
+    # m_{k-1} in world
+    m_prev = values["dp"][:-1]                  # (W-1, ND, 3)
+    obj_onehot = jax.nn.one_hot(
+        jnp.where(masks.ternary[1:], w.dyn_obj[1:], -1), O, dtype=dtype
+    )                                           # (W-1, ND, O)
+    rot_H = jnp.einsum(
+        "kn,kno,knd->kod", wt, obj_onehot, _skew_sq_diag(m_prev)
+    )
+    trans_H = jnp.einsum("kn,kno->ko", wt, obj_onehot)[..., None] * jnp.ones(
+        (1, 1, 3), dtype
+    )
+    dH = jnp.zeros((W_, O, 6), dtype)
+    dH = dH.at[1:].add(jnp.concatenate([rot_H, trans_H], axis=-1))
+    sm_w = (w_smooth * masks.smoothing[1:].astype(dtype))[..., None] / smooth_sig**2
+    dH = dH.at[:-1].add(sm_w)
+    dH = dH.at[1:].add(sm_w)
+
+    return {"X": dX, "H": dH, "sp": dsp, "dp": ddp}

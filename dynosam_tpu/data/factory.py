@@ -1,6 +1,6 @@
 """Dataset factory (analog of `DataProviderFactory::Create`,
 `dataprovider/DataProviderFactory.hpp:44`): loader selected by
-`--data_provider_type`: KITTI=0, VIRTUAL_KITTI=1, CLUSTER=2, OMD=3."""
+`--data_provider_type`: KITTI=0, VIRTUAL_KITTI=1, CLUSTER=2, OMD=3, ARIA=4."""
 
 from __future__ import annotations
 
@@ -25,6 +25,10 @@ def create_dataset(
         from .cluster import ClusterSlamDataset
 
         return ClusterSlamDataset(path, starting_frame, ending_frame, **kwargs)
+    if provider_type == 4:
+        from .aria import ProjectAriaDataset
+
+        return ProjectAriaDataset(path, starting_frame, ending_frame, **kwargs)
     if provider_type == 3:
         return OMDDataset(path, starting_frame, ending_frame, **kwargs)
     raise ValueError(f"unknown data_provider_type {provider_type}")

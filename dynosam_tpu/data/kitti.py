@@ -69,6 +69,7 @@ class KittiDataset(DatasetProvider):
         )
         self.timestamps = self._load_times()
         self.gt_poses = self._load_pose_gt()
+        self.gt_objects = self._load_object_pose_gt()
         self._cam: Optional[CameraParams] = None
 
     # ------------------------------------------------------------------
@@ -94,6 +95,36 @@ class KittiDataset(DatasetProvider):
             poses.append(first_inv @ T)  # align first frame to identity
         return poses
 
+    def _load_object_pose_gt(self):
+        """Parse object_pose.txt rows `FrameID ObjectID B1-B4 t1 t2 t3 ry`
+        into per-frame {object_id: L_world} following the reference's
+        `constructObjectPoseGT` (`KittiDataProvider.hpp:214-295`):
+        L_camera = (R_y(ry + pi/2), t); L_world = X_gt * L_camera."""
+        p = os.path.join(self.path, "object_pose.txt")
+        if not os.path.exists(p) or self.gt_poses is None:
+            return None
+        rows = np.loadtxt(p, ndmin=2)
+        per_frame: dict = {}
+        for r in rows:
+            if r.shape[0] < 10:
+                continue
+            k = int(r[0])
+            obj = int(r[1])
+            t = r[6:9]
+            y = r[9] + np.pi / 2
+            cy, sy = np.cos(y), np.sin(y)
+            # the reference's Euler composition with x = z = 0 reduces to a
+            # rotation about Y
+            R = np.array([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
+            L_cam = np.eye(4)
+            L_cam[:3, :3] = R
+            L_cam[:3, 3] = t
+            if k >= len(self.gt_poses):
+                continue
+            L_world = self.gt_poses[k] @ L_cam
+            per_frame.setdefault(k, {})[obj] = L_world
+        return per_frame
+
     def __len__(self):
         return self._n
 
@@ -112,16 +143,30 @@ class KittiDataset(DatasetProvider):
         return self._cam
 
     # ------------------------------------------------------------------
-    def frame(self, idx: int) -> FrameImages:
+    @staticmethod
+    def _imread(path: str) -> np.ndarray:
+        """PNG decode via the native C++ loader when built (RGB channel
+        order), else cv2 (BGR) — grayscale conversion is order-agnostic up
+        to the small weight asymmetry, which we correct for."""
+        from . import native_loader
+
+        if native_loader.available():
+            img = native_loader.decode_png(path)
+            if img.ndim == 3 and img.shape[2] >= 3:
+                img = img[..., :3][..., ::-1]  # RGB -> BGR (cv2 convention)
+            return img
         import cv2
 
+        return cv2.imread(path, cv2.IMREAD_UNCHANGED)
+
+    def frame(self, idx: int) -> FrameImages:
         name = f"{idx:06d}"
-        rgb = cv2.imread(os.path.join(self.rgb_dir, name + ".png"),
-                         cv2.IMREAD_UNCHANGED)
+        rgb = self._imread(os.path.join(self.rgb_dir, name + ".png"))
         gray = to_gray(rgb)
 
-        disp = cv2.imread(os.path.join(self.depth_dir, name + ".png"),
-                          cv2.IMREAD_UNCHANGED).astype(np.float64)
+        disp = self._imread(
+            os.path.join(self.depth_dir, name + ".png")
+        ).astype(np.float64)
         d = disp / self.depth_scale
         with np.errstate(divide="ignore", invalid="ignore"):
             depth = np.where(d > 0, self.baseline / np.maximum(d, 1e-9), 0.0)
@@ -134,7 +179,7 @@ class KittiDataset(DatasetProvider):
 
         mask_path = os.path.join(self.mask_dir, name + ".png")
         if os.path.exists(mask_path):
-            mask = cv2.imread(mask_path, cv2.IMREAD_UNCHANGED).astype(np.int32)
+            mask = self._imread(mask_path).astype(np.int32)
             if mask.ndim == 3:
                 mask = mask[..., 0].astype(np.int32)
         else:
@@ -155,10 +200,19 @@ class KittiDataset(DatasetProvider):
     def ground_truth(self, idx: int) -> Optional[GroundTruthFrame]:
         if self.gt_poses is None or idx >= len(self.gt_poses):
             return None
+        obj_poses = {}
+        obj_motions = {}
+        if self.gt_objects is not None:
+            obj_poses = dict(self.gt_objects.get(idx, {}))
+            prev = self.gt_objects.get(idx - 1, {})
+            # ^wH_k = ^wL_k (^wL_{k-1})^-1 (world-centric motion)
+            for obj, L in obj_poses.items():
+                if obj in prev:
+                    obj_motions[obj] = L @ np.linalg.inv(prev[obj])
         return GroundTruthFrame(
             frame_id=idx,
             timestamp=float(self.timestamps[min(idx, len(self.timestamps) - 1)]),
             X_world=self.gt_poses[idx],
-            object_poses={},
-            object_motions={},
+            object_poses=obj_poses,
+            object_motions=obj_motions,
         )

@@ -1,0 +1,96 @@
+"""Evaluation plots + PDF report.
+
+Analog of the reference's evo/matplotlib report generation
+(`dynosam_utils/dynosam_utils/evaluation/core/plotting.py`,
+`formatting_utils.py`): trajectory top-down views, per-frame error curves,
+per-object motion error plots, all collected into a single `results.pdf`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+from matplotlib.backends.backend_pdf import PdfPages
+
+
+def plot_trajectory_topdown(ax, est: np.ndarray, gt: Optional[np.ndarray],
+                            title: str = "trajectory"):
+    ax.plot(est[:, 0, 3], est[:, 2, 3], "b-", label="estimate")
+    if gt is not None:
+        ax.plot(gt[:, 0, 3], gt[:, 2, 3], "k--", label="ground truth")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.set_title(title)
+    ax.axis("equal")
+    ax.legend(fontsize=8)
+
+
+def plot_per_frame_errors(ax, frames, errors, ylabel, title):
+    ax.plot(frames, errors, "r-")
+    ax.set_xlabel("frame")
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    ax.grid(alpha=0.3)
+
+
+def make_report(output_dir: str, results: Dict, pdf_name: str = "results.pdf"):
+    """Render a PDF report from `evaluate_all` results + the raw logs."""
+    from ..utils.logger import read_pose_log
+
+    path = os.path.join(output_dir, pdf_name)
+    with PdfPages(path) as pdf:
+        # summary table page
+        fig, ax = plt.subplots(figsize=(8.5, 11))
+        ax.axis("off")
+        lines = ["Evaluation summary", ""]
+        for prefix, res in results.items():
+            lines.append(f"== {prefix} ==")
+            cam = res.get("camera")
+            if cam:
+                lines.append(
+                    f"  ATE trans RMSE: {cam['ate_trans_rmse']:.4f} m | "
+                    f"rot {cam['ate_rot_deg_rmse']:.3f} deg"
+                )
+                lines.append(
+                    f"  RPE trans RMSE: {cam['rpe_trans_rmse']:.4f} m | "
+                    f"rot {cam['rpe_rot_deg_rmse']:.3f} deg"
+                )
+            om = res.get("objects_mean")
+            if om:
+                for k, v in sorted(om.items()):
+                    lines.append(f"  {k}: {v:.4f}")
+            lines.append("")
+        ax.text(0.02, 0.98, "\n".join(lines), va="top", family="monospace",
+                fontsize=9)
+        pdf.savefig(fig)
+        plt.close(fig)
+
+        # per-module trajectory pages
+        for prefix in results:
+            log = os.path.join(output_dir, f"{prefix}_camera_pose_log.csv")
+            if not os.path.exists(log):
+                continue
+            try:
+                frames, est, gt = read_pose_log(log)
+            except Exception:
+                continue
+            fig, axes = plt.subplots(1, 2, figsize=(11, 4.5))
+            plot_trajectory_topdown(axes[0], est, gt, f"{prefix} trajectory")
+            if gt is not None:
+                rel = np.einsum("nij,njk->nik", np.linalg.inv(gt), est)
+                err = np.linalg.norm(rel[:, :3, 3], axis=-1)
+                plot_per_frame_errors(
+                    axes[1], frames, err, "abs trans err [m]",
+                    f"{prefix} per-frame APE"
+                )
+            fig.tight_layout()
+            pdf.savefig(fig)
+            plt.close(fig)
+    return path

@@ -118,17 +118,32 @@ def frontend_step(
     # ---------------- ego motion (`solveCameraMotion`)
     key_e, key_o = jax.random.split(key)
     ego_corr = s_obs_ok & (trk.s_age > 0) & state.s_lmk_valid
-    ego = ransac_pose_3d2d(
-        key_e,
-        state.s_lmk,
-        trk.s_uv,
-        s_xyz,
-        ego_corr,
-        cam,
-        iters=cfg.camera_solver.ransac_iterations,
-        threshold_px=2.0,
-        min_inliers=5,
-    )
+    if cfg.use_ego_motion_pnp:
+        # 3d-2d PnP (Kneip path, the RGB-D default)
+        ego = ransac_pose_3d2d(
+            key_e,
+            state.s_lmk,
+            trk.s_uv,
+            s_xyz,
+            ego_corr,
+            cam,
+            iters=cfg.camera_solver.ransac_iterations,
+            threshold_px=2.0,
+            min_inliers=5,
+        )
+    else:
+        # 3d-3d Arun (`geometricOutlierRejection3d3d`): p_world = X(y_cam)
+        from ..ops.ransac import ransac_rigid
+
+        ego = ransac_rigid(
+            key_e,
+            src=s_xyz,
+            dst=state.s_lmk,
+            valid=ego_corr,
+            iters=cfg.camera_solver.ransac_iterations,
+            threshold=cfg.camera_solver.ransac_threshold_stereo * 100.0,
+            min_inliers=5,
+        )
     ego_ok = ego.status == STATUS_VALID
     # fallback: propagate with identity relative motion (the reference sets
     # X = X_{k-1} on failure, `RGBDInstanceFrontendModule.cc:239-241`)

@@ -192,3 +192,27 @@ def run_and_log(
     _stats.write_summary_csv(os.path.join(output_path, "statistics_summary.csv"))
     _stats.write_samples_csv(os.path.join(output_path, "statistics_samples.csv"))
     return result
+
+
+def run_from_packets(
+    packets,
+    cfg: DynoConfig,
+    output_path: Optional[str] = None,
+):
+    """Offline replay: feed saved frontend packets straight to the backend,
+    bypassing vision (the analog of `--frontend_from_file` /
+    `FrontendOfflinePipeline`, `src/pipeline/PipelineManager.cc:228-256`).
+    """
+    backend = RGBDBackend(cfg.backend, cfg.capacity)
+    for pkt in packets:
+        backend.spin(pkt)
+    backend.finish()
+    if output_path is not None:
+        from .utils import stats as _stats
+        import os
+
+        os.makedirs(output_path, exist_ok=True)
+        _stats.write_summary_csv(
+            os.path.join(output_path, "statistics_summary.csv")
+        )
+    return backend

@@ -96,7 +96,7 @@ class BackendConfig:
     lm_max_iterations: int = 30
     lm_rel_error_tol: float = 1e-5
     lm_abs_error_tol: float = 1e-5
-    cg_max_iterations: int = 200
+    cg_max_iterations: int = 100
     cg_tol: float = 1e-6
 
 
@@ -132,3 +132,46 @@ class DynoConfig:
     backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
     capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
     pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+
+
+def _update_dataclass(obj, data: dict):
+    import dataclasses as _dc
+
+    kwargs = {}
+    for f in _dc.fields(obj):
+        if f.name not in data:
+            continue
+        cur = getattr(obj, f.name)
+        v = data[f.name]
+        if _dc.is_dataclass(cur) and isinstance(v, dict):
+            kwargs[f.name] = _update_dataclass(cur, v)
+        else:
+            kwargs[f.name] = v
+    return dataclasses.replace(obj, **kwargs)
+
+
+def load_config(yaml_path: Optional[str] = None, overrides: Optional[dict] = None) -> DynoConfig:
+    """Build a DynoConfig from an optional YAML file + flat overrides.
+
+    The YAML mirrors the dataclass structure (frontend/backend/capacity/
+    pipeline groups); `overrides` accepts dotted keys
+    (e.g. {"backend.opt_window_size": 20}) — the analog of the reference's
+    gflags-over-YAML layering (`README.md:241-279`).
+    """
+    cfg = DynoConfig()
+    if yaml_path:
+        import yaml as _yaml
+
+        with open(yaml_path) as f:
+            data = _yaml.safe_load(f) or {}
+        cfg = _update_dataclass(cfg, data)
+    if overrides:
+        nested: dict = {}
+        for key, v in overrides.items():
+            parts = key.split(".")
+            d = nested
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = v
+        cfg = _update_dataclass(cfg, nested)
+    return cfg

@@ -10,9 +10,8 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# persistent compile cache: the LM while-loop programs dominate suite time
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NOTE: do NOT enable jax_compilation_cache_dir here — the persistent-cache
+# write path segfaults in this environment (zstd backend).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -101,3 +101,25 @@ def test_logger_roundtrip(tmp_path, rng):
     # evaluation over the logs
     r = metrics.ate(est2, gt2, align=False)
     assert 0.005 < r["trans"].rmse < 0.05
+
+
+def test_report_pdf(tmp_path, rng):
+    """End-to-end report: logs -> evaluate_all -> results.pdf."""
+    from dynosam_tpu.eval.evaluator import evaluate_all
+    from dynosam_tpu.eval.plotting import make_report
+    from dynosam_tpu.utils.logger import EstimationLogger
+
+    gt = random_traj(rng, n=10)
+    est = gt.copy()
+    est[:, :3, 3] += rng.normal(size=(10, 3)) * 0.02
+    log = EstimationLogger(str(tmp_path), "frontend")
+    for k in range(10):
+        log.log_camera_pose(k, est[k], gt[k])
+        log.log_timestamp(k, k * 0.1)
+    log.log_object_motion(1, 2, est[1], gt[1])
+    log.log_object_pose(1, 2, est[1], gt[1])
+    log.flush()
+    results = evaluate_all(str(tmp_path))
+    assert "frontend" in results and "camera" in results["frontend"]
+    pdf = make_report(str(tmp_path), results)
+    assert os.path.exists(pdf) and os.path.getsize(pdf) > 1000

@@ -1,0 +1,72 @@
+"""Tests: graph tools (outliers, debug info, sparsity), histogram, stats
+registry (analogs of reference test_tools/test_histogram/stats tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynosam_tpu.backend import graph_tools
+from dynosam_tpu.backend.solver import RobustSpec
+from dynosam_tpu.utils.histogram import Histogram
+from dynosam_tpu.utils import stats
+
+
+def test_factor_outliers():
+    # family of 4 factors: 2 small, 1 big, 1 masked(zero)
+    r = jnp.asarray(
+        [[1e-5, 0, 0], [2e-5, 0, 0], [5.0, 5.0, 5.0], [0, 0, 0]],
+        jnp.float32,
+    )
+    out = graph_tools.factor_outliers([r], [RobustSpec("huber", 1e-4)])[0]
+    np.testing.assert_array_equal(np.asarray(out), [False, False, True, False])
+
+
+def test_debug_info_and_sparsity():
+    from dynosam_tpu.backend import formulation as fm
+    from dynosam_tpu.backend.map import MeasurementMap, slice_window, update_map
+    from dynosam_tpu.testing.simulator import Scenario, ScenarioConfig
+    from dynosam_tpu.utils.config import BackendConfig
+
+    scfg = ScenarioConfig(n_frames=6, n_static=30, n_objects=1,
+                          pts_per_object=10, ns=40, nd=32, no=4)
+    sc = Scenario(scfg)
+    m = MeasurementMap.create(6, 40, 32, 4)
+    for k, pkt in enumerate(sc.frontend_outputs()):
+        m = update_map(m, pkt, k)
+    masks = fm.build_masks(slice_window(m, 0, 6), BackendConfig())
+    info = graph_tools.DebugInfo.from_masks(masks)
+    assert info.num_poses == 6
+    assert info.num_static_points == 30
+    assert info.num_static_factors == 180          # 30 pts x 6 frames
+    assert info.num_motion_factors == 50           # 10 pts x 5 pairs
+    assert info.num_odometry_factors == 5
+    st = graph_tools.sparsity_stats(masks)
+    assert st.total_variable_dims > 0
+    assert 0.0 < st.fill_ratio < 0.2               # very sparse
+
+
+def test_histogram():
+    h = Histogram([0, 1, 2, 5], name="t")
+    h.add_all([-1, 0.5, 0.7, 1.5, 4.9, 5.0, 100])
+    assert h.underflow == 1
+    assert h.overflow == 2
+    np.testing.assert_array_equal(h.counts, [2, 1, 1])
+    assert h.bin_of(0.5) == 0
+    assert h.bin_of(-3) == -1
+    assert h.bin_of(7) == 3
+    assert h.total == 7
+
+
+def test_stats_registry(tmp_path):
+    stats.reset()
+    with stats.timer("unit.test_op"):
+        pass
+    stats.add_sample("custom_tag", 5.0)
+    stats.add_sample("custom_tag", 7.0)
+    a = stats.get("custom_tag")
+    assert a.count == 2
+    assert a.mean == 6.0
+    p = str(tmp_path / "summary.csv")
+    stats.write_summary_csv(p)
+    content = open(p).read()
+    assert "custom_tag" in content and "unit.test_op [ms]" in content
+    stats.reset()
