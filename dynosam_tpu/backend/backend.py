@@ -309,3 +309,50 @@ class RGBDBackend:
         sums = jnp.einsum("fnd,fno->fod", dp, onehot)
         cent = sums / jnp.maximum(counts[..., None], 1.0)
         return cent, counts > 0
+
+
+def _backend_state_pytree(backend: "RGBDBackend"):
+    return {
+        "map": backend.map,
+        "est": {
+            "X": backend.est.X,
+            "H": backend.est.H,
+            "L": backend.est.L,
+            "static_points": backend.est.static_points,
+            "static_valid": backend.est.static_valid,
+            "dyn_points": backend.est.dyn_points,
+            "dyn_valid": backend.est.dyn_valid,
+            "X_valid": backend.est.X_valid,
+            "motion_valid": backend.est.motion_valid,
+        },
+        "n_frames": jnp.asarray(backend.n_frames),
+        "window_start": jnp.asarray(backend.trigger.start),
+    }
+
+
+def save_backend_checkpoint(backend: "RGBDBackend", path: str):
+    """Orbax checkpoint of the full solver state (map + estimates +
+    window cursor) — the optimizer-state checkpointing the reference lacks
+    (SURVEY §5.4)."""
+    from ..utils.serialization import save_checkpoint
+
+    save_checkpoint(path, _backend_state_pytree(backend))
+
+
+def load_backend_checkpoint(backend: "RGBDBackend", path: str) -> "RGBDBackend":
+    """Restore solver state into a freshly-constructed backend (same
+    config/capacities) and resume."""
+    from ..utils.serialization import load_checkpoint
+
+    restored = load_checkpoint(path, _backend_state_pytree(backend))
+    backend.map = restored["map"]
+    e = restored["est"]
+    backend.est = EstimateStore(
+        X=e["X"], H=e["H"], L=e["L"],
+        static_points=e["static_points"], static_valid=e["static_valid"],
+        dyn_points=e["dyn_points"], dyn_valid=e["dyn_valid"],
+        X_valid=e["X_valid"], motion_valid=e["motion_valid"],
+    )
+    backend.n_frames = int(restored["n_frames"])
+    backend.trigger.start = int(restored["window_start"])
+    return backend

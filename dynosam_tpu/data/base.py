@@ -86,3 +86,60 @@ def to_gray(img: np.ndarray) -> np.ndarray:
         img = img[..., :3].astype(np.float32)
         return img[..., 0] * 0.114 + img[..., 1] * 0.587 + img[..., 2] * 0.299
     return img.astype(np.float32)
+
+
+class OnlineDataProvider(DatasetProvider):
+    """Push-based provider: the analog of the reference's ROS online
+    provider (`OnlineDataProviderRos`, subscribing rgb/depth/mask/flow) —
+    here the application pushes synchronized frames into a queue and the
+    pipeline consumes them as a stream."""
+
+    def __init__(self, cam: CameraParams, max_queue: int = 8):
+        super().__init__("<online>")
+        self._cam = cam
+        self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=max_queue)
+        self._closed = False
+        self._count = 0
+
+    def push(
+        self,
+        gray: np.ndarray,
+        depth: np.ndarray,
+        flow: Optional[np.ndarray] = None,
+        mask: Optional[np.ndarray] = None,
+        timeout: Optional[float] = None,
+    ):
+        if self._closed:
+            raise RuntimeError("provider closed")
+        h, w = gray.shape
+        frame = FrameImages(
+            gray=jnp.asarray(gray, jnp.float32),
+            depth=jnp.asarray(depth, jnp.float32),
+            flow=jnp.asarray(
+                flow if flow is not None else np.zeros((h, w, 2), np.float32),
+                jnp.float32,
+            ),
+            mask=jnp.asarray(
+                mask if mask is not None else np.zeros((h, w), np.int32),
+                jnp.int32,
+            ),
+        )
+        self._queue.put(frame, timeout=timeout)
+        self._count += 1
+
+    def close(self):
+        self._closed = True
+        self._queue.put(None)
+
+    def __len__(self):
+        return self._count
+
+    def camera_params(self) -> CameraParams:
+        return self._cam
+
+    def frames(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                break
+            yield item

@@ -166,3 +166,65 @@ def border_mask(shape, shrink_row: int, shrink_col: int) -> jax.Array:
         r = r.at[:, :shrink_col].set(True)
         r = r.at[:, -shrink_col:].set(True)
     return r
+
+
+# --------------------------------------------------------------------------
+# Fast response path: shift-based gradients + integral-image box sums.
+# Single-channel 2D convs lower poorly on TPU (MXU-shaped conv machinery for
+# a 1-channel VPU job); rolls + cumsums are pure VPU and ~10x faster.
+# --------------------------------------------------------------------------
+
+
+def _shift(img: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Shifted copy with edge padding (replicates conv SAME behaviour)."""
+    h, w = img.shape
+    y0 = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    x0 = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[y0][:, x0]
+
+
+def sobel_gradients_fast(gray: jax.Array):
+    """Sobel via 8 shifted adds (VPU) instead of conv."""
+    tl = _shift(gray, -1, -1)
+    tc = _shift(gray, -1, 0)
+    tr = _shift(gray, -1, 1)
+    ml = _shift(gray, 0, -1)
+    mr = _shift(gray, 0, 1)
+    bl = _shift(gray, 1, -1)
+    bc = _shift(gray, 1, 0)
+    br = _shift(gray, 1, 1)
+    ix = ((tr + 2.0 * mr + br) - (tl + 2.0 * ml + bl)) / 8.0
+    iy = ((bl + 2.0 * bc + br) - (tl + 2.0 * tc + tr)) / 8.0
+    return ix, iy
+
+
+def _box_sum(img: jax.Array, r: int) -> jax.Array:
+    """(2r+1)^2 box sum via integral image (two cumsums + four gathers)."""
+    h, w = img.shape
+    ii = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
+    ii = jnp.pad(ii, ((1, 0), (1, 0)))
+    y = jnp.arange(h)
+    x = jnp.arange(w)
+    y0 = jnp.clip(y - r, 0, h)
+    y1 = jnp.clip(y + r + 1, 0, h)
+    x0 = jnp.clip(x - r, 0, w)
+    x1 = jnp.clip(x + r + 1, 0, w)
+    a = ii[y1][:, x1]
+    b = ii[y0][:, x1]
+    c = ii[y1][:, x0]
+    d = ii[y0][:, x0]
+    return a - b - c + d
+
+
+def shi_tomasi_response_fast(gray: jax.Array, window: int = 5) -> jax.Array:
+    """Min-eigenvalue response, mathematically equal to
+    `shi_tomasi_response` up to edge handling; ~10x faster on TPU."""
+    ix, iy = sobel_gradients_fast(gray)
+    r = window // 2
+    n = float(window * window)
+    sxx = _box_sum(ix * ix, r) / n
+    syy = _box_sum(iy * iy, r) / n
+    sxy = _box_sum(ix * iy, r) / n
+    tr = sxx + syy
+    det_rad = jnp.sqrt(jnp.maximum((sxx - syy) ** 2 + 4.0 * sxy * sxy, 0.0))
+    return 0.5 * (tr - det_rad)

@@ -39,7 +39,12 @@ from ..core.types import INVALID_ID
 from ..ops import homography
 from ..ops.klt import bilinear_sample, flow_at, klt_track, nearest_at
 from ..utils.config import TrackerConfig
-from .detect import border_mask, detect_grid_nms, occupancy_mask, shi_tomasi_response
+from .detect import (
+    border_mask,
+    detect_grid_nms,
+    occupancy_mask,
+    shi_tomasi_response_fast,
+)
 
 
 class TrackerState(NamedTuple):
@@ -160,7 +165,7 @@ def track_frame(
     n_tracked = jnp.sum(s_ok)
 
     # re-detect into free slots
-    resp = shi_tomasi_response(cur_gray)
+    resp = shi_tomasi_response_fast(cur_gray)
     occupied = occupancy_mask(
         (h, w), s_uv, s_ok,
         int(cfg.min_distance_btw_tracked_and_detected_features),

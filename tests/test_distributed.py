@@ -1,0 +1,68 @@
+"""Distributed BA tests on the virtual 8-device CPU mesh: sharded solve
+must match the single-device solve (same seed, same inputs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynosam_tpu.backend.map import MeasurementMap, update_map
+from dynosam_tpu.backend.solver import LMConfig
+from dynosam_tpu.parallel.distributed_ba import distributed_optimize
+from dynosam_tpu.parallel.mesh import make_mesh, map_shardings
+from dynosam_tpu.testing.simulator import Scenario, ScenarioConfig
+from dynosam_tpu.utils.config import BackendConfig
+
+
+@pytest.fixture(scope="module")
+def problem():
+    scfg = ScenarioConfig(n_frames=8, n_static=40, n_objects=2,
+                          pts_per_object=12, ns=64, nd=32, no=4)
+    sc = Scenario(scfg)
+    m = MeasurementMap.create(8, 64, 32, 4)
+    for k, pkt in enumerate(sc.frontend_outputs()):
+        m = update_map(m, pkt, k)
+    return m, scfg
+
+
+def test_mesh_construction():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("frames", "tracks")
+    sh = map_shardings(mesh)
+    assert sh.dyn_xyz.spec == jax.sharding.PartitionSpec("frames", "tracks", None)
+
+
+def test_distributed_matches_single_device(problem):
+    m, scfg = problem
+    cfg = BackendConfig()
+    lm = LMConfig(max_iterations=6, cg_max_iterations=60)
+
+    res1 = distributed_optimize(m, 8, cfg, mesh=make_mesh(1), lm_cfg=lm)
+    res8 = distributed_optimize(m, 8, cfg, mesh=make_mesh(8), lm_cfg=lm)
+
+    assert np.isfinite(float(res1.error)) and np.isfinite(float(res8.error))
+    # identical math up to reduction-order float noise
+    np.testing.assert_allclose(
+        float(res1.error), float(res8.error), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res1.values["X"].t), np.asarray(res8.values["X"].t),
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res1.values["H"].t), np.asarray(res8.values["H"].t),
+        atol=2e-2,
+    )
+
+
+def test_distributed_output_shardings(problem):
+    m, scfg = problem
+    mesh = make_mesh(8)
+    res = distributed_optimize(
+        m, 8, BackendConfig(), mesh=mesh,
+        lm_cfg=LMConfig(max_iterations=2, cg_max_iterations=15),
+    )
+    # the optimized dynamic points stay sharded over the mesh
+    sh = res.values["dp"].sharding
+    assert not sh.is_fully_replicated

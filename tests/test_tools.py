@@ -70,3 +70,34 @@ def test_stats_registry(tmp_path):
     content = open(p).read()
     assert "custom_tag" in content and "unit.test_op [ms]" in content
     stats.reset()
+
+
+def test_public_api_surface():
+    import dynosam_tpu
+
+    assert dynosam_tpu.SE3 is not None
+    assert dynosam_tpu.DynoConfig is not None
+    assert dynosam_tpu.CameraParams is not None
+    assert "DynoPipeline" in dir(dynosam_tpu)
+
+
+def test_visualizer_smoke(rng):
+    import numpy as np
+
+    from dynosam_tpu.viz import visualizer as viz
+
+    img = viz.gray_to_bgr(rng.uniform(0, 255, (60, 80)))
+    mask = np.zeros((60, 80), np.int32)
+    mask[10:30, 20:50] = 3
+    out = viz.overlay_mask(img, mask)
+    assert out.shape == (60, 80, 3)
+    # mask region tinted
+    assert not np.array_equal(out[15, 25], img[15, 25])
+    uv = rng.uniform(0, [79, 59], size=(10, 2))
+    out2 = viz.draw_tracks(out, uv, np.ones(10, bool))
+    assert out2.shape == out.shape
+    flow = rng.normal(0, 3, (60, 80, 2)).astype(np.float32)
+    fb = viz.flow_to_bgr(flow)
+    assert fb.shape == (60, 80, 3)
+    db = viz.depth_to_bgr(rng.uniform(0, 40, (60, 80)))
+    assert db.shape == (60, 80, 3)
