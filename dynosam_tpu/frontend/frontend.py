@@ -56,6 +56,8 @@ class FrontendState(NamedTuple):
     d_lmk_valid: jax.Array
     obj_pose: SE3           # (O,) propagated ^wL_{k-1}
     obj_pose_valid: jax.Array
+    obj_H_prev: SE3         # (O,) last frame's object motions (const-vel model)
+    obj_H_prev_valid: jax.Array
     frame_idx: jax.Array
 
     @staticmethod
@@ -69,6 +71,8 @@ class FrontendState(NamedTuple):
             d_lmk_valid=jnp.zeros((nd,), bool),
             obj_pose=se3_identity((no,), dtype),
             obj_pose_valid=jnp.zeros((no,), bool),
+            obj_H_prev=se3_identity((no,), dtype),
+            obj_H_prev_valid=jnp.zeros((no,), bool),
             frame_idx=jnp.asarray(0, jnp.int32),
         )
 
@@ -76,6 +80,12 @@ class FrontendState(NamedTuple):
 def _depth_at(depth: jax.Array, uv: jax.Array, max_depth: float):
     d = bilinear_sample(depth, uv)
     return d, (d > 0.0) & (d < max_depth)
+
+
+def _project_world(cam: CameraParams, X: SE3, p_w: jax.Array):
+    from ..core.camera import project
+
+    return project(cam, X, p_w)
 
 
 @functools.partial(
@@ -206,6 +216,16 @@ def frontend_step(
         p_prev_w = state.d_lmk[idx]
         uv_cur = trk.d_uv[idx]
         xyz_cur = d_xyz[idx]
+        if cfg.use_motion_model_gating:
+            # constant-velocity gating (`motionModelOutlierRejection3d2d`,
+            # MotionSolver.cc:564-633): predict with last frame's motion and
+            # drop correspondences whose reprojection disagrees wildly
+            Hj_prev = SE3(state.obj_H_prev.R[j], state.obj_H_prev.t[j])
+            pred_w = se3_apply(Hj_prev, p_prev_w)
+            pred_uv, zpred = _project_world(cam, X_k, pred_w)
+            mm_err = jnp.linalg.norm(pred_uv - uv_cur, axis=-1)
+            gate = (mm_err < cfg.motion_model_threshold_px) | (zpred <= 0.05)
+            ok = ok & jnp.where(state.obj_H_prev_valid[j], gate, True)
         res = ransac_pose_3d2d(
             k_obj, p_prev_w, uv_cur, xyz_cur, ok, cam,
             iters=cfg.object_solver.ransac_iterations,
@@ -294,6 +314,8 @@ def frontend_step(
         d_lmk_valid=d_obs_ok,
         obj_pose=L_k,
         obj_pose_valid=pose_valid,
+        obj_H_prev=H_all,
+        obj_H_prev_valid=motion_valid,
         frame_idx=state.frame_idx + 1,
     )
     return new_state, packet, report, ego

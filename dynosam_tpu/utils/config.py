@@ -58,6 +58,8 @@ class FrontendConfig:
     refinement_3d_outlier_reject: bool = True
     min_dynamic_features_per_object: int = 30  # VisionTools.cc demotion rule
     scene_flow_percentage: float = 0.5
+    use_motion_model_gating: bool = False      # motionModelOutlierRejection3d2d
+    motion_model_threshold_px: float = 10.0
     camera_solver: MotionSolverConfig = dataclasses.field(default_factory=MotionSolverConfig)
     object_solver: MotionSolverConfig = dataclasses.field(default_factory=MotionSolverConfig)
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
