@@ -109,6 +109,34 @@ def optimize_window_jit(
         jnp.where(use_anchor, anchor.R, w.X_init.R[0]),
         jnp.where(use_anchor, anchor.t, w.X_init.t[0]),
     )
+    if updater == 0 and cfg.use_varpro:
+        # Schur-eliminated (variable projection) reduced problem over
+        # {X, H}; landmarks recovered in closed form afterwards
+        from . import varpro
+
+        full_init = fm.init_values(w, masks, cfg)
+        values = {"X": full_init["X"], "H": full_init["H"]}
+        spec = fm.world_motion_families(cfg)
+        resid = lambda v: varpro.world_motion_varpro_residuals(
+            v, w, masks, cfg, anchor_pose
+        )
+        gn_diag = lambda v, sw: varpro.varpro_gn_diag(v, sw, w, masks, cfg)
+        result = lm_optimize(resid, spec.robust, values, lm_cfg, gn_diag_fn=gn_diag)
+        # recover landmarks for write-back
+        X, H = result.values["X"], result.values["H"]
+        obj_idx = jnp.clip(w.dyn_obj, 0, H.batch_shape[1] - 1)
+        H_all = SE3(
+            jnp.take_along_axis(H.R, obj_idx[..., None, None], axis=1),
+            jnp.take_along_axis(H.t, obj_idx[..., None], axis=1),
+        )
+        full_values = {
+            "X": X,
+            "H": H,
+            "sp": varpro.optimal_static_points(X, w, masks),
+            "dp": varpro.optimal_dynamic_points(X, H_all, w, masks, cfg),
+        }
+        result = result._replace(values=full_values)
+        return result, masks
     if updater == 0:
         values = fm.init_values(w, masks, cfg)
         spec = fm.world_motion_families(cfg)

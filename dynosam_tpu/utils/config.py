@@ -82,6 +82,9 @@ class BackendConfig:
     use_full_batch_opt: bool = False
     backend_updater_enum: int = 0             # 0=MotionInWorld, 1=LLWorld
     init_H_with_identity: bool = True
+    # Schur-eliminated (variable projection) reduced solve over {X, H};
+    # landmarks recovered in closed form (backend/varpro.py)
+    use_varpro: bool = False
     # Formulation gating (Formulation.hpp:117-121)
     min_static_observations: int = 2
     min_dynamic_observations: int = 3
