@@ -97,11 +97,15 @@ def optimize_window_jit(
     anchor: SE3,
     use_anchor,
     updater: int = 0,
+    prev: dict | None = None,
+    prev_mask: dict | None = None,
 ):
     """Slice a window from the map, build + solve its graph.  One XLA program.
 
     `anchor` pins the first window pose (gauge); `use_anchor` selects between
     the provided anchor (overlap with previous window) and the frontend pose.
+    `prev`/`prev_mask` warm-start overlap frames from the estimate store —
+    the analog of the reference Formulation's persistent `theta_` values.
     """
     w = slice_window(m, start, window)
     masks = fm.build_masks(w, cfg)
@@ -120,8 +124,12 @@ def optimize_window_jit(
         resid = lambda v: varpro.world_motion_varpro_residuals(
             v, w, masks, cfg, anchor_pose
         )
-        gn_diag = lambda v, sw: varpro.varpro_gn_diag(v, sw, w, masks, cfg)
-        result = lm_optimize(resid, spec.robust, values, lm_cfg, gn_diag_fn=gn_diag)
+        # NOTE: the full-problem analytic diag catastrophically over-damps
+        # the reduced problem (the eliminated ternary terms dominate it at
+        # huber weight 1 while the true reduced sensitivity is tiny);
+        # Hutchinson on the reduced operator is unbiased for the Schur
+        # complement, so use it here.
+        result = lm_optimize(resid, spec.robust, values, lm_cfg, gn_diag_fn=None)
         # recover landmarks for write-back
         X, H = result.values["X"], result.values["H"]
         obj_idx = jnp.clip(w.dyn_obj, 0, H.batch_shape[1] - 1)
@@ -138,7 +146,7 @@ def optimize_window_jit(
         result = result._replace(values=full_values)
         return result, masks
     if updater == 0:
-        values = fm.init_values(w, masks, cfg)
+        values = fm.init_values(w, masks, cfg, prev=prev, prev_mask=prev_mask)
         spec = fm.world_motion_families(cfg)
         resid = lambda v: fm.world_motion_residuals(v, w, masks, cfg, anchor_pose)
         gn_diag = lambda v, sw: fm.world_motion_gn_diag(v, sw, w, masks, cfg)
@@ -227,6 +235,23 @@ class RGBDBackend:
         # already optimized (window overlap), else frontend init
         use_anchor = bool(np.asarray(self.est.X_valid)[start])
         anchor = self.est.X[start]
+        # warm start from the estimate store (theta_ carry-over): overlap
+        # frames re-use previously optimized values
+        prev = prev_mask = None
+        if use_anchor and self.cfg.backend_updater_enum == 0:
+            sl = slice(start, start + window)
+            prev = {
+                "X": self.est.X[sl],
+                "H": SE3(self.est.H.R[sl], self.est.H.t[sl]),
+                "sp": self.est.static_points,
+                "dp": self.est.dyn_points[sl],
+            }
+            prev_mask = {
+                "X": self.est.X_valid[sl],
+                "H": self.est.motion_valid[sl],
+                "sp": self.est.static_valid,
+                "dp": self.est.dyn_valid[sl],
+            }
         result, masks = optimize_window_jit(
             self.map,
             start,
@@ -236,6 +261,8 @@ class RGBDBackend:
             anchor,
             jnp.asarray(use_anchor),
             self.cfg.backend_updater_enum,
+            prev,
+            prev_mask,
         )
         self.last_result = result
         self._write_back(start, window, result.values, masks)

@@ -94,3 +94,45 @@ def make_report(output_dir: str, results: Dict, pdf_name: str = "results.pdf"):
             pdf.savefig(fig)
             plt.close(fig)
     return path
+
+
+def results_table_markdown(results: Dict) -> str:
+    """Result tables (the reference's LaTeX `result_tables.pdf` analog,
+    `formatting_utils.py`) as markdown."""
+    lines = [
+        "| module | ATE t [m] | ATE r [deg] | RPE t [m] | AME t [m] | AME r [deg] | RME t [m] |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for prefix, res in results.items():
+        cam = res.get("camera", {})
+        om = res.get("objects_mean", {})
+        def g(d, k):
+            v = d.get(k)
+            return f"{v:.4f}" if isinstance(v, float) else "-"
+        lines.append(
+            f"| {prefix} | {g(cam,'ate_trans_rmse')} | {g(cam,'ate_rot_deg_rmse')} "
+            f"| {g(cam,'rpe_trans_rmse')} | {g(om,'ame_trans_rmse')} "
+            f"| {g(om,'ame_rot_deg_rmse')} | {g(om,'rme_trans_rmse')} |"
+        )
+    return "\n".join(lines)
+
+
+def aggregate_runs(run_dirs, out_path: Optional[str] = None) -> Dict:
+    """Aggregate results.json across runs (the reference's
+    `make_stats_over_all_runs.py`)."""
+    import json
+
+    combined = {}
+    for d in run_dirs:
+        p = os.path.join(d, "results.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            combined[os.path.basename(os.path.normpath(d))] = json.load(f)
+    summary = {"runs": combined, "tables": {}}
+    for name, res in combined.items():
+        summary["tables"][name] = results_table_markdown(res)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=2, default=float)
+    return summary

@@ -228,3 +228,47 @@ def shi_tomasi_response_fast(gray: jax.Array, window: int = 5) -> jax.Array:
     tr = sxx + syy
     det_rad = jnp.sqrt(jnp.maximum((sxx - syy) ** 2 + 4.0 * sxy * sxy, 0.0))
     return 0.5 * (tr - det_rad)
+
+
+# --------------------------------------------------------------------------
+# FAST corner detection (the ORB-extractor detector stage, vectorized)
+# --------------------------------------------------------------------------
+
+# Bresenham circle of radius 3 (the FAST-9/16 test ring)
+_FAST_RING = (
+    (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-3, 3),
+)
+
+
+def fast_response(gray: jax.Array, threshold: float = 20.0, arc: int = 9):
+    """FAST-N corner test, dense: every pixel at once.
+
+    Returns a response map (sum of absolute differences of contiguous
+    brighter/darker ring pixels; 0 where the FAST criterion fails) — the
+    detector stage of the reference's ORB extractor
+    (`frontend/vision/ORBextractor.hpp:58`), without the pyramid/BRIEF
+    stages (KLT tracking replaces descriptor matching in this design).
+    """
+    ring = jnp.stack(
+        [_shift(gray, dy, dx) for (dx, dy) in _FAST_RING], axis=0
+    )                                                       # (16, H, W)
+    diff = ring - gray[None]
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    def max_run(flags):
+        # longest circular run of True: double the ring, cumulative run via
+        # scan over the 32 positions
+        doubled = jnp.concatenate([flags, flags], axis=0)   # (32, H, W)
+
+        def step(run, f):
+            run = jnp.where(f, run + 1, 0)
+            return run, run
+
+        _, runs = jax.lax.scan(step, jnp.zeros_like(gray), doubled)
+        return jnp.minimum(jnp.max(runs, axis=0), 16)
+
+    ok = (max_run(brighter) >= arc) | (max_run(darker) >= arc)
+    strength = jnp.sum(jnp.abs(diff) * (brighter | darker), axis=0)
+    return jnp.where(ok, strength, 0.0)

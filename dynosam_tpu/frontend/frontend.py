@@ -201,11 +201,13 @@ def frontend_step(
 
     # ---------------- object motions (`solveObjectMotions`), vmapped
     # compact each object's correspondences into (O, DPO)
+    dpo = min(DPO, prop.shape[0])
+
     def gather_obj(j):
         score = jnp.where(prop & (trk.d_obj == j), 1.0, -jnp.inf) - (
             jnp.arange(prop.shape[0]) * 1e-9
         )
-        _, idx = jax.lax.top_k(score, DPO)
+        _, idx = jax.lax.top_k(score, dpo)
         ok = prop[idx] & (trk.d_obj[idx] == j)
         return idx, ok
 

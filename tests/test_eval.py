@@ -123,3 +123,28 @@ def test_report_pdf(tmp_path, rng):
     assert "frontend" in results and "camera" in results["frontend"]
     pdf = make_report(str(tmp_path), results)
     assert os.path.exists(pdf) and os.path.getsize(pdf) > 1000
+
+
+def test_results_table_and_aggregate(tmp_path, rng):
+    from dynosam_tpu.eval.evaluator import evaluate_all
+    from dynosam_tpu.eval.plotting import aggregate_runs, results_table_markdown
+    from dynosam_tpu.utils.logger import EstimationLogger
+
+    gt = random_traj(rng, n=6)
+    for run in ["runA", "runB"]:
+        d = tmp_path / run
+        d.mkdir()
+        log = EstimationLogger(str(d), "frontend")
+        for k in range(6):
+            log.log_camera_pose(k, gt[k], gt[k])
+            log.log_timestamp(k, k * 0.1)
+        log.flush()
+        evaluate_all(str(d))
+    summary = aggregate_runs(
+        [str(tmp_path / "runA"), str(tmp_path / "runB")],
+        str(tmp_path / "all.json"),
+    )
+    assert set(summary["runs"]) == {"runA", "runB"}
+    table = summary["tables"]["runA"]
+    assert "| frontend |" in table and "0.0000" in table
+    assert os.path.exists(str(tmp_path / "all.json"))

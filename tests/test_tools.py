@@ -101,3 +101,63 @@ def test_visualizer_smoke(rng):
     assert fb.shape == (60, 80, 3)
     db = viz.depth_to_bgr(rng.uniform(0, 40, (60, 80)))
     assert db.shape == (60, 80, 3)
+
+
+def test_debug_utilities(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from dynosam_tpu.utils import debug
+
+    # check_finite flags bad leaves with their path
+    import pytest
+
+    good = {"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}}
+    assert debug.check_finite(good)
+    bad = {"a": jnp.asarray([1.0, float("nan")])}
+    with pytest.raises(FloatingPointError, match="a"):
+        debug.check_finite(bad, "state")
+
+    # deterministic replay passes for a pure jitted fn
+    f = jax.jit(lambda x: jnp.cumsum(x * 2))
+    x = jnp.asarray(rng.normal(size=32), jnp.float32)
+    out = debug.deterministic_replay(f, x)
+    assert out.shape == (32,)
+
+
+def test_deterministic_frontend_step():
+    """The whole frontend step must be bit-deterministic (race-detection
+    analog, SURVEY §5.2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynosam_tpu.core.camera import CameraParams
+    from dynosam_tpu.frontend.frontend import (
+        FrameImages,
+        FrontendState,
+        frontend_step,
+    )
+    from dynosam_tpu.utils.config import FrontendConfig, TrackerConfig
+    from dynosam_tpu.utils.debug import deterministic_replay
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 96
+    cam = CameraParams.create(80.0, 80.0, 48.0, 32.0, w, h)
+    cfg = FrontendConfig(
+        tracker=TrackerConfig(max_features_per_frame=50, klt_window=9,
+                              klt_levels=2)
+    )
+    img = FrameImages(
+        gray=jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32),
+        depth=jnp.asarray(rng.uniform(2, 20, (h, w)), jnp.float32),
+        flow=jnp.zeros((h, w, 2), jnp.float32),
+        mask=jnp.zeros((h, w), jnp.int32),
+    )
+    st = FrontendState.create(64, 64, 4)
+    deterministic_replay(
+        lambda: frontend_step(
+            st, img, img, cam, cfg, jax.random.PRNGKey(0),
+            use_klt=True, first_frame=True,
+        )[1].X_world.t
+    )
