@@ -154,7 +154,7 @@ def optimize_window_jit(
         values = fm.init_values_world_pose(w, masks, cfg)
         spec = fm.world_pose_families(cfg)
         resid = lambda v: fm.world_pose_residuals(v, w, masks, cfg, anchor_pose)
-        gn_diag = None  # Hutchinson fallback
+        gn_diag = lambda v, sw: fm.world_pose_gn_diag(v, sw, w, masks, cfg)
 
     result = lm_optimize(resid, spec.robust, values, lm_cfg, gn_diag_fn=gn_diag)
     return result, masks

@@ -259,12 +259,23 @@ def world_motion_residuals(
     r_dyn = r_dyn / cfg.dynamic_point_noise_sigma
     r_dyn = jnp.where(masks.dyn_obs[..., None], r_dyn, 0.0)
 
-    # -- landmark motion ternary (W-1 rows laid out at k>=1): gather H_k^j
-    obj_idx = jnp.clip(w.dyn_obj, 0, H.batch_shape[1] - 1)  # (W, ND)
+    # -- landmark motion ternary (W-1 rows laid out at k>=1): select H_k^j
+    # via one-hot einsum rather than take_along_axis — the gather's VJP
+    # lowers to serialized TPU scatter-adds and dominated the solve; the
+    # einsum keeps both directions dense (MXU).
+    no_ = H.batch_shape[1]
+    onehot_obj = jax.nn.one_hot(
+        jnp.where(masks.ternary | masks.dyn_obs, w.dyn_obj, -1), no_,
+        dtype=H.t.dtype,
+    )                                                       # (W, ND, O)
     Hk = SE3(
-        jnp.take_along_axis(H.R, obj_idx[..., None, None], axis=1),
-        jnp.take_along_axis(H.t, obj_idx[..., None], axis=1),
+        jnp.einsum("wno,woij->wnij", onehot_obj, H.R, precision="highest"),
+        jnp.einsum("wno,woj->wnj", onehot_obj, H.t, precision="highest"),
     )                                                       # (W, ND) SE3
+    # masked slots got all-zero rows; make them valid identities
+    eye = jnp.eye(3, dtype=H.t.dtype)
+    sel = jnp.any(onehot_obj > 0, axis=-1)[..., None, None]
+    Hk = SE3(jnp.where(sel, Hk.R, eye), Hk.t)
     m_prev = dp[:-1]
     m_cur = dp[1:]
     Hk_cur = SE3(Hk.R[1:], Hk.t[1:])
@@ -361,12 +372,20 @@ def world_pose_residuals(
     r_dyn = r_dyn / cfg.dynamic_point_noise_sigma
     r_dyn = jnp.where(masks.dyn_obs[..., None], r_dyn, 0.0)
 
-    # LandmarkMotionPose on (m_{k-1}, m_k, L_{k-1}, L_k)
-    obj_idx = jnp.clip(w.dyn_obj, 0, L.batch_shape[1] - 1)
-    Lk = SE3(
-        jnp.take_along_axis(L.R, obj_idx[..., None, None], axis=1),
-        jnp.take_along_axis(L.t, obj_idx[..., None], axis=1),
+    # LandmarkMotionPose on (m_{k-1}, m_k, L_{k-1}, L_k); one-hot einsum
+    # selection (see WorldMotion note: gather VJP = slow TPU scatter)
+    no_ = L.batch_shape[1]
+    onehot_obj = jax.nn.one_hot(
+        jnp.where(masks.ternary | masks.dyn_obs, w.dyn_obj, -1), no_,
+        dtype=L.t.dtype,
     )
+    Lk = SE3(
+        jnp.einsum("wno,woij->wnij", onehot_obj, L.R, precision="highest"),
+        jnp.einsum("wno,woj->wnj", onehot_obj, L.t, precision="highest"),
+    )
+    eye = jnp.eye(3, dtype=L.t.dtype)
+    sel = jnp.any(onehot_obj > 0, axis=-1)[..., None, None]
+    Lk = SE3(jnp.where(sel, Lk.R, eye), Lk.t)
     r_mp = factors.landmark_motion_pose_residual(
         dp[:-1], dp[1:], SE3(Lk.R[:-1], Lk.t[:-1]), SE3(Lk.R[1:], Lk.t[1:])
     )
@@ -487,3 +506,85 @@ def world_motion_gn_diag(
     dH = dH.at[1:].add(sm_w)
 
     return {"X": dX, "H": dH, "sp": dsp, "dp": ddp}
+
+
+def world_pose_gn_diag(
+    values: dict, sqrt_w: list, w: WindowData, masks: WindowMasks,
+    cfg: BackendConfig
+) -> dict:
+    """Analytic diag(J^T W J) for the WorldPose (LLWorld) families.
+
+    The motion-pose factor e = m_k - L_k L_{k-1}^-1 m_{k-1} has pose-tangent
+    Jacobians [R hat(z) | -R] with z = L_{k-1}^-1 m_{k-1} (the point in the
+    object frame), contributing skew-sq-diag(z) / 1 per component to BOTH
+    L_{k-1} and L_k; point Jacobians are orthonormal.  Family order matches
+    `world_pose_residuals`.
+    """
+    X: SE3 = values["X"]
+    L: SE3 = values["L"]
+    dp = values["dp"]
+    dtype = X.t.dtype
+    W_, O = masks.smoothing.shape
+    w_anchor, w_odo, w_static, w_dyn, w_mp, w_ps = [s**2 for s in sqrt_w]
+
+    pose_sig = jnp.asarray(
+        [cfg.odometry_rotation_sigma] * 3 + [cfg.odometry_translation_sigma] * 3,
+        dtype,
+    )
+    smooth_sig = jnp.asarray(
+        [cfg.constant_object_motion_rotation_sigma] * 3
+        + [cfg.constant_object_motion_translation_sigma] * 3,
+        dtype,
+    )
+
+    dX = jnp.zeros((W_, 6), dtype)
+    dX = dX.at[0].add(w_anchor[0] / cfg.initial_pose_prior_sigma**2)
+    odo_w = (w_odo * masks.odometry[1:].astype(dtype))[:, None] / pose_sig**2
+    dX = dX.at[:-1].add(odo_w)
+    dX = dX.at[1:].add(odo_w)
+    ws = w_static * masks.static_obs.astype(dtype) / cfg.static_point_noise_sigma**2
+    rot_part = jnp.einsum("kn,knd->kd", ws, _skew_sq_diag(w.static_xyz))
+    trans_part = jnp.einsum("kn->k", ws)[:, None] * jnp.ones((1, 3), dtype)
+    dX = dX + jnp.concatenate([rot_part, trans_part], axis=-1)
+    wd = w_dyn * masks.dyn_obs.astype(dtype) / cfg.dynamic_point_noise_sigma**2
+    rot_d = jnp.einsum("kn,knd->kd", wd, _skew_sq_diag(w.dyn_xyz))
+    trans_d = jnp.einsum("kn->k", wd)[:, None] * jnp.ones((1, 3), dtype)
+    dX = dX + jnp.concatenate([rot_d, trans_d], axis=-1)
+
+    dsp = jnp.einsum("kn->n", ws)[:, None] * jnp.ones((1, 3), dtype)
+
+    ddp = wd[..., None] * jnp.ones((1, 1, 3), dtype)
+    wm = (
+        w_mp * masks.ternary[1:].astype(dtype)
+        / cfg.motion_ternary_factor_noise_sigma**2
+    )                                            # (W-1, ND)
+    ddp = ddp.at[:-1].add(wm[..., None])
+    ddp = ddp.at[1:].add(wm[..., None])
+
+    # L diag: z ~ object-frame point; approximate with the world point
+    # relative to the object pose translation (cheap, exact to first order
+    # for modest rotations)
+    onehot = jax.nn.one_hot(
+        jnp.where(masks.ternary[1:], w.dyn_obj[1:], -1), O, dtype=dtype
+    )                                            # (W-1, ND, O)
+    L_t_prev = L.t[:-1]                          # (W-1, O, 3)
+    # select each tracklet's object translation first to avoid an
+    # (W, ND, O, 3) intermediate at full capacities
+    Lt_sel = jnp.einsum("kno,kod->knd", onehot, L_t_prev)  # (W-1, ND, 3)
+    z = dp[:-1] - Lt_sel
+    zd = _skew_sq_diag(z)                                   # (W-1, ND, 3)
+    rot_L = jnp.einsum("kn,kno,knd->kod", wm, onehot, zd)
+    trans_L = jnp.einsum("kn,kno->ko", wm, onehot)[..., None] * jnp.ones(
+        (1, 1, 3), dtype
+    )
+    dL = jnp.zeros((W_, O, 6), dtype)
+    contrib = jnp.concatenate([rot_L, trans_L], axis=-1)
+    dL = dL.at[:-1].add(contrib)                 # L_{k-1} slot
+    dL = dL.at[1:].add(contrib)                  # L_k slot (same magnitudes)
+    triple = masks.smoothing[1:-1] & masks.smoothing[2:]
+    ps_w = (w_ps * triple.astype(dtype))[..., None] / smooth_sig**2
+    dL = dL.at[:-2].add(ps_w)
+    dL = dL.at[1:-1].add(ps_w)
+    dL = dL.at[2:].add(ps_w)
+
+    return {"X": dX, "L": dL, "sp": dsp, "dp": ddp}

@@ -155,12 +155,20 @@ def world_motion_varpro_residuals(
 
     X: SE3 = values["X"]
     H: SE3 = values["H"]
-    # gather per-(frame, tracklet) motions for the chains
-    obj_idx = jnp.clip(w.dyn_obj, 0, H.batch_shape[1] - 1)
-    H_all = SE3(
-        jnp.take_along_axis(H.R, obj_idx[..., None, None], axis=1),
-        jnp.take_along_axis(H.t, obj_idx[..., None], axis=1),
+    # select per-(frame, tracklet) motions via one-hot einsum (dense VJP;
+    # take_along_axis's VJP is a serialized TPU scatter)
+    no_ = H.batch_shape[1]
+    onehot_obj = jax.nn.one_hot(
+        jnp.where(masks.ternary | masks.dyn_obs, w.dyn_obj, -1), no_,
+        dtype=H.t.dtype,
     )
+    eye3 = jnp.eye(3, dtype=H.t.dtype)
+    H_all = SE3(
+        jnp.einsum("wno,woij->wnij", onehot_obj, H.R, precision="highest"),
+        jnp.einsum("wno,woj->wnj", onehot_obj, H.t, precision="highest"),
+    )
+    sel = jnp.any(onehot_obj > 0, axis=-1)[..., None, None]
+    H_all = SE3(jnp.where(sel, H_all.R, eye3), H_all.t)
     sp = optimal_static_points(X, w, masks)
     dp = optimal_dynamic_points(X, H_all, w, masks, cfg)
     full = {"X": X, "H": H, "sp": sp, "dp": dp}
