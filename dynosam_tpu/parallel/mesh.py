@@ -84,3 +84,20 @@ def shard_map_data(m: MeasurementMap, mesh: Mesh) -> MeasurementMap:
         lambda x, s: jax.device_put(x, s), m, sh,
         is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
     )
+
+
+def host_local_to_global(local_arrays, mesh: Mesh, axis: str = FRAME_AXIS):
+    """Assemble per-process local shards into a global array (multi-host
+    data feeding, `jax.make_array_from_process_local_data` — SURVEY §5.8).
+
+    On a single-process mesh this is just a device_put with the sharding;
+    on a multi-host pod each process passes its local frame block.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(put, local_arrays)

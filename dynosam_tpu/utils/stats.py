@@ -143,3 +143,23 @@ def print_summary():
             f"max={a.max:.3f} p95={a.percentile(0.95):.3f}"
         )
     return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace scope (xplane output) — the device-side companion
+    of the host timers (SURVEY §5.1 'jax.profiler traces + xplane')."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(tag: str):
+    """Named region visible in device profiles (TraceAnnotation)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(tag)
