@@ -281,3 +281,17 @@ def track_frame(
         homography_inliers=homo_inl,
     )
     return new_state, report
+
+
+def format_tracker_report(report: TrackOutputs) -> str:
+    """Human-readable per-frame report (`FeatureTrackerInfo` print analog,
+    `RGBDInstanceFrontendModule.cc:119`)."""
+    import numpy as np
+
+    return (
+        f"static: tracked {int(np.asarray(report.n_static_tracked))} "
+        f"(+{int(np.asarray(report.n_static_new))} new, "
+        f"homography inliers {int(np.asarray(report.homography_inliers))}) | "
+        f"dynamic: tracked {int(np.asarray(report.n_dynamic_tracked))} "
+        f"(+{int(np.asarray(report.n_dynamic_new))} sampled)"
+    )

@@ -48,6 +48,7 @@ class EstimationLogger:
         self.obj_pose_rows = []
         self.point_rows = []
         self.ts_rows = []
+        self.bbox_rows = []
 
     def log_camera_pose(self, frame_id: int, T: np.ndarray,
                         T_gt: Optional[np.ndarray] = None):
@@ -75,6 +76,11 @@ class EstimationLogger:
 
     def log_timestamp(self, frame_id: int, timestamp: float):
         self.ts_rows.append([frame_id, timestamp])
+
+    def log_bbox(self, frame_id: int, object_id: int, box):
+        """[x1, y1, x2, y2] image bounding box per object (reference bbox
+        log)."""
+        self.bbox_rows.append([frame_id, object_id, *box])
 
     def _write(self, name, header, rows):
         with open(os.path.join(self.dir, f"{self.prefix}_{name}.csv"), "w",
@@ -107,6 +113,9 @@ class EstimationLogger:
                     self.point_rows)
         self._write("frame_id_timestamp_log", ["frame_id", "timestamp"],
                     self.ts_rows)
+        self._write("bbox_log",
+                    ["frame_id", "object_id", "x1", "y1", "x2", "y2"],
+                    self.bbox_rows)
 
 
 def read_pose_log(path: str):
