@@ -358,3 +358,11 @@ def dense_normal_solve(residual_fn, specs, values, lam: float = 0.0):
     g = J.T @ r
     dx = jnp.linalg.solve(A + 1e-10 * jnp.eye(A.shape[0], dtype=A.dtype), -g)
     return retract_tree(values, unravel(dx)), J
+
+
+# NOTE on LM retry cost: on a rejected step the next while_loop iteration
+# re-evaluates residuals/diag at the unchanged linearization point before
+# re-solving with the larger lambda.  The runtime waste is one residual
+# evaluation + one diag build per rejection (the CG solve dominates), so we
+# keep the simpler single-phase loop rather than carrying linearization
+# products through the carry.

@@ -108,8 +108,8 @@ class ClusterSlamDataset(DatasetProvider):
 
         left = cv2.imread(os.path.join(self.left_dir, self.left_files[idx]))
         right = cv2.imread(os.path.join(self.right_dir, self.right_files[idx]))
-        gray = to_gray(left[..., ::-1])
-        gray_r = to_gray(right[..., ::-1])
+        gray = to_gray(left)  # cv2 BGR; to_gray uses BGR weights
+        gray_r = to_gray(right)
         depth = self._stereo_depth(gray, gray_r)
 
         if idx < len(self.flow_files):

@@ -125,7 +125,7 @@ class VirtualKittiDataset(DatasetProvider):
 
         name = f"{idx:05d}"
         rgb = cv2.imread(os.path.join(self.rgb_dir, f"rgb_{name}.jpg"))
-        gray = to_gray(rgb[..., ::-1])
+        gray = to_gray(rgb)  # cv2 BGR; to_gray uses BGR weights
 
         depth16 = cv2.imread(
             os.path.join(self.depth_dir, f"depth_{name}.png"),

@@ -237,7 +237,7 @@ def shi_tomasi_response_fast(gray: jax.Array, window: int = 5) -> jax.Array:
 # Bresenham circle of radius 3 (the FAST-9/16 test ring)
 _FAST_RING = (
     (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
-    (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-3, 3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-1, 3),
 )
 
 

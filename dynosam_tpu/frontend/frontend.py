@@ -106,6 +106,7 @@ def frontend_step(
     prev_uv_s = state.tracker.s_uv
     prev_uv_d = state.tracker.d_uv
 
+    key_t, key = jax.random.split(key)
     trk, report = track_frame(
         state.tracker,
         prev_images.gray,
@@ -115,6 +116,8 @@ def frontend_step(
         tcfg,
         use_klt=use_klt,
         first_frame=first_frame,
+        key=key_t,
+        mask_prev=prev_images.mask,
     )
 
     # ---------------- depth association (`Frame::updateDepths`)
@@ -138,8 +141,8 @@ def frontend_step(
             ego_corr,
             cam,
             iters=cfg.camera_solver.ransac_iterations,
-            threshold_px=2.0,
-            min_inliers=5,
+            threshold_px=cfg.camera_solver.ransac_threshold_px,
+            min_inliers=cfg.camera_solver.min_inliers,
         )
     else:
         # 3d-3d Arun (`geometricOutlierRejection3d3d`): p_world = X(y_cam)
@@ -213,6 +216,9 @@ def frontend_step(
 
     obj_ids = jnp.arange(no)
     idxs, oks = jax.vmap(gather_obj)(obj_ids)              # (O, DPO)
+    d_depth_prev, _ = _depth_at(
+        prev_images.depth, prev_uv_d, cfg.max_object_depth
+    )
 
     def solve_obj(j, idx, ok, k_obj):
         p_prev_w = state.d_lmk[idx]
@@ -231,36 +237,55 @@ def frontend_step(
         res = ransac_pose_3d2d(
             k_obj, p_prev_w, uv_cur, xyz_cur, ok, cam,
             iters=cfg.object_solver.ransac_iterations,
-            threshold_px=2.0,
-            min_inliers=5,
+            threshold_px=cfg.object_solver.ransac_threshold_px,
+            min_inliers=cfg.object_solver.min_inliers,
         )
-        # H_w = X_k ∘ G^-1 (ref: `ObjectMotionSovler`, MotionSolver.cc:492-511)
-        H = se3_compose(X_k, se3_inverse(res.pose))
         ok_solved = res.status == STATUS_VALID
+        G = res.pose
+        inl = res.inliers
+        uv_prev = prev_uv_d[idx]
+        if cfg.refine_motion_with_joint_of and not first_frame:
+            # joint optical-flow + pose refinement of G, treating the
+            # object's points as static under the "virtual camera" G
+            # (`ObjectMotionSovler` joint OF stage, MotionSolver.cc:493-509)
+            dprev = d_depth_prev[idx]
+            fp = refine.optimize_flow_and_pose(
+                cam, G, state.X_world, uv_prev, dprev,
+                uv_cur - uv_prev, inl & (dprev > 0.0),
+            )
+            G = SE3(
+                jnp.where(ok_solved, fp.pose.R, G.R),
+                jnp.where(ok_solved, fp.pose.t, G.t),
+            )
+            if cfg.joint_of_outlier_reject:
+                inl = jnp.where(ok_solved, fp.inliers, inl)
+        # H_w = X_k ∘ G^-1 (ref: `ObjectMotionSovler`, MotionSolver.cc:492-511)
+        H = se3_compose(X_k, se3_inverse(G))
         if cfg.refine_motion_with_3d:
-            uv_prev = prev_uv_d[idx]
             mr = refine.optimize_motion_only(
                 cam, H, state.X_world, X_k, p_prev_w, uv_prev, uv_cur,
-                res.inliers,
+                inl,
             )
             H = SE3(
                 jnp.where(ok_solved, mr.motion.R, H.R),
                 jnp.where(ok_solved, mr.motion.t, H.t),
             )
-            inl = jnp.where(ok_solved, mr.inliers, res.inliers)
-        else:
-            inl = res.inliers
+            if cfg.refinement_3d_outlier_reject:
+                inl = jnp.where(ok_solved, mr.inliers, inl)
         return H, inl, ok_solved
 
     keys_o = jax.random.split(key_o, no)
     H_all, obj_inl, solved = jax.vmap(solve_obj)(obj_ids, idxs, oks, keys_o)
     motion_valid = solved & obj_is_dynamic & (not first_frame)
 
-    # scatter per-object inliers back to the (ND,) dynamic pool
+    # scatter per-object inliers back to the (ND,) dynamic pool; fresh
+    # samples (age 0, not in any solve) stay eligible so new tracks can
+    # start their chains
     d_inlier = jnp.zeros(prop.shape, bool)
     d_inlier = d_inlier.at[idxs.reshape(-1)].max(
         (obj_inl & oks).reshape(-1)
     )
+    d_inlier = d_inlier | ~prop
 
     # ---------------- object pose propagation (`propogateObjectPoses`)
     # L_k = H_k L_{k-1}; first sighting initializes L at the object centroid
@@ -269,20 +294,34 @@ def frontend_step(
     )
     prop_pose = se3_compose(H_all, state.obj_pose)
     can_prop = state.obj_pose_valid & motion_valid
-    L_k = SE3(
-        jnp.where(
-            can_prop[:, None, None],
-            prop_pose.R,
-            jnp.broadcast_to(jnp.eye(3, dtype=centroid.dtype), prop_pose.R.shape),
-        ),
-        jnp.where(can_prop[:, None], prop_pose.t, centroid),
+    # priority: propagate when possible; else KEEP the previous pose (the
+    # reference holds L on a failed solve); else centroid init for a new
+    # object
+    keep_prev = state.obj_pose_valid & ~can_prop
+    eye_R = jnp.broadcast_to(
+        jnp.eye(3, dtype=centroid.dtype), prop_pose.R.shape
     )
-    pose_valid = can_prop | (trk.obj_active & (n_per_obj > 0))
+    L_R = jnp.where(
+        can_prop[:, None, None],
+        prop_pose.R,
+        jnp.where(keep_prev[:, None, None], state.obj_pose.R, eye_R),
+    )
+    L_t = jnp.where(
+        can_prop[:, None],
+        prop_pose.t,
+        jnp.where(keep_prev[:, None], state.obj_pose.t, centroid),
+    )
+    L_k = SE3(L_R, L_t)
+    pose_valid = can_prop | keep_prev | (trk.obj_active & (n_per_obj > 0))
 
     # ---------------- output packet
     static_out = StaticObs(uv=trk.s_uv, xyz=s_xyz, valid=s_obs_ok)
-    dyn_valid_out = d_obs_ok & (
-        jnp.where(trk.d_obj >= 0, motion_valid[jnp.clip(trk.d_obj, 0, no - 1)], False)
+    dyn_valid_out = (
+        d_obs_ok
+        & d_inlier
+        & jnp.where(
+            trk.d_obj >= 0, motion_valid[jnp.clip(trk.d_obj, 0, no - 1)], False
+        )
     )
     dynamic_out = DynamicObs(
         uv=trk.d_uv,

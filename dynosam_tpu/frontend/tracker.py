@@ -52,11 +52,13 @@ class TrackerState(NamedTuple):
     s_uv: jax.Array
     s_active: jax.Array
     s_age: jax.Array
+    s_cooldown: jax.Array  # frames until a freed slot may be reused
     # dynamic pool (ND,)
     d_uv: jax.Array
     d_active: jax.Array
     d_obj: jax.Array      # object slot per dynamic track
     d_age: jax.Array
+    d_cooldown: jax.Array
     # object table (O,)
     obj_labels: jax.Array  # global instance label per slot (-1 = free)
     obj_active: jax.Array  # label seen in current frame
@@ -67,10 +69,12 @@ class TrackerState(NamedTuple):
             s_uv=jnp.zeros((ns, 2), dtype),
             s_active=jnp.zeros((ns,), bool),
             s_age=jnp.zeros((ns,), jnp.int32),
+            s_cooldown=jnp.zeros((ns,), jnp.int32),
             d_uv=jnp.zeros((nd, 2), dtype),
             d_active=jnp.zeros((nd,), bool),
             d_obj=jnp.full((nd,), INVALID_ID, jnp.int32),
             d_age=jnp.zeros((nd,), jnp.int32),
+            d_cooldown=jnp.zeros((nd,), jnp.int32),
             obj_labels=jnp.full((no,), INVALID_ID, jnp.int32),
             obj_active=jnp.zeros((no,), bool),
         )
@@ -113,6 +117,8 @@ def track_frame(
     cfg: TrackerConfig,
     use_klt: bool = True,
     first_frame: bool = False,
+    key: jax.Array | None = None,
+    mask_prev: jax.Array | None = None,
 ):
     """One tracking step: (state at k-1, images) -> (state at k, report).
 
@@ -122,6 +128,11 @@ def track_frame(
     """
     h, w = cur_gray.shape
     dtype = cur_gray.dtype
+
+    if cfg.use_propogate_mask and not first_frame and mask_prev is not None:
+        from .mask_ops import propagate_mask
+
+        mask_cur = propagate_mask(mask_prev, flow_prev, mask_cur)
 
     # ------------------------------------------------------------ static
     if first_frame:
@@ -151,8 +162,9 @@ def track_frame(
         on_bg = nearest_at(mask_cur, s_uv) == 0
         s_ok = s_ok & inb & on_bg & state.s_active
         # geometric verification (findHomography RANSAC analog)
+        hkey = key if key is not None else jax.random.PRNGKey(0)
         hres = homography.ransac_homography(
-            jax.random.PRNGKey(0), state.s_uv, s_uv, s_ok,
+            hkey, state.s_uv, s_uv, s_ok,
             iters=128, threshold=3.0,
         )
         enough = hres.n_inliers >= 10
@@ -163,6 +175,12 @@ def track_frame(
     recycle = s_age > cfg.max_feature_track_age
     s_ok = s_ok & ~recycle
     n_tracked = jnp.sum(s_ok)
+    # slot-reuse cooldown: a just-died slot keeps its identity blocked for
+    # `slot_cooldown_frames` so windowed backend graphs never alias two
+    # physical points into one landmark variable
+    s_died = state.s_active & ~s_ok
+    s_cooldown = jnp.maximum(state.s_cooldown - 1, 0)
+    s_cooldown = jnp.where(s_died, cfg.slot_cooldown_frames, s_cooldown)
 
     # re-detect into free slots
     resp = shi_tomasi_response_fast(cur_gray)
@@ -183,7 +201,7 @@ def track_frame(
     )
     budget = cfg.max_features_per_frame - n_tracked
     want = dets.valid & (jnp.cumsum(dets.valid) <= budget)
-    slot_i, cand_i, pair_ok = assign_slots(~s_ok, want)
+    slot_i, cand_i, pair_ok = assign_slots(~s_ok & (s_cooldown == 0), want)
     new_uv = dets.uv[cand_i]
     s_uv = s_uv.at[slot_i].set(
         jnp.where(pair_ok[:, None], new_uv, s_uv[slot_i])
@@ -230,10 +248,17 @@ def track_frame(
         )
         same = cur_label_at == my_label
         d_ok = state.d_active & inb_d & same
+    if not cfg.use_dynamic_track:
+        # reference --use_dynamic_track=false: no long dynamic tracklets;
+        # keep only the 2-frame flow correspondence then retire the slot
+        d_ok = d_ok & (state.d_age < 1)
     d_age = jnp.where(d_ok, state.d_age + 1, 0)
     over_age = d_age > cfg.max_feature_track_age
     d_ok = d_ok & ~over_age
     n_dyn_tracked = jnp.sum(d_ok)
+    d_died = state.d_active & ~d_ok
+    d_cooldown = jnp.maximum(state.d_cooldown - 1, 0)
+    d_cooldown = jnp.where(d_died, cfg.slot_cooldown_frames, d_cooldown)
 
     # dense grid sampling of uncovered object pixels
     step = cfg.semantic_mask_step_size
@@ -251,7 +276,7 @@ def track_frame(
     cand_slot = jnp.argmax(eq, axis=1).astype(jnp.int32)
     cand_has_obj = jnp.any(eq, axis=1) & (cand_label > 0)
     cand_want = cand_has_obj & cand_free
-    slot_i3, cand_i3, ok3 = assign_slots(~d_ok, cand_want)
+    slot_i3, cand_i3, ok3 = assign_slots(~d_ok & (d_cooldown == 0), cand_want)
     d_uv = d_uv.at[slot_i3].set(
         jnp.where(ok3[:, None], cand_uv[cand_i3], d_uv[slot_i3])
     )
@@ -266,10 +291,12 @@ def track_frame(
         s_uv=s_uv,
         s_active=s_active_new,
         s_age=s_age,
+        s_cooldown=s_cooldown,
         d_uv=d_uv,
         d_active=d_active_new,
         d_obj=d_obj,
         d_age=d_age,
+        d_cooldown=d_cooldown,
         obj_labels=table,
         obj_active=obj_active,
     )

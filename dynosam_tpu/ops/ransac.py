@@ -114,9 +114,7 @@ def ransac_rigid(
     camera convention T = ^w X_c so that src (world) maps into the camera by
     T^-1.  (reference: `MotionSolver.cc:202-429`)
     """
-    n = src.shape[0]
-    k_sets, k_refine = jax.random.split(key)
-    idx = _sample_minimal_sets(k_sets, valid, iters)            # (K, 3)
+    idx = _sample_minimal_sets(key, valid, iters)               # (K, 3)
     src_min = src[idx]                                          # (K, 3, 3)
     dst_min = dst[idx]
     w_min = jnp.ones(idx.shape, src.dtype)
@@ -239,9 +237,3 @@ def ransac_pose_3d2d(
         min_inliers=min_inliers,
     )
 
-
-def _rigid_hypotheses_world(xyz_cur_min, p_world_min):
-    """Pose T with xyz_cur ~ T^-1 p_world: align world->cam then invert."""
-    w = jnp.ones(xyz_cur_min.shape[:-1], xyz_cur_min.dtype)
-    world_to_cam = procrustes(p_world_min, xyz_cur_min, w)
-    return se3_inverse(world_to_cam)

@@ -51,8 +51,21 @@ class DynoPipeline:
         self.packets: list = []
         self._prev_images: Optional[FrameImages] = None
         self._k = 0
+        self._byte_tracker = None
+        if cfg.frontend.tracker.use_byte_tracker:
+            from .frontend.byte_tracker import ByteTracker
+
+            self._byte_tracker = ByteTracker()
 
     def spin_once(self, images: FrameImages) -> FrontendOutput:
+        if self._byte_tracker is not None:
+            # temporally consistent instance ids (reference --use_byte_tracker)
+            from .frontend.byte_tracker import relabel_mask
+
+            relabelled = relabel_mask(
+                self._byte_tracker, np.asarray(images.mask)
+            )
+            images = images._replace(mask=jnp.asarray(relabelled))
         first = self._k == 0
         prev = self._prev_images if self._prev_images is not None else images
         with stats_mod.timer("frontend.spin"):

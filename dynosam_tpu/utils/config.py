@@ -21,7 +21,13 @@ class TrackerConfig:
     shrink_col: int = 0
     semantic_mask_step_size: int = 4          # frontend.flags
     use_propogate_mask: bool = False          # frontend.flags (sic)
-    use_dynamic_track: bool = False           # frontend.flags
+    # reference frontend.flags defaults this to false (OMD quirk); long
+    # dynamic tracklets are required for the backend's motion chains, so
+    # our default is True
+    use_dynamic_track: bool = True
+    # frames a freed slot stays blocked before reuse (prevents two physical
+    # points aliasing into one backend landmark within a window)
+    slot_cooldown_frames: int = 12
     use_byte_tracker: bool = False            # frontend.flags
     max_feature_track_age: int = 25           # FeatureTracker.cc:227-231
     min_distance_btw_tracked_and_detected_features: float = 8.0
@@ -35,7 +41,10 @@ class TrackerConfig:
 @dataclasses.dataclass(frozen=True)
 class MotionSolverConfig:
     # reference: FrontendParams.yaml camera/object_motion_solver
-    ransac_threshold_pnp: float = 0.2
+    ransac_threshold_pnp: float = 0.2         # OpenGV angular units (unused
+    #                                           by the pixel-space scorer)
+    ransac_threshold_px: float = 2.0          # our reprojection threshold
+    min_inliers: int = 5
     ransac_iterations: int = 500
     ransac_probability: float = 0.995
     ransac_threshold_mono: float = 2e-4       # MotionSolver.cc 2d2d default
@@ -109,8 +118,9 @@ class BackendConfig:
 class CapacityConfig:
     """Fixed capacities for the slot pools (static shapes under jit)."""
 
-    max_static_tracks: int = 1200    # NS: >= max_features_per_frame
-    max_dynamic_tracks: int = 4096   # ND
+    max_static_tracks: int = 2048    # NS: headroom over max_features
+    #                                   for the slot-reuse cooldown
+    max_dynamic_tracks: int = 6144   # ND (incl. cooldown headroom)
     max_objects: int = 16            # O
     max_frames: int = 512            # F cap for full-batch state
 
