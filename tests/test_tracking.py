@@ -179,3 +179,33 @@ def test_tracker_two_frames(rng):
     slot = labels.tolist().index(5)
     d_act = np.asarray(st1.d_active & (st1.d_age > 0))
     assert (np.asarray(st1.d_obj)[d_act] == slot).all()
+
+
+def test_slot_cooldown_blocks_immediate_reuse(rng):
+    """A slot freed when its track dies must not be reassigned within the
+    cooldown window (prevents backend landmark aliasing)."""
+    h, w = 96, 128
+    base = checkerboard(h, w, rng)
+    cfg = TrackerConfig(
+        max_features_per_frame=60,
+        klt_window=11,
+        klt_levels=2,
+        slot_cooldown_frames=5,
+    )
+    st = TrackerState.create(ns=100, nd=64, no=4)
+    zero_flow = jnp.zeros((h, w, 2), jnp.float32)
+    mask = jnp.zeros((h, w), jnp.int32)
+    st, _ = track_frame(st, jnp.asarray(base), jnp.asarray(base), zero_flow,
+                        mask, cfg, use_klt=True, first_frame=True)
+    active0 = np.asarray(st.s_active).copy()
+    # kill all tracks with a garbage frame (KLT fails), forcing deaths
+    noise = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    st1, _ = track_frame(st, jnp.asarray(base), noise, zero_flow, mask, cfg,
+                         use_klt=True, first_frame=False)
+    died = active0 & ~np.asarray(st1.s_active & (st1.s_age > 0))
+    # any re-detections this frame must NOT occupy just-died slots
+    fresh = np.asarray(st1.s_active & (st1.s_age == 0))
+    assert not (fresh & died).any()
+    # cooldown counters set on the dead slots that were not re-used
+    cd = np.asarray(st1.s_cooldown)
+    assert (cd[died & ~fresh] > 0).all()
