@@ -91,15 +91,39 @@ def ate(
     """Absolute trajectory error (translation, meters).  est/gt: (N,4,4)."""
     est = np.asarray(est, np.float64)
     gt = np.asarray(gt, np.float64)
-    est_a = est.copy()
-    if align and est.shape[0] >= 3:
-        s, R, t = umeyama_alignment(est[:, :3, 3], gt[:, :3, 3])
+
+    def apply(sRt):
+        s, R, t = sRt
+        out = est.copy()
         for i in range(est.shape[0]):
-            est_a[i, :3, :3] = R @ est[i, :3, :3]
-            est_a[i, :3, 3] = s * R @ est[i, :3, 3] + t
-    rel = np.einsum("nij,njk->nik", np.linalg.inv(gt), est_a)
-    errs = _trans_err(rel)
-    rot = _rot_err_deg(rel)
+            out[i, :3, :3] = R @ est[i, :3, :3]
+            out[i, :3, 3] = s * R @ est[i, :3, 3] + t
+        return out
+
+    candidates = [est]
+    if align and est.shape[0] >= 3:
+        # Umeyama on positions alone can pick a ~180-deg flipped fit on
+        # near-straight trajectories (the rotation about the path axis is
+        # barely constrained), wrecking the rotation component.  Evaluate
+        # both the Umeyama and the first-pose alignment and keep the one
+        # with the better combined (trans + rot) fit.
+        A = gt[0] @ np.linalg.inv(est[0])
+        candidates = [
+            apply(umeyama_alignment(est[:, :3, 3], gt[:, :3, 3])),
+            apply((1.0, A[:3, :3], A[:3, 3])),
+        ]
+
+    def score(est_a):
+        rel = np.einsum("nij,njk->nik", np.linalg.inv(gt), est_a)
+        errs = _trans_err(rel)
+        rot = _rot_err_deg(rel)
+        combined = float(np.sqrt(np.mean(errs**2))) * (
+            1.0 + float(np.sqrt(np.mean(rot**2))) / 30.0
+        )
+        return combined, errs, rot
+
+    scored = [score(c) for c in candidates]
+    _, errs, rot = min(scored, key=lambda x: x[0])
     return {
         "trans": ErrorStats.from_errors(errs),
         "rot": ErrorStats.from_errors(rot),
