@@ -45,7 +45,7 @@ def _epipolar_rows(p: jax.Array, q: jax.Array) -> jax.Array:
 def essential_from_points(p: jax.Array, q: jax.Array) -> jax.Array:
     """Least-squares essential matrix (..., 3, 3) with rank-2 projection."""
     A = _epipolar_rows(p, q)
-    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A, precision="highest")
     _, vecs = jnp.linalg.eigh(AtA)
     E = vecs[..., :, 0].reshape(*AtA.shape[:-2], 3, 3)
     U, S, Vt = jnp.linalg.svd(E)
@@ -58,8 +58,8 @@ def sampson_error(E: jax.Array, p: jax.Array, q: jax.Array) -> jax.Array:
     """First-order geometric (Sampson) error (..., N) in normalized coords."""
     ph = jnp.concatenate([p, jnp.ones((*p.shape[:-1], 1), p.dtype)], axis=-1)
     qh = jnp.concatenate([q, jnp.ones((*q.shape[:-1], 1), q.dtype)], axis=-1)
-    Ep = jnp.einsum("...ij,...nj->...ni", E, ph)
-    Etq = jnp.einsum("...ji,...nj->...ni", E, qh)
+    Ep = jnp.einsum("...ij,...nj->...ni", E, ph, precision="highest")
+    Etq = jnp.einsum("...ji,...nj->...ni", E, qh, precision="highest")
     num = jnp.einsum("...ni,...ni->...n", qh, Ep) ** 2
     den = (
         Ep[..., 0] ** 2 + Ep[..., 1] ** 2 + Etq[..., 0] ** 2 + Etq[..., 1] ** 2
@@ -138,7 +138,7 @@ def ransac_essential(
     # the epipolar rows too -> weight the rows)
     w_in = inl[best].astype(p.dtype)
     A = _epipolar_rows(p, q) * w_in[:, None]
-    AtA = jnp.einsum("ni,nj->ij", A, A)
+    AtA = jnp.einsum("ni,nj->ij", A, A, precision="highest")
     _, vecs = jnp.linalg.eigh(AtA)
     E_ref = vecs[:, 0].reshape(3, 3)
     U, S, Vt = jnp.linalg.svd(E_ref)

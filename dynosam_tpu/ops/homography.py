@@ -67,7 +67,7 @@ def homography_from_points(
     pn, Tp = _normalize(p, w)
     qn, Tq = _normalize(q, w)
     A = _dlt_rows(pn, qn, w)
-    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A, precision="highest")
     _, vecs = jnp.linalg.eigh(AtA)
     h = vecs[..., :, 0]
     Hn = h.reshape(*h.shape[:-1], 3, 3)
@@ -79,7 +79,7 @@ def homography_from_points(
 def transfer_error(H: jax.Array, p: jax.Array, q: jax.Array) -> jax.Array:
     """Forward transfer error |Hp - q| (..., N)."""
     ph = jnp.concatenate([p, jnp.ones((*p.shape[:-1], 1), p.dtype)], axis=-1)
-    qp = jnp.einsum("...ij,...nj->...ni", H, ph)
+    qp = jnp.einsum("...ij,...nj->...ni", H, ph, precision="highest")
     w = qp[..., 2]
     w_safe = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
     proj = qp[..., :2] / w_safe[..., None]

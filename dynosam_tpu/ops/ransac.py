@@ -67,7 +67,8 @@ def procrustes(src: jax.Array, dst: jax.Array, w: jax.Array) -> SE3:
     src0 = src - c_src[..., None, :]
     dst0 = dst - c_dst[..., None, :]
     # covariance H = sum w dst0 src0^T  (3x3)
-    Hcov = jnp.einsum("...n,...ni,...nj->...ij", wn, dst0, src0)
+    Hcov = jnp.einsum("...n,...ni,...nj->...ij", wn, dst0, src0,
+                      precision="highest")
     U, _, Vt = jnp.linalg.svd(Hcov)
     det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
     D = jnp.concatenate(
@@ -77,8 +78,9 @@ def procrustes(src: jax.Array, dst: jax.Array, w: jax.Array) -> SE3:
         ],
         axis=-1,
     )
-    R = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt)
-    t = c_dst - jnp.einsum("...ij,...j->...i", R, c_src)
+    R = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt,
+                   precision="highest")
+    t = c_dst - jnp.einsum("...ij,...j->...i", R, c_src, precision="highest")
     return SE3(R, t)
 
 
@@ -130,12 +132,14 @@ def ransac_rigid(
         if reproj:
             # broadcast: T batch (K,), src (N,3) -> (K, N, 3): R^T (src - t)
             p_cam = jnp.einsum("kij,knj->kni", jnp.swapaxes(T.R, -1, -2),
-                               src[None] - T.t[:, None, :])
+                               src[None] - T.t[:, None, :],
+                               precision="highest")
             pred, z = project_local(cam, p_cam)
             err = jnp.linalg.norm(pred - uv[None], axis=-1)
             err = jnp.where(z > 0.05, err, jnp.inf)
         else:
-            moved = jnp.einsum("kij,nj->kni", T.R, src) + T.t[:, None, :]
+            moved = jnp.einsum("kij,nj->kni", T.R, src,
+                               precision="highest") + T.t[:, None, :]
             err = jnp.linalg.norm(moved - dst[None], axis=-1)
         return err                                              # (K, N)
 
@@ -171,8 +175,9 @@ def ransac_rigid(
 
         J = jax.jacfwd(res_fn)(jnp.zeros(6, src.dtype))          # (D, 6)
         Jw = J * w2[:, None]
-        A = Jw.T @ J + 1e-6 * jnp.eye(6, dtype=src.dtype)
-        g = Jw.T @ r
+        mm = lambda a, b: jnp.matmul(a, b, precision="highest")
+        A = mm(Jw.T, J) + 1e-6 * jnp.eye(6, dtype=src.dtype)
+        g = mm(Jw.T, r[:, None])[:, 0]
         xi = jnp.linalg.solve(A, -g)
         return se3_retract(T, xi), None
 
