@@ -33,7 +33,8 @@ def _conv2(img: jax.Array, kernel: jax.Array) -> jax.Array:
     x = img[None, :, :, None]
     k = kernel[:, :, None, None]
     out = jax.lax.conv_general_dilated(
-        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0, :, :, 0]
 

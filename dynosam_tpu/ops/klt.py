@@ -25,8 +25,16 @@ def gaussian_blur(img: jax.Array) -> jax.Array:
     kv = k[:, None, None, None]
     kh = k[None, :, None, None]
     dn = ("NHWC", "HWIO", "NHWC")
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "SAME", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME", dimension_numbers=dn)
+    # full precision: bf16-class conv accumulation shifts pyramid levels
+    # enough to bias sub-pixel KLT (and thus ego-motion) on TPU
+    x = jax.lax.conv_general_dilated(
+        x, kv, (1, 1), "SAME", dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), "SAME", dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return x[0, :, :, 0]
 
 
