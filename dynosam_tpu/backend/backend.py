@@ -145,6 +145,16 @@ def optimize_window_jit(
         }
         result = result._replace(values=full_values)
         return result, masks
+    if updater == 0 and cfg.use_schur and window <= cfg.schur_max_window:
+        # direct reduced solver: exact landmark elimination + dense Cholesky
+        # over {X, H} each LM iteration (backend/schur.py)
+        from . import schur
+
+        values = fm.init_values(w, masks, cfg, prev=prev, prev_mask=prev_mask)
+        result = schur.lm_optimize_schur(
+            values, w, masks, cfg, lm_cfg, anchor_pose
+        )
+        return result, masks
     if updater == 0:
         values = fm.init_values(w, masks, cfg, prev=prev, prev_mask=prev_mask)
         spec = fm.world_motion_families(cfg)

@@ -27,9 +27,11 @@ truth); the end-to-end reduced LM (`use_varpro=True`) is experimental and
 default-OFF: from an identity-H init the eliminated points zero the
 informative ternary residuals and the Huber-crushed observation gradients
 converge slowly, and differentiating through the scan-based tridiagonal
-solve makes CG products expensive.  Round-2 plan: use the elimination as a
-*direct* reduced-system solver (explicit 6x6-block reduced Hessian over
-{X, H} + dense Cholesky) instead of routing it through matrix-free CG.
+solve makes CG products expensive.  The direct reduced-system solver this
+pointed at now exists as `backend/schur.py` (explicit landmark elimination
+per LM iteration + dense Cholesky over {X, H}) and is the default window
+solver; this module remains as the closed-form elimination primitives and
+the experimental true-VarPro outer problem.
 """
 
 from __future__ import annotations

@@ -94,6 +94,14 @@ class BackendConfig:
     # Schur-eliminated (variable projection) reduced solve over {X, H};
     # landmarks recovered in closed form (backend/varpro.py)
     use_varpro: bool = False
+    # Direct reduced solver: eliminate landmark blocks exactly per LM
+    # iteration and solve the dense {X, H} reduced system by Cholesky
+    # (backend/schur.py) instead of matrix-free PCG.  ~4.5x faster to
+    # convergence on window-10 solves (TPU v5e, BENCH_NOTES); windows
+    # larger than `schur_max_window` (full-batch long sequences) fall
+    # back to PCG, whose memory footprint is O(variables) not O(W^2).
+    use_schur: bool = True
+    schur_max_window: int = 16
     # Formulation gating (Formulation.hpp:117-121)
     min_static_observations: int = 2
     min_dynamic_observations: int = 3

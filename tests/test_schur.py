@@ -1,0 +1,140 @@
+"""Direct reduced (Schur) solver tests.
+
+The damped step from landmark elimination + dense Cholesky must equal the
+dense reference solve of the SAME damped normal equations; and the Schur LM
+driver must converge on the simulator scenario like the PCG path does
+(analog of reference `test_rgbd_backend.cc` convergence checks).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynosam_tpu.backend import formulation as fm
+from dynosam_tpu.backend import schur
+from dynosam_tpu.backend.backend import RGBDBackend
+from dynosam_tpu.backend.map import MeasurementMap, slice_window, update_map
+from dynosam_tpu.backend.solver import dense_normal_solve, retract_tree
+from dynosam_tpu.core import lie
+from dynosam_tpu.ops.robust import robust_sqrt_weights
+from dynosam_tpu.testing.simulator import Scenario, ScenarioConfig
+from dynosam_tpu.utils.config import BackendConfig, CapacityConfig
+
+from test_backend import motion_errors, small_caps
+
+
+def make_problem(**cfg_kw):
+    scfg = ScenarioConfig(
+        n_frames=8, n_static=30, n_objects=2, pts_per_object=10,
+        ns=40, nd=32, no=4, point_noise=0.02,
+    )
+    sc = Scenario(scfg)
+    m = MeasurementMap.create(8, 40, 32, 4)
+    for k, pkt in enumerate(sc.frontend_outputs()):
+        m = update_map(m, pkt, k)
+    w = slice_window(m, 0, 8)
+    # soften the ternary sigma so the f32 weight cap is INACTIVE and the
+    # Schur step is algebraically identical to the dense reference
+    cfg = BackendConfig(motion_ternary_factor_noise_sigma=0.05, **cfg_kw)
+    masks = fm.build_masks(w, cfg)
+    return sc, scfg, w, masks, cfg
+
+
+def test_schur_step_matches_dense():
+    sc, scfg, w, masks, cfg = make_problem()
+    anchor = w.X_init[0]
+    vals = fm.init_values(w, masks, cfg)
+    spec = fm.world_motion_families(cfg)
+
+    def resid(v):
+        return fm.world_motion_residuals(v, w, masks, cfg, anchor)
+
+    lam = 1e-3
+    res0 = resid(vals)
+    sqrt_w = [
+        robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
+        else jnp.ones(r.shape[:-1], r.dtype)
+        for r, s in zip(res0, spec.robust)
+    ]
+    sys = schur.build_normal_system(vals, sqrt_w, w, masks, cfg, anchor, res0)
+    delta = schur.schur_step(sys, jnp.asarray(lam, jnp.float32), 1e-6)
+    got = retract_tree(vals, delta)
+    want, _ = dense_normal_solve(resid, spec.robust, vals, lam)
+
+    np.testing.assert_allclose(
+        np.asarray(got["X"].t), np.asarray(want["X"].t), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["X"].R), np.asarray(want["X"].R), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["H"].t), np.asarray(want["H"].t), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["sp"]), np.asarray(want["sp"]), atol=2e-3
+    )
+    # only compare dynamic points that participate in the problem
+    ok = np.asarray(masks.dyn_obs)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(got["dp"]) * ok, np.asarray(want["dp"]) * ok, atol=5e-3
+    )
+
+
+def test_schur_step_reduces_cost():
+    """With the reference's true (tiny) ternary sigma the weight cap IS
+    active; the step must still decrease the true robust cost."""
+    sc, scfg, w, masks, cfg = make_problem()
+    cfg = BackendConfig()  # true sigmas, cap active
+    masks = fm.build_masks(w, cfg)
+    anchor = w.X_init[0]
+    vals = fm.init_values(w, masks, cfg)
+    spec = fm.world_motion_families(cfg)
+
+    def resid(v):
+        return fm.world_motion_residuals(v, w, masks, cfg, anchor)
+
+    from dynosam_tpu.backend.solver import total_error
+
+    res0 = resid(vals)
+    err0 = float(total_error(res0, spec.robust))
+    sqrt_w = [
+        robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
+        else jnp.ones(r.shape[:-1], r.dtype)
+        for r, s in zip(res0, spec.robust)
+    ]
+    sys = schur.build_normal_system(vals, sqrt_w, w, masks, cfg, anchor, res0)
+    delta = schur.schur_step(sys, jnp.asarray(1e-4, jnp.float32), 1e-6)
+    new_vals = retract_tree(vals, delta)
+    err1 = float(total_error(resid(new_vals), spec.robust))
+    assert np.isfinite(err1)
+    assert err1 < err0, (err0, err1)
+
+
+def test_backend_schur_converges():
+    scfg = ScenarioConfig(n_frames=12)
+    scenario = Scenario(scfg)
+    cfg = BackendConfig(
+        use_full_batch_opt=True,
+        use_schur=True,
+        lm_max_iterations=25,
+    )
+    backend = RGBDBackend(cfg, small_caps(scfg))
+    for pkt in scenario.frontend_outputs():
+        backend.spin(pkt)
+    backend.finish()
+
+    res = backend.last_result
+    assert res is not None
+    assert float(res.error) < float(res.initial_error)
+
+    X_est, xvalid = backend.camera_poses()
+    assert bool(np.asarray(xvalid)[: scfg.n_frames].all())
+    rel_est = lie.se3_between(X_est[0], X_est[scfg.n_frames - 1])
+    rel_gt = lie.se3_between(
+        scenario.X_gt[0], scenario.X_gt[scfg.n_frames - 1]
+    )
+    drift = np.asarray(lie.se3_local(rel_gt, rel_est))
+    assert np.linalg.norm(drift[3:]) < 0.15, drift
+
+    errs = motion_errors(backend, scenario, scfg)
+    assert errs.shape[0] > 0
+    assert np.median(errs) < 0.08, errs
