@@ -52,6 +52,16 @@ def _solve_windows(m: MeasurementMap, starts: jax.Array, window: int,
         w = slice_window(m, start, window)
         masks = fm.build_masks(w, cfg)
         values = fm.init_values(w, masks, cfg)
+        if cfg.use_schur and window <= cfg.schur_max_window:
+            # direct reduced solver vmaps over windows like everything else:
+            # the block-Thomas scans and the dense Cholesky simply gain a
+            # leading window axis (see backend/schur.py)
+            from .schur import lm_optimize_schur
+
+            res = lm_optimize_schur(
+                values, w, masks, cfg, lm_cfg, w.X_init[0]
+            )
+            return res.values, res.error, res.initial_error, masks
         spec = fm.world_motion_families(cfg)
         resid = lambda v: fm.world_motion_residuals(v, w, masks, cfg)
         gn_diag = lambda v, sw: fm.world_motion_gn_diag(v, sw, w, masks, cfg)
