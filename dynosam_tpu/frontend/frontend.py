@@ -58,6 +58,7 @@ class FrontendState(NamedTuple):
     obj_pose_valid: jax.Array
     obj_H_prev: SE3         # (O,) last frame's object motions (const-vel model)
     obj_H_prev_valid: jax.Array
+    obj_static: jax.Array   # (O,) object classified static by scene flow at k-1
     frame_idx: jax.Array
 
     @staticmethod
@@ -73,6 +74,7 @@ class FrontendState(NamedTuple):
             obj_pose_valid=jnp.zeros((no,), bool),
             obj_H_prev=se3_identity((no,), dtype),
             obj_H_prev_valid=jnp.zeros((no,), bool),
+            obj_static=jnp.zeros((no,), bool),
             frame_idx=jnp.asarray(0, jnp.int32),
         )
 
@@ -131,14 +133,36 @@ def frontend_step(
     # ---------------- ego motion (`solveCameraMotion`)
     key_e, key_o = jax.random.split(key)
     ego_corr = s_obs_ok & (trk.s_age > 0) & state.s_lmk_valid
+    ns_pool = ego_corr.shape[0]
+    no = trk.obj_labels.shape[0]
+    # points of objects that scene flow classified STATIC at k-1 join the
+    # ego solve (the reference demotes such "dynamic" features to the static
+    # set, `vision_tools::trackDynamic` / VisionTools.cc demotion rule)
+    if cfg.use_static_object_points_for_ego and not first_frame:
+        d_obj_c = jnp.clip(trk.d_obj, 0, no - 1)
+        demoted = (
+            (trk.d_obj >= 0)
+            & state.obj_static[d_obj_c]
+            & d_obs_ok
+            & (trk.d_age > 0)
+            & state.d_lmk_valid
+        )
+        ego_lmk = jnp.concatenate([state.s_lmk, state.d_lmk], axis=0)
+        ego_uv = jnp.concatenate([trk.s_uv, trk.d_uv], axis=0)
+        ego_xyz = jnp.concatenate([s_xyz, d_xyz], axis=0)
+        ego_valid = jnp.concatenate([ego_corr, demoted], axis=0)
+    else:
+        ego_lmk, ego_uv, ego_xyz, ego_valid = (
+            state.s_lmk, trk.s_uv, s_xyz, ego_corr
+        )
     if cfg.use_ego_motion_pnp:
         # 3d-2d PnP (Kneip path, the RGB-D default)
         ego = ransac_pose_3d2d(
             key_e,
-            state.s_lmk,
-            trk.s_uv,
-            s_xyz,
-            ego_corr,
+            ego_lmk,
+            ego_uv,
+            ego_xyz,
+            ego_valid,
             cam,
             iters=cfg.camera_solver.ransac_iterations,
             threshold_px=cfg.camera_solver.ransac_threshold_px,
@@ -150,9 +174,9 @@ def frontend_step(
 
         ego = ransac_rigid(
             key_e,
-            src=s_xyz,
-            dst=state.s_lmk,
-            valid=ego_corr,
+            src=ego_xyz,
+            dst=ego_lmk,
+            valid=ego_valid,
             iters=cfg.camera_solver.ransac_iterations,
             threshold=cfg.camera_solver.ransac_threshold_stereo * 100.0,
             min_inliers=5,
@@ -177,7 +201,7 @@ def frontend_step(
             prev_uv_s,
             prev_d,
             trk.s_uv - prev_uv_s,
-            ego.inliers & prev_dok,
+            ego.inliers[:ns_pool] & prev_dok,
         )
         X_k = SE3(
             jnp.where(ego_ok, fp.pose.R, X_k.R),
@@ -190,7 +214,6 @@ def frontend_step(
     m_cur_w = se3_apply(X_k, d_xyz)
     sf = jnp.linalg.norm(m_cur_w - state.d_lmk, axis=-1)
     is_static_pt = sf < cfg.scene_flow_mag_threshold
-    no = trk.obj_labels.shape[0]
     obj_of = jnp.where(prop, trk.d_obj, -1)
     onehot = jax.nn.one_hot(obj_of, no, dtype=s_xyz.dtype)     # (ND, O)
     n_per_obj = jnp.einsum("no->o", onehot)
@@ -200,6 +223,15 @@ def frontend_step(
         trk.obj_active
         & (n_per_obj >= cfg.min_dynamic_features_per_object)
         & (frac_static <= cfg.scene_flow_percentage)
+    )
+    # positively-classified STATIC objects (enough observations, mostly
+    # static scene flow) feed next frame's ego solve; re-promotes to
+    # dynamic automatically as soon as the flow says otherwise
+    obj_static_new = (
+        trk.obj_active
+        & (n_per_obj >= cfg.min_dynamic_features_per_object)
+        & (frac_static > cfg.scene_flow_percentage)
+        & (not first_frame)
     )
 
     # ---------------- object motions (`solveObjectMotions`), vmapped
@@ -357,6 +389,7 @@ def frontend_step(
         obj_pose_valid=pose_valid,
         obj_H_prev=H_all,
         obj_H_prev_valid=motion_valid,
+        obj_static=obj_static_new,
         frame_idx=state.frame_idx + 1,
     )
     return new_state, packet, report, ego

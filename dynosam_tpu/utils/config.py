@@ -67,6 +67,10 @@ class FrontendConfig:
     refinement_3d_outlier_reject: bool = True
     min_dynamic_features_per_object: int = 30  # VisionTools.cc demotion rule
     scene_flow_percentage: float = 0.5
+    # objects classified static by scene flow contribute their points to the
+    # NEXT frame's ego-motion solve (reference demotes such features to the
+    # static set rather than discarding them)
+    use_static_object_points_for_ego: bool = True
     use_motion_model_gating: bool = False      # motionModelOutlierRejection3d2d
     motion_model_threshold_px: float = 10.0
     camera_solver: MotionSolverConfig = dataclasses.field(default_factory=MotionSolverConfig)

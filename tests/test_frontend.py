@@ -90,3 +90,59 @@ def test_frontend_emits_valid_packets(scene):
     # depth-consistent backprojections
     xyz = np.asarray(pkt.static_obs.xyz)[np.asarray(pkt.static_obs.valid)]
     assert (xyz[:, 2] > 0).all()
+
+
+def test_static_object_demotion_feeds_ego():
+    """A zero-motion object must be classified static, excluded from the
+    dynamic packet, and its points must join the ego solve (demotion to the
+    static set, `vision_tools::trackDynamic` / VisionTools.cc rule)."""
+    cfg_r = RenderConfig(n_frames=5, obj_step=0.0)
+    sc = RenderedScene(cfg_r)
+    frames = sc.frames()
+    tcfg = TrackerConfig(
+        max_features_per_frame=300,
+        klt_window=13,
+        klt_levels=2,
+        semantic_mask_step_size=4,
+    )
+    cfg = FrontendConfig(tracker=tcfg, min_dynamic_features_per_object=20)
+    st = FrontendState.create(ns=400, nd=1024, no=8)
+    prev = frames[0]
+    inliers_per_frame = []
+    for k, img in enumerate(frames):
+        st, pkt, rep, ego = frontend_step(
+            st, prev, img, sc.cam, cfg,
+            jax.random.PRNGKey(k), use_klt=True, first_frame=(k == 0),
+        )
+        inliers_per_frame.append(int(np.asarray(ego.n_inliers)))
+        prev = img
+        if k >= 2:
+            # object classified static...
+            assert bool(np.asarray(st.obj_static).any()), k
+            # ...and therefore absent from the dynamic packet
+            assert not bool(np.asarray(pkt.objects.motion_valid).any()), k
+            assert int(np.asarray(pkt.dynamic_obs.valid).sum()) == 0, k
+        # ego stays accurate with the demoted points included
+        if k >= 1:
+            err = np.asarray(lie.se3_local(sc.X_gt[k], pkt.X_world))
+            assert np.linalg.norm(err[3:]) < 0.05, (k, err)
+
+    # once demotion kicks in (frame >= 3 uses frame-2 classification), the
+    # ego solve should see MORE inliers than the static pool alone provided
+    cfg_off = FrontendConfig(
+        tracker=tcfg, min_dynamic_features_per_object=20,
+        use_static_object_points_for_ego=False,
+    )
+    st2 = FrontendState.create(ns=400, nd=1024, no=8)
+    prev = frames[0]
+    inliers_off = []
+    for k, img in enumerate(frames):
+        st2, pkt2, rep2, ego2 = frontend_step(
+            st2, prev, img, sc.cam, cfg_off,
+            jax.random.PRNGKey(k), use_klt=True, first_frame=(k == 0),
+        )
+        inliers_off.append(int(np.asarray(ego2.n_inliers)))
+        prev = img
+    assert max(inliers_per_frame[3:]) > max(inliers_off[3:]), (
+        inliers_per_frame, inliers_off,
+    )
