@@ -138,3 +138,38 @@ def test_backend_schur_converges():
     errs = motion_errors(backend, scenario, scfg)
     assert errs.shape[0] > 0
     assert np.median(errs) < 0.08, errs
+
+
+def test_chain_solve_matches_dense():
+    """Block-Thomas with matrix RHS == dense solve of the assembled
+    block-tridiagonal system, for every track at once."""
+    rng = np.random.default_rng(0)
+    W, N, M = 5, 3, 4
+    # SPD block-tridiagonal per track: G = C C^T + I with C block-bidiagonal
+    A = np.zeros((W, N, 3, 3), np.float32)
+    B = np.zeros((W, N, 3, 3), np.float32)
+    rhs = rng.normal(size=(W, N, 3, M)).astype(np.float32)
+    dense = np.zeros((N, 3 * W, 3 * W), np.float32)
+    for n in range(N):
+        C = np.zeros((3 * W, 3 * W))
+        for k in range(W):
+            C[3 * k : 3 * k + 3, 3 * k : 3 * k + 3] = rng.normal(size=(3, 3))
+            if k > 0:
+                C[3 * k : 3 * k + 3, 3 * k - 3 : 3 * k] = rng.normal(
+                    size=(3, 3)
+                )
+        G = C @ C.T + np.eye(3 * W)
+        dense[n] = G
+        for k in range(W):
+            A[k, n] = G[3 * k : 3 * k + 3, 3 * k : 3 * k + 3]
+            if k > 0:
+                # B[k] is the (row k-1, col k) block
+                B[k, n] = G[3 * k - 3 : 3 * k, 3 * k : 3 * k + 3]
+    got = np.asarray(
+        schur.chain_solve(jnp.asarray(A), jnp.asarray(B), jnp.asarray(rhs))
+    )
+    for n in range(N):
+        want = np.linalg.solve(
+            dense[n], rhs[:, n].reshape(3 * W, M)
+        ).reshape(W, 3, M)
+        np.testing.assert_allclose(got[:, n], want, rtol=2e-4, atol=2e-4)
