@@ -30,7 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.lie import SE3, se3_compose, se3_identity, se3_inverse
+from ..core.lie import (
+    SE3,
+    se3_compose,
+    se3_exp,
+    se3_identity,
+    se3_inverse,
+    se3_log,
+)
 from ..core.types import FrontendOutput
 from ..utils.config import BackendConfig, CapacityConfig
 from . import formulation as fm
@@ -145,14 +152,21 @@ def optimize_window_jit(
         }
         result = result._replace(values=full_values)
         return result, masks
-    if updater == 0 and cfg.use_schur and window <= cfg.schur_max_window:
+    if cfg.use_schur and window <= cfg.schur_max_window:
         # direct reduced solver: exact landmark elimination + dense Cholesky
-        # over {X, H} each LM iteration (backend/schur.py)
+        # over {X, H|L} each LM iteration (backend/schur.py) — both
+        # formulations, matching the reference's treatment of updater 0/1
+        # as first-class (`WorldMotionEstimator.cc` / `WorldPoseEstimator.cc`)
         from . import schur
 
-        values = fm.init_values(w, masks, cfg, prev=prev, prev_mask=prev_mask)
+        if updater == 0:
+            values = fm.init_values(w, masks, cfg, prev=prev, prev_mask=prev_mask)
+        else:
+            values = fm.init_values_world_pose(
+                w, masks, cfg, prev=prev, prev_mask=prev_mask
+            )
         result = schur.lm_optimize_schur(
-            values, w, masks, cfg, lm_cfg, anchor_pose
+            values, w, masks, cfg, lm_cfg, anchor_pose, formulation=updater
         )
         return result, masks
     if updater == 0:
@@ -161,7 +175,9 @@ def optimize_window_jit(
         resid = lambda v: fm.world_motion_residuals(v, w, masks, cfg, anchor_pose)
         gn_diag = lambda v, sw: fm.world_motion_gn_diag(v, sw, w, masks, cfg)
     else:
-        values = fm.init_values_world_pose(w, masks, cfg)
+        values = fm.init_values_world_pose(
+            w, masks, cfg, prev=prev, prev_mask=prev_mask
+        )
         spec = fm.world_pose_families(cfg)
         resid = lambda v: fm.world_pose_residuals(v, w, masks, cfg, anchor_pose)
         gn_diag = lambda v, sw: fm.world_pose_gn_diag(v, sw, w, masks, cfg)
@@ -248,17 +264,19 @@ class RGBDBackend:
         # warm start from the estimate store (theta_ carry-over): overlap
         # frames re-use previously optimized values
         prev = prev_mask = None
-        if use_anchor and self.cfg.backend_updater_enum == 0:
+        if use_anchor:
             sl = slice(start, start + window)
+            pose_key = "H" if self.cfg.backend_updater_enum == 0 else "L"
+            pose_est = self.est.H if pose_key == "H" else self.est.L
             prev = {
                 "X": self.est.X[sl],
-                "H": SE3(self.est.H.R[sl], self.est.H.t[sl]),
+                pose_key: SE3(pose_est.R[sl], pose_est.t[sl]),
                 "sp": self.est.static_points,
                 "dp": self.est.dyn_points[sl],
             }
             prev_mask = {
                 "X": self.est.X_valid[sl],
-                "H": self.est.motion_valid[sl],
+                pose_key: self.est.motion_valid[sl],
                 "sp": self.est.static_valid,
                 "dp": self.est.dyn_valid[sl],
             }
@@ -332,35 +350,14 @@ class RGBDBackend:
         """Propagate L_k = H_k L_{k-1} from centroid init, the analog of
         `WorldMotionAccessor::postUpdateCallback`
         (`src/backend/rgbd/WorldMotionEstimator.cc:68-152`) +
-        `propogateObjectPoses` (`src/common/DynamicObjects.cc:48-160`)."""
+        `propogateObjectPoses` (`src/common/DynamicObjects.cc:48-160`),
+        including the reference's <3-frame slerp interpolation gap-fill."""
         if self.cfg.backend_updater_enum == 1:
             return self.est.L, self.est.motion_valid
-        H, hvalid = self.est.H, self.est.motion_valid
-        F, O = hvalid.shape
         centroids, cvalid = self.object_centroids()
-        L_R = np.tile(np.eye(3, dtype=np.float32), (F, O, 1, 1))
-        L_t = np.zeros((F, O, 3), np.float32)
-        lvalid = np.zeros((F, O), bool)
-        Hn_R, Hn_t = np.asarray(H.R), np.asarray(H.t)
-        hv = np.asarray(hvalid)
-        cen = np.asarray(centroids)
-        cv = np.asarray(cvalid)
-        for j in range(O):
-            have = False
-            for k in range(F):
-                if not have:
-                    if cv[k, j]:
-                        L_t[k, j] = cen[k, j]
-                        lvalid[k, j] = True
-                        have = True
-                elif hv[k, j]:
-                    R_prev, t_prev = L_R[k - 1, j], L_t[k - 1, j]
-                    L_R[k, j] = Hn_R[k, j] @ R_prev
-                    L_t[k, j] = Hn_R[k, j] @ t_prev + Hn_t[k, j]
-                    lvalid[k, j] = lvalid[k - 1, j]
-                else:
-                    have = False
-        return SE3(jnp.asarray(L_R), jnp.asarray(L_t)), jnp.asarray(lvalid)
+        return propagate_object_poses(
+            self.est.H, self.est.motion_valid, centroids, cvalid
+        )
 
     def object_centroids(self):
         """Per (frame, object) centroid of optimized dynamic points
@@ -374,6 +371,106 @@ class RGBDBackend:
         sums = jnp.einsum("fnd,fno->fod", dp, onehot)
         cent = sums / jnp.maximum(counts[..., None], 1.0)
         return cent, counts > 0
+
+
+@jax.jit
+def propagate_object_poses(H: SE3, hvalid, cen, cvalid, max_gap: int = 3):
+    """Batched `propogateObjectPoses` (`src/common/DynamicObjects.cc:48-191`)
+    over all (frame, object) slots: two `lax.scan`s replace the reference's
+    per-object std::map walk (and round 1's host-side double loop).
+
+    Forward scan: propagate L_k = H_k L_{k-1}; on a motion resuming after a
+    gap < `max_gap` frames, restart from (last rotation, current centroid) —
+    the slerp endpoint of the reference's interpolation; longer gaps
+    re-initialise from the centroid.  Backward scan: slerp-fill the interior
+    frames of every short gap between the last recorded pose and the
+    resumption pose (`Pose3::slerp`, DynamicObjects.cc:160-178).
+    """
+    F, O = hvalid.shape
+    dtype = H.t.dtype
+    eye = jnp.eye(3, dtype=dtype)
+    big = jnp.asarray(10 * F, jnp.int32)
+
+    def fwd(carry, inp):
+        have, R_p, t_p, age, R_last, t_last, f_last = carry
+        R_H, t_H, hv, cenk, cv, k = inp
+        prop = have & hv
+        resume = (~have) & hv & (age < max_gap) & (f_last >= 0) & cv
+        start = (~have) & (~resume) & cv
+        valid = prop | resume | start
+        R_new = jnp.where(
+            prop[:, None, None],
+            jnp.einsum("oij,ojk->oik", R_H, R_p, precision="highest"),
+            jnp.where(resume[:, None, None], R_last, eye),
+        )
+        t_prop = (
+            jnp.einsum("oij,oj->oi", R_H, t_p, precision="highest") + t_H
+        )
+        t_new = jnp.where(
+            prop[:, None], t_prop,
+            jnp.where((resume | start)[:, None], cenk, 0.0),
+        )
+        out = (R_new, t_new, valid, resume, R_last, t_last, f_last)
+        R_lo = jnp.where(valid[:, None, None], R_new, R_last)
+        t_lo = jnp.where(valid[:, None], t_new, t_last)
+        f_lo = jnp.where(valid, k, f_last)
+        age_o = jnp.where(valid, 0, age + 1)
+        return (valid, R_new, t_new, age_o, R_lo, t_lo, f_lo), out
+
+    init = (
+        jnp.zeros(O, bool),
+        jnp.broadcast_to(eye, (O, 3, 3)),
+        jnp.zeros((O, 3), dtype),
+        jnp.full((O,), big, jnp.int32),
+        jnp.broadcast_to(eye, (O, 3, 3)),
+        jnp.zeros((O, 3), dtype),
+        jnp.full((O,), -1, jnp.int32),
+    )
+    ks = jnp.arange(F, dtype=jnp.int32)
+    _, (L_R, L_t, valid, resume, R_l, t_l, f_l) = jax.lax.scan(
+        fwd, init, (H.R, H.t, hvalid, cen, cvalid, ks)
+    )
+
+    # ---- backward slerp fill of short-gap interiors
+    def bwd(carry, inp):
+        active, R0, t0, R1, t1, f0, f1 = carry
+        R_k, t_k, vk, rk, R_lk, t_lk, f_lk, k = inp
+        # entering a resume frame: remember (last pose, resume pose, frames)
+        act_n = jnp.where(rk, True, jnp.where(vk, False, active))
+        R0n = jnp.where(rk[:, None, None], R_lk, R0)
+        t0n = jnp.where(rk[:, None], t_lk, t0)
+        R1n = jnp.where(rk[:, None, None], R_k, R1)
+        t1n = jnp.where(rk[:, None], t_k, t1)
+        f0n = jnp.where(rk, f_lk, f0)
+        f1n = jnp.where(rk, k, f1)
+        fill = act_n & (~vk) & (k > f0n) & (k < f1n)
+        t = (k - f0n).astype(dtype) / jnp.maximum(
+            (f1n - f0n).astype(dtype), 1.0
+        )
+        X0 = SE3(R0n, t0n)
+        xi = se3_compose(se3_inverse(X0), SE3(R1n, t1n))
+        Xi = se3_exp(t[:, None] * se3_log(xi))
+        Xf = se3_compose(X0, Xi)
+        R_out = jnp.where(fill[:, None, None], Xf.R, R_k)
+        t_out = jnp.where(fill[:, None], Xf.t, t_k)
+        return (act_n, R0n, t0n, R1n, t1n, f0n, f1n), (
+            R_out, t_out, vk | fill,
+        )
+
+    init_b = (
+        jnp.zeros(O, bool),
+        jnp.broadcast_to(eye, (O, 3, 3)),
+        jnp.zeros((O, 3), dtype),
+        jnp.broadcast_to(eye, (O, 3, 3)),
+        jnp.zeros((O, 3), dtype),
+        jnp.full((O,), -1, jnp.int32),
+        jnp.full((O,), -1, jnp.int32),
+    )
+    _, (R_f, t_f, valid_f) = jax.lax.scan(
+        bwd, init_b, (L_R, L_t, valid, resume, R_l, t_l, f_l, ks),
+        reverse=True,
+    )
+    return SE3(R_f, t_f), valid_f
 
 
 def _backend_state_pytree(backend: "RGBDBackend"):

@@ -404,11 +404,35 @@ def world_pose_residuals(
 
 
 def init_values_world_pose(
-    w: WindowData, masks: WindowMasks, cfg: BackendConfig
+    w: WindowData,
+    masks: WindowMasks,
+    cfg: BackendConfig,
+    prev: dict | None = None,
+    prev_mask: dict | None = None,
 ) -> dict:
-    """Initial L from frontend-propagated object poses; X/points as usual."""
+    """Initial L from frontend-propagated object poses; X/points as usual.
+
+    `prev`/`prev_mask` warm-start overlap frames from previously optimized
+    estimates (keys X, L, sp, dp) — the updater-1 analog of the reference
+    Formulation's persistent `theta_` carry-over
+    (`src/backend/rgbd/WorldPoseEstimator.cc:84-286`).
+    """
     vals = init_values(w, masks, cfg)
-    return {"X": vals["X"], "L": w.obj_pose_init, "sp": vals["sp"], "dp": vals["dp"]}
+    vals = {
+        "X": vals["X"], "L": w.obj_pose_init,
+        "sp": vals["sp"], "dp": vals["dp"],
+    }
+    if prev is not None:
+        def merge(new, old, m):
+            if isinstance(new, SE3):
+                return SE3(
+                    jnp.where(m[..., None, None], old.R, new.R),
+                    jnp.where(m[..., None], old.t, new.t),
+                )
+            return jnp.where(m[..., None], old, new)
+
+        vals = {k: merge(vals[k], prev[k], prev_mask[k]) for k in vals}
+    return vals
 
 
 # --------------------------------------------------------------------------

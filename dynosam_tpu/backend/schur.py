@@ -1,35 +1,47 @@
-"""Direct reduced (Schur-complement) solver for the WorldMotion window.
+"""Direct reduced (Schur-complement) solver for backend windows.
 
 The round-1 matrix-free LM runs preconditioned CG over the FULL variable set
-{X, H, sp, dp} (~16k dims for a 10-frame window at capacity).  This module
+{X, H|L, sp, dp} (~16k dims for a 10-frame window at capacity).  This module
 implements the classical bundle-adjustment alternative the reference gets
 from gtsam's sparse elimination (`gtsam::LevenbergMarquardtOptimizer` with
 COLAMD ordering, `src/backend/RGBDBackendModule.cc:201-234`): eliminate the
 landmark blocks in closed form and solve the small dense reduced system over
-the poses/motions only.
+the poses/motions only.  Both reference formulations are supported:
+
+  * **WorldMotion** (updater 0, `src/backend/rgbd/WorldMotionEstimator.cc`)
+    — reduced variables {X_k, H_k^j}.
+  * **WorldPose** (updater 1, `src/backend/rgbd/WorldPoseEstimator.cc:84-286`)
+    — reduced variables {X_k, L_k^j}; the LandmarkMotionPose factor couples
+    each dynamic-point chain row to TWO object poses (L_{k-1}, L_k), and the
+    LandmarkPoseSmoothing triplet adds bandwidth-2 pose-pose blocks.
 
 TPU shape of the elimination (no sparse matrices, no orderings):
 
-  * Exact per-factor Jacobian blocks come from `jax.jacfwd` of each factor
-    residual wrt zero tangents, vmapped over the (frame x slot) factor grid —
-    by construction consistent with the `se3_retract` parametrization the
-    rest of the solver uses.
+  * Per-factor Jacobian blocks of the POINT families (the large grids) are
+    hand-derived closed forms — e.g. pose-to-point wrt the pose tangent is
+    ``[hat(y) | -I]`` with ``y`` the point in the camera frame — consistent
+    with the `se3_retract` right-perturbation used by the solver.  (They
+    were verified against per-factor `jax.jacfwd`, which they replaced: the
+    vmapped AD builds dominated compile time, BENCH_NOTES.)  Only the tiny
+    pose-pose families (odometry / anchor / smoothing grids) keep `jacfwd`.
   * Static points have independent 3x3 normal blocks -> a batched 3x3 solve
     eliminates all NS of them at once.
   * Dynamic tracklets are block-tridiagonal chains along frames (pose-to-
-    point on the diagonal, the ternary motion factor coupling (m_{k-1}, m_k)
-    and H_k) -> one vmapped block-Thomas `lax.scan` with a multi-column RHS
+    point on the diagonal, the motion factor coupling consecutive frames)
+    -> one vmapped block-Thomas `lax.scan` with a multi-column RHS
     (all 6W camera + 6W motion coupling columns AND the gradient column)
     eliminates every chain simultaneously.
-  * The reduced 6x6-block Hessian over {X_k (W), H_k^j (W x O)} — a few
-    hundred dims — is assembled with dense masked einsums (object scatter by
-    one-hot) and solved by ONE dense Cholesky on the MXU.
+  * The reduced 6x6-block Hessian over {X_k (W), H_k^j / L_k^j (W x O)} — a
+    few hundred dims — is assembled with dense masked einsums (object
+    scatter by one-hot) and solved by ONE dense Cholesky on the MXU.
   * Landmark updates are recovered by back-substitution through the same
     chain solves.
 
 Levenberg damping is applied to the FULL system diagonal before reduction
 (damp-then-reduce == Schur complement of the damped system), so each LM
 iteration is an exact damped Gauss-Newton step of the IRLS-weighted problem.
+The normal system is CACHED across rejected LM steps: only lambda changes on
+a rejection, so the expensive build is skipped until a step is accepted.
 
 All contractions run at `precision="highest"` — bf16-class accumulation in
 the normal equations visibly corrupts the recovered rotations on TPU.
@@ -43,11 +55,17 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.lie import SE3, se3_compose, se3_inverse, se3_retract
+from ..core.lie import SE3, se3_compose, se3_inverse, se3_retract, so3_hat
 from ..ops import factors
 from ..ops.robust import robust_sqrt_weights
 from ..utils.config import BackendConfig
-from .formulation import WindowMasks, world_motion_families, world_motion_residuals
+from .formulation import (
+    WindowMasks,
+    world_motion_families,
+    world_motion_residuals,
+    world_pose_families,
+    world_pose_residuals,
+)
 from .map import WindowData
 from .solver import LMConfig, LMResult, retract_tree, total_error
 
@@ -131,16 +149,25 @@ def chain_solve(A: jax.Array, B: jax.Array, rhs: jax.Array) -> jax.Array:
 
 
 # --------------------------------------------------------------------------
-# Normal system (exact AD Jacobian blocks + IRLS weights)
+# Normal system (hand-derived Jacobian blocks + IRLS weights)
 # --------------------------------------------------------------------------
 
 
 class NormalSystem(NamedTuple):
-    """All blocks of J^T W J and -J^T W r for one WorldMotion window."""
+    """All blocks of J^T W J and -J^T W r for one backend window.
+
+    "Pose" below means the per-object reduced variable: H_k^j for
+    WorldMotion, L_k^j for WorldPose.  The chain-row -> pose-column
+    couplings of the per-frame-pair motion factor j (frames j, j+1) are
+    stored as four (W-1, ND, 3, 6) arrays indexed (chain row, pose col):
+    Rpp (j, j), Rpc (j, j+1), Rcp (j+1, j), Rcc (j+1, j+1).  WorldMotion
+    only populates Rpc/Rcc (its ternary factor references one motion H_{j+1}).
+    """
 
     Hcc: jax.Array      # (W, 6, W, 6) direct camera-camera
-    Dmm: jax.Array      # (W, O, 6, 6) direct motion diag blocks
-    Omm: jax.Array      # (W-1, O, 6, 6) motion (k, k+1) coupling (smoothing)
+    Dmm: jax.Array      # (W, O, 6, 6) direct pose diag blocks
+    Omm1: jax.Array     # (W-1, O, 6, 6) pose (k, k+1) coupling
+    Omm2: jax.Array     # (W-2, O, 6, 6) pose (k, k+2) coupling (triplets)
     b_cam: jax.Array    # (W, 6)
     b_mot: jax.Array    # (W, O, 6)
     Hll_s: jax.Array    # (NS, 3, 3) static point blocks (undamped)
@@ -149,46 +176,58 @@ class NormalSystem(NamedTuple):
     Ad: jax.Array       # (W, ND, 3, 3) chain diag blocks (undamped)
     Bd: jax.Array       # (W, ND, 3, 3) chain (k-1, k) coupling
     Rc: jax.Array       # (W, ND, 3, 6)  chain-row k -> camera k
-    Rm1: jax.Array      # (W-1, ND, 3, 6) chain-row j -> motion j+1
-    Rm2: jax.Array      # (W-1, ND, 3, 6) chain-row j+1 -> motion j+1
+    Rpp: jax.Array      # (W-1, ND, 3, 6)
+    Rpc: jax.Array      # (W-1, ND, 3, 6)
+    Rcp: jax.Array      # (W-1, ND, 3, 6)
+    Rcc: jax.Array      # (W-1, ND, 3, 6)
     b_dp: jax.Array     # (W, ND, 3)
-    onehot: jax.Array   # (W, ND, O) ternary object one-hot per (frame, track)
+    onehot: jax.Array   # (W, ND, O) object one-hot per (frame, track)
 
 
-def _select_motions(H: SE3, masks: WindowMasks, w: WindowData):
-    """Per-(frame, track) motion SE3 via one-hot (identity where inactive)."""
-    no_ = H.batch_shape[1]
-    onehot = jax.nn.one_hot(
-        jnp.where(masks.ternary, w.dyn_obj, -1), no_, dtype=H.t.dtype
-    )                                                      # (W, ND, O)
-    Hk = SE3(
-        _es("wno,woij->wnij", onehot, H.R),
-        _es("wno,woj->wnj", onehot, H.t),
+def _select_poses(P: SE3, masks: WindowMasks, w: WindowData):
+    """Per-(frame, track) object pose/motion SE3 via one-hot (identity where
+    inactive).
+
+    A frame f participates in motion factor f-1 (as current frame) OR factor
+    f (as previous frame — WorldPose couples both), so the activity mask is
+    ternary[f] | ternary[f+1]; `same_obj` in the ternary mask guarantees
+    dyn_obj is constant across an active pair, so either frame's id works.
+    """
+    no_ = P.batch_shape[1]
+    tern_next = jnp.concatenate(
+        [masks.ternary[1:], jnp.zeros_like(masks.ternary[:1])], axis=0
     )
-    eye = jnp.eye(3, dtype=H.t.dtype)
+    active = masks.ternary | tern_next
+    onehot = jax.nn.one_hot(
+        jnp.where(active, w.dyn_obj, -1), no_, dtype=P.t.dtype
+    )                                                      # (W, ND, O)
+    Pk = SE3(
+        _es("wno,woij->wnij", onehot, P.R),
+        _es("wno,woj->wnj", onehot, P.t),
+    )
+    eye = jnp.eye(3, dtype=P.t.dtype)
     sel = jnp.any(onehot > 0, axis=-1)[..., None, None]
-    return SE3(jnp.where(sel, Hk.R, eye), Hk.t), onehot
+    return SE3(jnp.where(sel, Pk.R, eye), Pk.t), onehot
 
 
-def build_normal_system(
-    values: dict,
-    sqrt_w: list,
-    w: WindowData,
-    masks: WindowMasks,
-    cfg: BackendConfig,
-    anchor: SE3,
-    res0: list,
-) -> NormalSystem:
-    X: SE3 = values["X"]
-    H: SE3 = values["H"]
-    sp = values["sp"]
-    dp = values["dp"]
-    dtype = sp.dtype
-    W_, O = masks.smoothing.shape
-    z6 = jnp.zeros(6, dtype)
-    z3 = jnp.zeros(3, dtype)
-    r_anchor, r_odo, r_static, r_dyn, r_tern, r_smooth = res0
+def _pose_point_jacobians(X: SE3, pts, sigma: float):
+    """Whitened Jacobians of e = X^-1 p - z wrt (pose tangent, point).
 
+    Right perturbation X Exp(xi): e ~ y + hat(y) w - v with y = X^-1 p the
+    point in the camera frame, so J_xi = [hat(y) | -I], J_p = R^T (exact at
+    the linearization point; matches jax.jacfwd of the retracted residual).
+    X: (W,), pts: (W, N, 3).  Returns Jx (W, N, 3, 6), Jp (W, 3, 3) — the
+    point Jacobian is point-independent (shared across the N axis).
+    """
+    Rt = jnp.swapaxes(X.R, -1, -2)                          # (W, 3, 3)
+    y = _es("wij,wnj->wni", Rt, pts - X.t[:, None, :])      # (W, N, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype), (*y.shape, 3))
+    Jx = jnp.concatenate([so3_hat(y), -eye], axis=-1) / sigma
+    Jp = Rt / sigma
+    return Jx, Jp, y
+
+
+def _pose_sigmas(cfg: BackendConfig, dtype):
     pose_sigma = jnp.asarray(
         [cfg.odometry_rotation_sigma] * 3 + [cfg.odometry_translation_sigma] * 3,
         dtype,
@@ -198,63 +237,17 @@ def build_normal_system(
         + [cfg.constant_object_motion_translation_sigma] * 3,
         dtype,
     )
+    return pose_sigma, smooth_sigma
 
-    # ---- effective per-factor weights: IRLS robust weight x activation mask
-    # (sigma whitening lives inside the residual functions, hence the AD
-    # Jacobians).  Family order matches `world_motion_residuals`.
+
+def _camera_blocks(X, w, masks, cfg, anchor, r_anchor, r_odo, r_static,
+                   r_dyn, wgt_static, wgt_dyn, Jx_s, Jx_d, dtype):
+    """Direct camera-camera blocks + camera gradient (shared by both
+    formulations).  Odometry/anchor Jacobians via jacfwd (tiny grids)."""
+    W_ = masks.frame.shape[0]
+    z6 = jnp.zeros(6, dtype)
+    pose_sigma, _ = _pose_sigmas(cfg, dtype)
     wgt_odo = masks.odometry[1:].astype(dtype)
-    wgt_static = sqrt_w[2] ** 2 * masks.static_obs.astype(dtype)
-    wgt_dyn = sqrt_w[3] ** 2 * masks.dyn_obs.astype(dtype)
-    wgt_tern = sqrt_w[4] ** 2 * masks.ternary[1:].astype(dtype)
-    wgt_smooth = masks.smoothing[1:].astype(dtype)
-
-    # f32 guard (same rationale as varpro._chain_blocks): the true ternary
-    # information (1/sigma^2 ~ 1e10) swamps the observation terms and makes
-    # the chain elimination catastrophically cancel in f32.  Cap the ternary
-    # weight used in the HESSIAN blocks; the GRADIENT keeps the true weight,
-    # so the step remains a descent direction of the true cost (any SPD
-    # model Hessian does) and LM's accept test guards convergence.
-    cap = cfg.dynamic_point_noise_sigma**2 * 1e3 / (
-        cfg.motion_ternary_factor_noise_sigma**2
-    )
-    wgt_tern_h = wgt_tern * jnp.minimum(jnp.asarray(cap, dtype), 1.0)
-
-    # ---- exact Jacobian blocks by per-factor forward AD ------------------
-    def _j_p2p(Xk: SE3, p, z, sigma):
-        def f(xi, dm):
-            return (
-                factors.pose_to_point_residual(se3_retract(Xk, xi), p + dm, z)
-                / sigma
-            )
-
-        return jax.jacfwd(f, argnums=(0, 1))(z6, z3)
-
-    Jx_s, Jm_s = jax.vmap(
-        jax.vmap(_j_p2p, in_axes=(None, 0, 0, None)),
-        in_axes=(0, None, 0, None),
-    )(X, sp, w.static_xyz, cfg.static_point_noise_sigma)   # (W,NS,3,6),(W,NS,3,3)
-
-    Jx_d, Jm_d = jax.vmap(
-        jax.vmap(_j_p2p, in_axes=(None, 0, 0, None)),
-        in_axes=(0, 0, 0, None),
-    )(X, dp, w.dyn_xyz, cfg.dynamic_point_noise_sigma)     # (W,ND,3,6),(W,ND,3,3)
-
-    H_sel, onehot = _select_motions(H, masks, w)
-    Hc = SE3(H_sel.R[1:], H_sel.t[1:])                     # (W-1, ND)
-
-    def _j_tern(Hkd: SE3, mp, mc):
-        def f(hx, d1, d2):
-            return (
-                factors.landmark_motion_ternary_residual(
-                    mp + d1, mc + d2, se3_retract(Hkd, hx)
-                )
-                / cfg.motion_ternary_factor_noise_sigma
-            )
-
-        return jax.jacfwd(f, argnums=(0, 1, 2))(z6, z3, z3)
-
-    Jh, Jp, Jc = jax.vmap(jax.vmap(_j_tern))(Hc, dp[:-1], dp[1:])
-    # Jh: (W-1,ND,3,6); Jp, Jc: (W-1,ND,3,3)
 
     odo_meas = jax.vmap(lambda a, b: se3_compose(se3_inverse(a), b))(
         SE3(w.X_init.R[:-1], w.X_init.t[:-1]),
@@ -284,22 +277,6 @@ def build_normal_system(
 
     J_anchor = jax.jacfwd(f_anchor)(z6)                    # (6, 6)
 
-    def _j_smooth(Ha: SE3, Hb: SE3):
-        def f(a, b):
-            return (
-                factors.motion_smoothing_residual(
-                    se3_retract(Ha, a), se3_retract(Hb, b)
-                )
-                / smooth_sigma
-            )
-
-        return jax.jacfwd(f, argnums=(0, 1))(z6, z6)
-
-    Ja_s, Jb_s = jax.vmap(jax.vmap(_j_smooth))(
-        SE3(H.R[:-1], H.t[:-1]), SE3(H.R[1:], H.t[1:])
-    )                                                      # (W-1, O, 6, 6)
-
-    # ---- direct pose blocks ---------------------------------------------
     idx = jnp.arange(W_)
     Hcc = jnp.zeros((W_, 6, W_, 6), dtype)
     Hcc = Hcc.at[0, :, 0, :].add(_es("ra,rb->ab", J_anchor, J_anchor))
@@ -321,7 +298,104 @@ def build_normal_system(
     g_cam = g_cam.at[1:].add(_es("k,kra,kr->ka", wgt_odo, Jb_o, r_odo))
     g_cam = g_cam + _es("kn,knra,knr->ka", wgt_static, Jx_s, r_static)
     g_cam = g_cam + _es("kn,knra,knr->ka", wgt_dyn, Jx_d, r_dyn)
-    b_cam = -g_cam
+    return Hcc, -g_cam
+
+
+def _static_blocks(wgt_static, Jx_s, Jp_s, r_static, dtype):
+    """Static landmark elimination blocks.  Jp_s = R^T/sigma is orthogonal
+    up to scale, so Hll_s is a scalar multiple of I per landmark."""
+    eye3 = jnp.eye(3, dtype=dtype)
+    scale = _es("kra,krb->kab", Jp_s, Jp_s)                # (W,3,3) = I/sig^2
+    Hll_s = _es("kn,kab->nab", wgt_static, scale) + 1e-8 * eye3
+    Us = _es("kn,knra,krb->knab", wgt_static, Jx_s, Jp_s)  # (W, NS, 6, 3)
+    b_sp = -_es("kn,kra,knr->na", wgt_static, Jp_s, r_static)
+    return Hll_s, Us, b_sp
+
+
+def build_normal_system(
+    values: dict,
+    sqrt_w: list,
+    w: WindowData,
+    masks: WindowMasks,
+    cfg: BackendConfig,
+    anchor: SE3,
+    res0: list,
+) -> NormalSystem:
+    """WorldMotion normal system (values {X, H, sp, dp}).
+
+    Hand-derived whitened Jacobians of the point families:
+      pose_to_point  e = X^-1 p - z:        J_X = [hat(y)|-I],  J_p = R^T
+      ternary  e = m_prev - H^-1 m_cur:     J_H = [-hat(y)|I],  J_mp = I,
+                                            J_mc = -R_H^T,  y = H^-1 m_cur
+    """
+    X: SE3 = values["X"]
+    H: SE3 = values["H"]
+    sp = values["sp"]
+    dp = values["dp"]
+    dtype = sp.dtype
+    W_, O = masks.smoothing.shape
+    ND = masks.dyn_obs.shape[1]
+    z6 = jnp.zeros(6, dtype)
+    r_anchor, r_odo, r_static, r_dyn, r_tern, r_smooth = res0
+    _, smooth_sigma = _pose_sigmas(cfg, dtype)
+
+    # ---- effective per-factor weights: IRLS robust weight x activation mask
+    # (sigma whitening lives inside the Jacobians / residuals).  Family
+    # order matches `world_motion_residuals`.
+    wgt_static = sqrt_w[2] ** 2 * masks.static_obs.astype(dtype)
+    wgt_dyn = sqrt_w[3] ** 2 * masks.dyn_obs.astype(dtype)
+    wgt_tern = sqrt_w[4] ** 2 * masks.ternary[1:].astype(dtype)
+    wgt_smooth = masks.smoothing[1:].astype(dtype)
+
+    # f32 guard (same rationale as varpro._chain_blocks): the true ternary
+    # information (1/sigma^2 ~ 1e10) swamps the observation terms and makes
+    # the chain elimination catastrophically cancel in f32.  Cap the ternary
+    # weight used in the HESSIAN blocks; the GRADIENT keeps the true weight,
+    # so the step remains a descent direction of the true cost (any SPD
+    # model Hessian does) and LM's accept test guards convergence.
+    cap = cfg.dynamic_point_noise_sigma**2 * 1e3 / (
+        cfg.motion_ternary_factor_noise_sigma**2
+    )
+    wgt_tern_h = wgt_tern * jnp.minimum(jnp.asarray(cap, dtype), 1.0)
+
+    # ---- hand-derived point-family Jacobians -----------------------------
+    Jx_s, Jp_s, _ = _pose_point_jacobians(
+        X, jnp.broadcast_to(sp[None], (W_, *sp.shape)),
+        cfg.static_point_noise_sigma,
+    )
+    Jx_d, Jp_d, _ = _pose_point_jacobians(X, dp, cfg.dynamic_point_noise_sigma)
+
+    sig_t = cfg.motion_ternary_factor_noise_sigma
+    H_sel, onehot = _select_poses(H, masks, w)
+    Hc = SE3(H_sel.R[1:], H_sel.t[1:])                     # (W-1, ND)
+    Rt_H = jnp.swapaxes(Hc.R, -1, -2)
+    y_t = _es("wnab,wnb->wna", Rt_H, dp[1:] - Hc.t)        # H^-1 m_cur
+    eyeJ = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (*y_t.shape, 3))
+    Jh = jnp.concatenate([-so3_hat(y_t), eyeJ], axis=-1) / sig_t
+    Jc = -Rt_H / sig_t                                     # (W-1, ND, 3, 3)
+    # Jp (wrt m_prev) = I / sig_t — folded into the scalars below.
+
+    # ---- direct camera blocks -------------------------------------------
+    Hcc, b_cam = _camera_blocks(
+        X, w, masks, cfg, anchor, r_anchor, r_odo, r_static, r_dyn,
+        wgt_static, wgt_dyn, Jx_s, Jx_d, dtype,
+    )
+
+    # ---- direct motion blocks -------------------------------------------
+    def _j_smooth(Ha: SE3, Hb: SE3):
+        def f(a, b):
+            return (
+                factors.motion_smoothing_residual(
+                    se3_retract(Ha, a), se3_retract(Hb, b)
+                )
+                / smooth_sigma
+            )
+
+        return jax.jacfwd(f, argnums=(0, 1))(z6, z6)
+
+    Ja_s, Jb_s = jax.vmap(jax.vmap(_j_smooth))(
+        SE3(H.R[:-1], H.t[:-1]), SE3(H.R[1:], H.t[1:])
+    )                                                      # (W-1, O, 6, 6)
 
     oh1 = onehot[1:]                                       # (W-1, ND, O)
     Dmm = jnp.zeros((W_, O, 6, 6), dtype)
@@ -330,7 +404,8 @@ def build_normal_system(
     )
     Dmm = Dmm.at[:-1].add(_es("ko,kora,korb->koab", wgt_smooth, Ja_s, Ja_s))
     Dmm = Dmm.at[1:].add(_es("ko,kora,korb->koab", wgt_smooth, Jb_s, Jb_s))
-    Omm = _es("ko,kora,korb->koab", wgt_smooth, Ja_s, Jb_s)
+    Omm1 = _es("ko,kora,korb->koab", wgt_smooth, Ja_s, Jb_s)
+    Omm2 = jnp.zeros((max(W_ - 2, 0), O, 6, 6), dtype)
 
     g_mot = jnp.zeros((W_, O, 6), dtype)
     g_mot = g_mot.at[1:].add(
@@ -342,37 +417,168 @@ def build_normal_system(
     g_mot = g_mot.at[1:].add(
         _es("ko,kora,kor->koa", wgt_smooth, Jb_s, r_smooth)
     )
-    b_mot = -g_mot
 
     # ---- static landmark blocks -----------------------------------------
-    eye3 = jnp.eye(3, dtype=dtype)
-    Hll_s = _es("kn,knra,knrb->nab", wgt_static, Jm_s, Jm_s) + 1e-8 * eye3
-    Us = _es("kn,knra,knrb->knab", wgt_static, Jx_s, Jm_s)  # (W, NS, 6, 3)
-    b_sp = -_es("kn,knra,knr->na", wgt_static, Jm_s, r_static)
+    Hll_s, Us, b_sp = _static_blocks(wgt_static, Jx_s, Jp_s, r_static, dtype)
 
     # ---- dynamic chain blocks -------------------------------------------
-    Ad = _es("kd,kdra,kdrb->kdab", wgt_dyn, Jm_d, Jm_d)
-    Tpp = _es("jd,jdra,jdrb->jdab", wgt_tern_h, Jp, Jp)
-    Tcc_ = _es("jd,jdra,jdrb->jdab", wgt_tern_h, Jc, Jc)
-    Tpc = _es("jd,jdra,jdrb->jdab", wgt_tern_h, Jp, Jc)
-    Ad = Ad.at[:-1].add(Tpp)
-    Ad = Ad.at[1:].add(Tcc_)
-    Ad = Ad + 1e-8 * eye3
+    # J_mc^T J_mc = I/sig^2 and J_mp^T J_mp = I/sig^2 (orthonormal), so the
+    # diagonal is a scalar field times I; the (k-1,k) coupling is
+    # J_mp^T J_mc = -R_H^T / sig^2.
+    eye3 = jnp.eye(3, dtype=dtype)
+    diag_scalar = wgt_dyn / cfg.dynamic_point_noise_sigma**2
+    diag_scalar = diag_scalar.at[:-1].add(wgt_tern_h / sig_t**2)
+    diag_scalar = diag_scalar.at[1:].add(wgt_tern_h / sig_t**2)
+    Ad = diag_scalar[..., None, None] * eye3 + 1e-8 * eye3
+    Tpc = (wgt_tern_h / sig_t)[..., None, None] * Jc       # J_mp^T J_mc
     Bd = jnp.concatenate([jnp.zeros_like(Tpc[:1]), Tpc], axis=0)
 
-    Rc = _es("kd,kdra,kdrb->kdab", wgt_dyn, Jm_d, Jx_d)     # (W, ND, 3, 6)
-    Rm1 = _es("jd,jdra,jdrb->jdab", wgt_tern_h, Jp, Jh)     # (W-1, ND, 3, 6)
-    Rm2 = _es("jd,jdra,jdrb->jdab", wgt_tern_h, Jc, Jh)
+    Rc = _es("kd,kra,kdrb->kdab", wgt_dyn, Jp_d, Jx_d)     # (W, ND, 3, 6)
+    Rpc = (wgt_tern_h / sig_t)[..., None, None] * Jh       # row j -> col j+1
+    Rcc = _es("jd,jdra,jdrb->jdab", wgt_tern_h, Jc, Jh)    # row j+1 -> col j+1
+    Rz = jnp.zeros_like(Rpc)
 
-    g_dp = _es("kd,kdra,kdr->kda", wgt_dyn, Jm_d, r_dyn)
-    g_dp = g_dp.at[:-1].add(_es("jd,jdra,jdr->jda", wgt_tern, Jp, r_tern))
+    g_dp = _es("kd,kra,kdr->kda", wgt_dyn, Jp_d, r_dyn)
+    g_dp = g_dp.at[:-1].add((wgt_tern / sig_t)[..., None] * r_tern)
     g_dp = g_dp.at[1:].add(_es("jd,jdra,jdr->jda", wgt_tern, Jc, r_tern))
-    b_dp = -g_dp
 
     return NormalSystem(
-        Hcc=Hcc, Dmm=Dmm, Omm=Omm, b_cam=b_cam, b_mot=b_mot,
+        Hcc=Hcc, Dmm=Dmm, Omm1=Omm1, Omm2=Omm2, b_cam=b_cam, b_mot=-g_mot,
         Hll_s=Hll_s, Us=Us, b_sp=b_sp,
-        Ad=Ad, Bd=Bd, Rc=Rc, Rm1=Rm1, Rm2=Rm2, b_dp=b_dp, onehot=onehot,
+        Ad=Ad, Bd=Bd, Rc=Rc, Rpp=Rz, Rpc=Rpc, Rcp=Rz, Rcc=Rcc,
+        b_dp=-g_dp, onehot=onehot,
+    )
+
+
+def build_normal_system_pose(
+    values: dict,
+    sqrt_w: list,
+    w: WindowData,
+    masks: WindowMasks,
+    cfg: BackendConfig,
+    anchor: SE3,
+    res0: list,
+) -> NormalSystem:
+    """WorldPose (LLWorld) normal system (values {X, L, sp, dp}).
+
+    Hand-derived whitened Jacobians of the LandmarkMotionPose factor
+    e = m_k - L_k L_{k-1}^-1 m_{k-1} (`LandmarkMotionPoseFactor.cc:84-90`),
+    with q = L_{k-1}^-1 m_{k-1} the point in the object frame:
+      J_mp = -R_rel,   J_mc = I,   rel = L_k L_{k-1}^-1
+      J_Lp = [-R_Lk hat(q) | R_Lk]     (right perturbation of L_{k-1})
+      J_Lc = [ R_Lk hat(q) | -R_Lk] = -J_Lp
+    The LandmarkPoseSmoothing triplet (L_{k-2}, L_{k-1}, L_k) contributes
+    bandwidth-2 direct pose blocks (jacfwd over the small (W-2, O) grid).
+    """
+    X: SE3 = values["X"]
+    L: SE3 = values["L"]
+    sp = values["sp"]
+    dp = values["dp"]
+    dtype = sp.dtype
+    W_, O = masks.smoothing.shape
+    z6 = jnp.zeros(6, dtype)
+    r_anchor, r_odo, r_static, r_dyn, r_mp, r_ps = res0
+    _, smooth_sigma = _pose_sigmas(cfg, dtype)
+
+    wgt_static = sqrt_w[2] ** 2 * masks.static_obs.astype(dtype)
+    wgt_dyn = sqrt_w[3] ** 2 * masks.dyn_obs.astype(dtype)
+    wgt_mp = sqrt_w[4] ** 2 * masks.ternary[1:].astype(dtype)
+    triple = (masks.smoothing[1:-1] & masks.smoothing[2:]).astype(dtype)
+
+    # same f32 conditioning guard as WorldMotion (the motion-pose factor
+    # shares the ternary sigma)
+    sig_t = cfg.motion_ternary_factor_noise_sigma
+    cap = cfg.dynamic_point_noise_sigma**2 * 1e3 / sig_t**2
+    wgt_mp_h = wgt_mp * jnp.minimum(jnp.asarray(cap, dtype), 1.0)
+
+    Jx_s, Jp_s, _ = _pose_point_jacobians(
+        X, jnp.broadcast_to(sp[None], (W_, *sp.shape)),
+        cfg.static_point_noise_sigma,
+    )
+    Jx_d, Jp_d, _ = _pose_point_jacobians(X, dp, cfg.dynamic_point_noise_sigma)
+
+    L_sel, onehot = _select_poses(L, masks, w)
+    Lp = SE3(L_sel.R[:-1], L_sel.t[:-1])                   # (W-1, ND)
+    Lc = SE3(L_sel.R[1:], L_sel.t[1:])
+    rel_R = _mm(Lc.R, jnp.swapaxes(Lp.R, -1, -2))
+    q = _es("wnab,wnb->wna", jnp.swapaxes(Lp.R, -1, -2), dp[:-1] - Lp.t)
+    Rhat = _mm(Lc.R, so3_hat(q))                           # (W-1, ND, 3, 3)
+    J_Lp = jnp.concatenate([-Rhat, Lc.R], axis=-1) / sig_t # (W-1, ND, 3, 6)
+    J_mp = -rel_R / sig_t
+    # J_mc = I / sig_t, J_Lc = -J_Lp — folded into scalars/signs below.
+
+    Hcc, b_cam = _camera_blocks(
+        X, w, masks, cfg, anchor, r_anchor, r_odo, r_static, r_dyn,
+        wgt_static, wgt_dyn, Jx_s, Jx_d, dtype,
+    )
+
+    # ---- direct pose blocks (motion-pose + smoothing triplets) ----------
+    oh_p, oh_c = onehot[:-1], onehot[1:]
+    PtP = _es("jd,jdra,jdrb->jdab", wgt_mp_h, J_Lp, J_Lp)  # (W-1, ND, 6, 6)
+    Dmm = jnp.zeros((W_, O, 6, 6), dtype)
+    Dmm = Dmm.at[:-1].add(_es("jdab,jdo->joab", PtP, oh_p))
+    Dmm = Dmm.at[1:].add(_es("jdab,jdo->joab", PtP, oh_c))
+    # J_Lp^T J_Lc = -PtP; factors only exist where the object id is constant
+    # across (j, j+1), so scatter with either frame's one-hot
+    Omm1 = -_es("jdab,jdo->joab", PtP, oh_p)
+
+    def _j_triplet(La: SE3, Lb: SE3, Lc_: SE3):
+        def f(a, b, c):
+            return (
+                factors.landmark_pose_smoothing_residual(
+                    se3_retract(La, a), se3_retract(Lb, b), se3_retract(Lc_, c)
+                )
+                / smooth_sigma
+            )
+
+        return jax.jacfwd(f, argnums=(0, 1, 2))(z6, z6, z6)
+
+    Ja, Jb, Jc3 = jax.vmap(jax.vmap(_j_triplet))(
+        SE3(L.R[:-2], L.t[:-2]), SE3(L.R[1:-1], L.t[1:-1]),
+        SE3(L.R[2:], L.t[2:]),
+    )                                                      # (W-2, O, 6, 6)
+    Dmm = Dmm.at[:-2].add(_es("to,tora,torb->toab", triple, Ja, Ja))
+    Dmm = Dmm.at[1:-1].add(_es("to,tora,torb->toab", triple, Jb, Jb))
+    Dmm = Dmm.at[2:].add(_es("to,tora,torb->toab", triple, Jc3, Jc3))
+    Omm1 = Omm1.at[:-1].add(_es("to,tora,torb->toab", triple, Ja, Jb))
+    Omm1 = Omm1.at[1:].add(_es("to,tora,torb->toab", triple, Jb, Jc3))
+    Omm2 = _es("to,tora,torb->toab", triple, Ja, Jc3)
+
+    g_Lp = _es("jd,jdra,jdr->jda", wgt_mp, J_Lp, r_mp)     # (W-1, ND, 6)
+    g_mot = jnp.zeros((W_, O, 6), dtype)
+    g_mot = g_mot.at[:-1].add(_es("jda,jdo->joa", g_Lp, oh_p))
+    g_mot = g_mot.at[1:].add(-_es("jda,jdo->joa", g_Lp, oh_c))
+    g_mot = g_mot.at[:-2].add(_es("to,tora,tor->toa", triple, Ja, r_ps))
+    g_mot = g_mot.at[1:-1].add(_es("to,tora,tor->toa", triple, Jb, r_ps))
+    g_mot = g_mot.at[2:].add(_es("to,tora,tor->toa", triple, Jc3, r_ps))
+
+    Hll_s, Us, b_sp = _static_blocks(wgt_static, Jx_s, Jp_s, r_static, dtype)
+
+    # ---- dynamic chain blocks -------------------------------------------
+    eye3 = jnp.eye(3, dtype=dtype)
+    diag_scalar = wgt_dyn / cfg.dynamic_point_noise_sigma**2
+    diag_scalar = diag_scalar.at[:-1].add(wgt_mp_h / sig_t**2)
+    diag_scalar = diag_scalar.at[1:].add(wgt_mp_h / sig_t**2)
+    Ad = diag_scalar[..., None, None] * eye3 + 1e-8 * eye3
+    # J_mc = I/sig_t, so w J_mp^T J_mc = (w/sig_t) J_mp^T
+    Tpc = (wgt_mp_h / sig_t)[..., None, None] * jnp.swapaxes(J_mp, -1, -2)
+    Bd = jnp.concatenate([jnp.zeros_like(Tpc[:1]), Tpc], axis=0)
+
+    Rc = _es("kd,kra,kdrb->kdab", wgt_dyn, Jp_d, Jx_d)
+    Rpp = _es("jd,jdra,jdrb->jdab", wgt_mp_h, J_mp, J_Lp)  # row j   -> col j
+    Rpc = -Rpp                                             # row j   -> col j+1
+    Rcp = (wgt_mp_h / sig_t)[..., None, None] * J_Lp       # row j+1 -> col j
+    Rcc = -Rcp                                             # row j+1 -> col j+1
+
+    g_dp = _es("kd,kra,kdr->kda", wgt_dyn, Jp_d, r_dyn)
+    g_dp = g_dp.at[:-1].add(_es("jd,jdra,jdr->jda", wgt_mp, J_mp, r_mp))
+    g_dp = g_dp.at[1:].add((wgt_mp / sig_t)[..., None] * r_mp)
+
+    return NormalSystem(
+        Hcc=Hcc, Dmm=Dmm, Omm1=Omm1, Omm2=Omm2, b_cam=b_cam, b_mot=-g_mot,
+        Hll_s=Hll_s, Us=Us, b_sp=b_sp,
+        Ad=Ad, Bd=Bd, Rc=Rc, Rpp=Rpp, Rpc=Rpc, Rcp=Rcp, Rcc=Rcc,
+        b_dp=-g_dp, onehot=onehot,
     )
 
 
@@ -389,12 +595,86 @@ def _damp_blocks(Hb: jax.Array, lam, floor: float) -> jax.Array:
     return Hb + dd[..., None] * jnp.eye(n, dtype=Hb.dtype)
 
 
-def schur_step(sys: NormalSystem, lam, floor: float):
+def chain_pose_columns(sys: NormalSystem) -> jax.Array:
+    """Assemble the (W, ND, 3, W, 6) chain-row -> pose-column coupling
+    tensor CC from the four factor-aligned arrays."""
+    W_ = sys.Ad.shape[0]
+    dtype = sys.Ad.dtype
+    Z1 = jnp.zeros_like(sys.Rpc[:1])
+    P_f = jnp.concatenate([sys.Rpp, Z1], axis=0)   # row j   -> col j
+    P_fp = jnp.concatenate([sys.Rpc, Z1], axis=0)  # row j   -> col j+1
+    C_p = jnp.concatenate([Z1, sys.Rcp], axis=0)   # row j+1 -> col j
+    C_f = jnp.concatenate([Z1, sys.Rcc], axis=0)   # row j+1 -> col j+1
+    eyeW = jnp.eye(W_, dtype=dtype)
+    upW = jnp.eye(W_, k=1, dtype=dtype)            # [r, r+1] = 1
+    dnW = jnp.eye(W_, k=-1, dtype=dtype)           # [r, r-1] = 1
+    CC = (
+        (P_f + C_f)[:, :, :, None, :] * eyeW[:, None, None, :, None]
+        + P_fp[:, :, :, None, :] * upW[:, None, None, :, None]
+        + C_p[:, :, :, None, :] * dnW[:, None, None, :, None]
+    )
+    return CC
+
+
+def assemble_reduced(sys: NormalSystem, Hcc_d, Dmm_d,
+                     d_cc, d_bc, d_cm, d_mm, d_bm):
+    """Dense reduced system over {X (W,6), P (W,O,6)} from damped direct
+    blocks minus the landmark-elimination corrections."""
+    W_, O = Dmm_d.shape[:2]
+    dtype = Hcc_d.dtype
+    nc = 6 * W_
+    nm = 6 * W_ * O
+    n = nc + nm
+    eyeW = jnp.eye(W_, dtype=dtype)
+    eyeO = jnp.eye(O, dtype=dtype)
+
+    Hmm = _es("koab,kl,op->koalpb", Dmm_d, eyeW, eyeO)
+    S1a, S1b = eyeW[:-1], eyeW[1:]
+    Hmm = Hmm + _es("joab,jk,jl,op->koalpb", sys.Omm1, S1a, S1b, eyeO)
+    Hmm = Hmm + _es("joab,jk,jl,op->lpbkoa", sys.Omm1, S1a, S1b, eyeO)
+    if W_ >= 3:
+        S2a, S2b = eyeW[:-2], eyeW[2:]
+        Hmm = Hmm + _es("joab,jk,jl,op->koalpb", sys.Omm2, S2a, S2b, eyeO)
+        Hmm = Hmm + _es("joab,jk,jl,op->lpbkoa", sys.Omm2, S2a, S2b, eyeO)
+    d_mm_six = _es("koagb,op->koagpb", d_mm, eyeO)
+    Hmm = Hmm - d_mm_six
+
+    Hred = jnp.zeros((n, n), dtype)
+    Hred = Hred.at[:nc, :nc].set(Hcc_d.reshape(nc, nc) - d_cc)
+    cm = d_cm.reshape(nc, nm)
+    Hred = Hred.at[:nc, nc:].set(-cm)
+    Hred = Hred.at[nc:, :nc].set(-cm.T)
+    Hred = Hred.at[nc:, nc:].set(Hmm.reshape(nm, nm))
+    Hred = 0.5 * (Hred + Hred.T)
+
+    bred = jnp.concatenate(
+        [sys.b_cam.reshape(nc) - d_bc, (sys.b_mot - d_bm).reshape(nm)]
+    )
+
+    # absolute floor so structurally-empty rows (inactive motion slots,
+    # frames past the sequence end) keep the f32 Cholesky positive-definite;
+    # their gradient is zero so their step stays exactly zero.
+    dmax = jnp.max(jnp.abs(jnp.diagonal(Hred)))
+    Hred = Hred + (1e-7 * dmax + 1e-8) * jnp.eye(n, dtype=dtype)
+    return Hred, bred
+
+
+def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     """One damped Gauss-Newton step via landmark elimination.
 
-    Returns the tangent delta dict {X (W,6), H (W,O,6), sp (NS,3),
-    dp (W,ND,3)} solving (H + lam D) delta = b.
+    Returns the tangent delta dict {X (W,6), P (W,O,6), sp (NS,3),
+    dp (W,ND,3)} solving (H + lam D) delta = b; "P" is the per-object
+    reduced pose (H for WorldMotion, L for WorldPose).
+
+    `chain_solver(A, B, rhs)` solves the per-tracklet block-tridiagonal
+    systems; defaults to the single-device block-Thomas `chain_solve`.  The
+    distributed path substitutes the frame-sharded SPIKE solve
+    (`parallel/schur_dist.py`) — everything else in the step is einsums and
+    small replicated dense algebra that GSPMD partitions from the input
+    shardings.
     """
+    if chain_solver is None:
+        chain_solver = chain_solve
     W_, NS, _, _ = sys.Us.shape
     ND = sys.Ad.shape[1]
     O = sys.Dmm.shape[1]
@@ -414,34 +694,24 @@ def schur_step(sys: NormalSystem, lam, floor: float):
     Us_t = jnp.swapaxes(sys.Us, -1, -2)                     # (W, NS, 3, 6)
     Us_cols = jnp.transpose(Us_t, (1, 2, 0, 3)).reshape(NS, 3, nc)
     rhs_s = jnp.concatenate([Us_cols, sys.b_sp[..., None]], axis=-1)
-    Ys = jnp.linalg.solve(Hll_s, rhs_s)                     # (NS, 3, nc+1)
+    Ys = _mm(_inv3(Hll_s), rhs_s)                           # (NS, 3, nc+1)
     Yc_s, yb_s = Ys[..., :nc], Ys[..., nc]
     d_cc_s = _es("knam,nmq->kaq", sys.Us, Yc_s).reshape(nc, nc)
     d_bc_s = _es("knam,nm->ka", sys.Us, yb_s).reshape(nc)
 
     # ---- dynamic chain elimination --------------------------------------
-    # RHS columns: 6W cameras + 6W motion-frames + gradient.  Camera column
-    # block l of chain-row k is Rc[k] iff l == k; the motion column block
-    # f = j+1 appears in chain-rows j (Rm1) and j+1 (Rm2).
+    # RHS columns: 6W cameras + 6W pose-frames + gradient.  Camera column
+    # block l of chain-row k is Rc[k] iff l == k; pose columns via the
+    # 4-coupling tensor (chain_pose_columns).
     eyeW = jnp.eye(W_, dtype=dtype)
-    shiftW = jnp.eye(W_, k=1, dtype=dtype)                  # [r, r+1] = 1
     rhs_cam = (
         sys.Rc[:, :, :, None, :] * eyeW[:, None, None, :, None]
     ).reshape(W_, ND, 3, nc)
-    Rm1_rows = jnp.concatenate(
-        [sys.Rm1, jnp.zeros_like(sys.Rm1[:1])], axis=0
-    )                                                       # row j holds Rm1[j]
-    Rm2_rows = jnp.concatenate(
-        [jnp.zeros_like(sys.Rm2[:1]), sys.Rm2], axis=0
-    )                                                       # row j+1 holds Rm2[j]
-    rhs_mot = (
-        Rm1_rows[:, :, :, None, :] * shiftW[:, None, None, :, None]
-        + Rm2_rows[:, :, :, None, :] * eyeW[:, None, None, :, None]
-    ).reshape(W_, ND, 3, nc)
+    CC = chain_pose_columns(sys)                            # (W, ND, 3, W, 6)
     rhs_d = jnp.concatenate(
-        [rhs_cam, rhs_mot, sys.b_dp[..., None]], axis=-1
+        [rhs_cam, CC.reshape(W_, ND, 3, nc), sys.b_dp[..., None]], axis=-1
     )                                                       # (W, ND, 3, 2nc+1)
-    T = chain_solve(Ad, sys.Bd, rhs_d)
+    T = chain_solver(Ad, sys.Bd, rhs_d)
     Tc = T[..., :nc]                                        # (W, ND, 3, nc)
     Tm = T[..., nc : 2 * nc].reshape(W_, ND, 3, W_, 6)
     tb = T[..., -1]                                         # (W, ND, 3)
@@ -450,62 +720,24 @@ def schur_step(sys: NormalSystem, lam, floor: float):
     d_cc_d = _es("kdic,kdib->kcb", sys.Rc, Tc).reshape(nc, nc)
     d_bc_d = _es("kdic,kdi->kc", sys.Rc, tb).reshape(nc)
 
-    # camera-motion correction with object scatter on the column frame
+    # camera-pose correction with object scatter on the column frame
     oh = sys.onehot                                         # (W, ND, O)
     d_cm = _es(
         "kdic,kdigb,gdo->kcgob", sys.Rc, Tm, oh
     ).reshape(nc, W_, O, 6)
 
-    # motion-motion correction.  Row (f=j+1) couples through Rm1[j] (chain
-    # row j) and Rm2[j] (chain row j+1).  Cross-object entries are exactly
-    # zero (a track's chain decouples where the ternary mask cuts it), so
-    # scatter rows and columns with the SAME object one-hot.
-    mm_rows = _es("jdia,jdigb->jdagb", sys.Rm1, Tm[:-1]) + _es(
-        "jdia,jdigb->jdagb", sys.Rm2, Tm[1:]
-    )                                                       # (W-1, ND, 6, W, 6)
-    d_mm = _es("jdagb,jdo,gdo->joagb", mm_rows, oh[1:], oh)
-    d_bm = _es("jdia,jdi,jdo->joa", sys.Rm1, tb[:-1], oh[1:]) + _es(
-        "jdia,jdi,jdo->joa", sys.Rm2, tb[1:], oh[1:]
+    # pose-pose correction.  Cross-object entries are exactly zero (a
+    # track's chain decouples where the factor mask cuts it), so scatter
+    # rows and columns with the SAME object one-hot.
+    mm_rows = _es("kdifa,kdigb->fdagb", CC, Tm)             # (W, ND, 6, W, 6)
+    d_mm = _es("fdagb,fdo,gdo->foagb", mm_rows, oh, oh)
+    bm_rows = _es("kdifa,kdi->fda", CC, tb)
+    d_bm = _es("fda,fdo->foa", bm_rows, oh)
+
+    # ---- assemble + solve the reduced system ----------------------------
+    Hred, bred = assemble_reduced(
+        sys, Hcc, Dmm, d_cc_s + d_cc_d, d_bc_s + d_bc_d, d_cm, d_mm, d_bm
     )
-
-    # ---- assemble the reduced system ------------------------------------
-    nm = 6 * W_ * O
-    n = nc + nm
-    eyeO = jnp.eye(O, dtype=dtype)
-    Hmm = _es("koab,kl,op->koalpb", Dmm, eyeW, eyeO)
-    S1 = eyeW[:-1]                                          # j -> frame j
-    S2 = eyeW[1:]                                           # j -> frame j+1
-    Hmm = Hmm + _es("joab,jk,jl,op->koalpb", sys.Omm, S1, S2, eyeO)
-    Hmm = Hmm + _es("joab,jk,jl,op->lpbkoa", sys.Omm, S1, S2, eyeO)
-    # subtract the same-object chain correction (rows at frames 1..W-1)
-    d_mm_full = jnp.zeros((W_, O, 6, W_, 6), dtype)
-    d_mm_full = d_mm_full.at[1:].set(d_mm)
-    d_mm_six = _es("koagb,op->koagpb", d_mm_full, eyeO)
-    Hmm = Hmm - d_mm_six
-
-    Hred = jnp.zeros((n, n), dtype)
-    Hred = Hred.at[:nc, :nc].set(
-        Hcc.reshape(nc, nc) - d_cc_s - d_cc_d
-    )
-    cm = d_cm.reshape(nc, nm)
-    Hred = Hred.at[:nc, nc:].set(-cm)
-    Hred = Hred.at[nc:, :nc].set(-cm.T)
-    Hred = Hred.at[nc:, nc:].set(Hmm.reshape(nm, nm))
-    Hred = 0.5 * (Hred + Hred.T)
-
-    bred = jnp.concatenate(
-        [
-            sys.b_cam.reshape(nc) - d_bc_s - d_bc_d,
-            (sys.b_mot - d_bm_pad(d_bm, W_)).reshape(nm),
-        ]
-    )
-
-    # absolute floor so structurally-empty rows (inactive motion slots,
-    # frames past the sequence end) keep the f32 Cholesky positive-definite;
-    # their gradient is zero so their step stays exactly zero.
-    dmax = jnp.max(jnp.abs(jnp.diagonal(Hred)))
-    Hred = Hred + (1e-7 * dmax + 1e-8) * jnp.eye(n, dtype=dtype)
-
     cho = jax.scipy.linalg.cho_factor(Hred)
     delta_p = jax.scipy.linalg.cho_solve(cho, bred)
     dc = delta_p[:nc]
@@ -520,15 +752,10 @@ def schur_step(sys: NormalSystem, lam, floor: float):
 
     return {
         "X": dc.reshape(W_, 6),
-        "H": dm,
+        "P": dm,
         "sp": d_sp,
         "dp": d_dp,
     }
-
-
-def d_bm_pad(d_bm: jax.Array, W_: int) -> jax.Array:
-    """Embed the (W-1, O, 6) motion gradient correction at frames 1..W-1."""
-    return jnp.concatenate([jnp.zeros_like(d_bm[:1]), d_bm], axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -543,38 +770,59 @@ def lm_optimize_schur(
     cfg: BackendConfig,
     lm_cfg: LMConfig,
     anchor: SE3,
+    formulation: int = 0,
+    chain_solver=None,
 ) -> LMResult:
-    """Levenberg-Marquardt on the WorldMotion window with direct Schur steps.
+    """Levenberg-Marquardt with direct Schur steps (both formulations).
 
     Identical outer loop to `solver.lm_optimize` (IRLS robust weights frozen
     per linearization, accept/reject on the true robust cost, gtsam-style
     convergence tests) but each iteration solves the damped normal equations
     EXACTLY by landmark elimination + one dense Cholesky instead of PCG.
-    The whole optimization is one `lax.while_loop` XLA program.
+    The normal system is rebuilt only after an ACCEPTED step (a rejection
+    changes lambda, not the linearization point), saving the whole Jacobian/
+    einsum build on every retry.  The whole optimization is one
+    `lax.while_loop` XLA program.
     """
-    spec = world_motion_families(cfg)
+    if formulation == 0:
+        spec = world_motion_families(cfg)
+        residual_fn = lambda v: world_motion_residuals(v, w, masks, cfg, anchor)
+        build_fn = build_normal_system
+        pose_key = "H"
+    else:
+        spec = world_pose_families(cfg)
+        residual_fn = lambda v: world_pose_residuals(v, w, masks, cfg, anchor)
+        build_fn = build_normal_system_pose
+        pose_key = "L"
     specs = spec.robust
 
-    def residual_fn(vals):
-        return world_motion_residuals(vals, w, masks, cfg, anchor)
-
-    res_init = residual_fn(values)
-    err_init = total_error(res_init, specs)
-
-    def cond(state):
-        vals, lam, err, prev_err, it, done = state
-        return (it < lm_cfg.max_iterations) & (~done)
-
-    def body(state):
-        vals, lam, err, prev_err, it, done = state
+    def build(vals):
         res0 = residual_fn(vals)
         sqrt_w = [
             robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
             else jnp.ones(r.shape[:-1], r.dtype)
             for r, s in zip(res0, specs)
         ]
-        sys = build_normal_system(vals, sqrt_w, w, masks, cfg, anchor, res0)
-        delta = schur_step(sys, lam, lm_cfg.diag_floor)
+        return build_fn(vals, sqrt_w, w, masks, cfg, anchor, res0)
+
+    res_init = residual_fn(values)
+    err_init = total_error(res_init, specs)
+
+    sys_shapes = jax.eval_shape(build, values)
+    sys0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), sys_shapes)
+
+    def cond(state):
+        vals, sys_c, rebuild, lam, err, prev_err, it, done = state
+        return (it < lm_cfg.max_iterations) & (~done)
+
+    def body(state):
+        vals, sys_c, rebuild, lam, err, prev_err, it, done = state
+        sys = jax.lax.cond(rebuild, lambda: build(vals), lambda: sys_c)
+        delta = schur_step(sys, lam, lm_cfg.diag_floor, chain_solver)
+        delta = {
+            "X": delta["X"], pose_key: delta["P"],
+            "sp": delta["sp"], "dp": delta["dp"],
+        }
         new_vals = retract_tree(vals, delta)
         new_err = total_error(residual_fn(new_vals), specs)
         # a failed Cholesky (NaN step) must reject, not poison the state
@@ -595,14 +843,16 @@ def lm_optimize_schur(
         )
         abs_ok = jnp.abs(err - err_out) < lm_cfg.abs_error_tol
         done_out = (accept & (rel_ok | abs_ok)) | (lam_out >= lm_cfg.max_lambda)
-        return (vals_out, lam_out, err_out, err, it + 1, done_out)
+        return (vals_out, sys, accept, lam_out, err_out, err, it + 1, done_out)
 
     lam0 = jnp.asarray(lm_cfg.initial_lambda, jnp.float32)
     state = (
-        values, lam0, err_init, err_init,
+        values, sys0, jnp.asarray(True), lam0, err_init, err_init,
         jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
-    vals, lam, err, _, iters, done = jax.lax.while_loop(cond, body, state)
+    vals, _, _, lam, err, _, iters, done = jax.lax.while_loop(
+        cond, body, state
+    )
     return LMResult(
         values=vals,
         error=err,

@@ -161,3 +161,28 @@ def disparity_to_depth(disparity: jax.Array, fx_baseline: float, scale: float = 
     disp = disparity / scale
     safe = jnp.where(disp <= 0, 1.0, disp)
     return jnp.where(disp <= 0, 0.0, fx_baseline / safe)
+
+
+def camera_params_from_yaml(path: str) -> "CameraParams":
+    """Load pinhole intrinsics from a CameraParams.yaml-style file
+    (`Camera.fx/fy/cx/cy/width/height` keys, the reference's
+    `CameraParams::fromYamlFile` surface)."""
+    import yaml
+
+    with open(path) as f:
+        y = yaml.safe_load(f) or {}
+
+    def get(*keys, default=None):
+        for k in keys:
+            if k in y:
+                return y[k]
+        return default
+
+    return CameraParams.create(
+        get("Camera.fx", "fx"),
+        get("Camera.fy", "fy"),
+        get("Camera.cx", "cx"),
+        get("Camera.cy", "cy"),
+        int(get("Camera.width", "width", default=0)),
+        int(get("Camera.height", "height", default=0)),
+    )

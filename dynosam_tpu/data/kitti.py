@@ -56,6 +56,10 @@ class KittiDataset(DatasetProvider):
     ):
         super().__init__(path, starting_frame, ending_frame)
         self.baseline = baseline
+        # sequences 0018-0020 use the second rig's baseline
+        # (`KittiDataProvider.hpp:538-558`)
+        if baseline == KITTI_BASELINE and 18 <= self._sequence_id() <= 20:
+            self.baseline = 388.1822
         self.depth_scale = depth_scale
         self.rgb_dir = os.path.join(path, "image_0")
         self.depth_dir = os.path.join(path, "depth")
@@ -128,18 +132,49 @@ class KittiDataset(DatasetProvider):
     def __len__(self):
         return self._n
 
-    def camera_params(self) -> CameraParams:
-        if self._cam is None:
-            import cv2
+    def _sequence_id(self) -> int:
+        """Sequence number from the dataset folder name (the reference
+        derives the rig from `<path/to/kitti/XXXX>`,
+        `KittiDataProvider.hpp:520-527`)."""
+        name = os.path.basename(os.path.normpath(self.path))
+        try:
+            return int(name)
+        except ValueError:
+            return -1
 
-            img = cv2.imread(
-                os.path.join(self.rgb_dir, "000000.png"), cv2.IMREAD_UNCHANGED
+    def camera_params(self) -> CameraParams:
+        """Per-sequence KITTI-tracking rig (`setCameraParams`,
+        `KittiDataProvider.hpp:520-565`): sequences 0000-0013 use the
+        (721.5377, 609.5593, 172.854) rig with baseline 387.5744; 0018-0020
+        the (718.8560, 607.1928, 185.2157) rig with baseline 388.1822.  A
+        `calib.txt` with a `P2: fx 0 cx . 0 fy cy .` row (raw KITTI format)
+        overrides both."""
+        if self._cam is None:
+            calib = os.path.join(self.path, "calib.txt")
+            fx = fy = cx = cy = None
+            if os.path.exists(calib):
+                with open(calib) as f:
+                    for line in f:
+                        key, _, rest = line.partition(":")
+                        if key.strip() in ("P2", "P0"):
+                            v = [float(x) for x in rest.split()]
+                            if len(v) >= 12:
+                                fx, cx = v[0], v[2]
+                                fy, cy = v[5], v[6]
+                            break
+            if fx is None:
+                sid = self._sequence_id()
+                if 18 <= sid <= 20:
+                    fx = fy = 718.8560
+                    cx, cy = 607.1928, 185.2157
+                else:
+                    fx = fy = 721.5377
+                    cx, cy = 609.5593, 172.854
+            img = self._imread(
+                os.path.join(self.rgb_dir, f"{0:06d}.png")
             )
             h, w = img.shape[:2]
-            # KITTI-tracking intrinsics (seq 00-12 rig); CameraParams.yaml
-            self._cam = CameraParams.create(
-                721.5377, 721.5377, 609.5593, 172.854, w, h
-            )
+            self._cam = CameraParams.create(fx, fy, cx, cy, w, h)
         return self._cam
 
     # ------------------------------------------------------------------

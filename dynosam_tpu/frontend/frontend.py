@@ -59,6 +59,9 @@ class FrontendState(NamedTuple):
     obj_H_prev: SE3         # (O,) last frame's object motions (const-vel model)
     obj_H_prev_valid: jax.Array
     obj_static: jax.Array   # (O,) object classified static by scene flow at k-1
+    obj_gap: jax.Array      # (O,) frames since L was last updated
+    rel_prev: SE3           # X_{k-2}^-1 X_{k-1} (const-velocity rot prior)
+    rel_prev_valid: jax.Array
     frame_idx: jax.Array
 
     @staticmethod
@@ -75,6 +78,9 @@ class FrontendState(NamedTuple):
             obj_H_prev=se3_identity((no,), dtype),
             obj_H_prev_valid=jnp.zeros((no,), bool),
             obj_static=jnp.zeros((no,), bool),
+            obj_gap=jnp.full((no,), 10000, jnp.int32),
+            rel_prev=se3_identity((), dtype),
+            rel_prev_valid=jnp.asarray(False),
             frame_idx=jnp.asarray(0, jnp.int32),
         )
 
@@ -82,6 +88,14 @@ class FrontendState(NamedTuple):
 def _depth_at(depth: jax.Array, uv: jax.Array, max_depth: float):
     d = bilinear_sample(depth, uv)
     return d, (d > 0.0) & (d < max_depth)
+
+
+def _mask_label_at(mask: jax.Array, uv: jax.Array) -> jax.Array:
+    """Nearest-neighbour instance label under (possibly fractional) uv."""
+    h, w = mask.shape
+    x = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, h - 1)
+    return mask[y, x]
 
 
 def _project_world(cam: CameraParams, X: SE3, p_w: jax.Array):
@@ -155,8 +169,10 @@ def frontend_step(
         ego_lmk, ego_uv, ego_xyz, ego_valid = (
             state.s_lmk, trk.s_uv, s_xyz, ego_corr
         )
-    if cfg.use_ego_motion_pnp:
-        # 3d-2d PnP (Kneip path, the RGB-D default)
+    ego_mode = cfg.ego_motion_solver if cfg.use_ego_motion_pnp else "3d3d"
+    if ego_mode == "3d2d":
+        # 3d-2d PnP (Kneip path, the RGB-D default,
+        # `geometricOutlierRejection3d2d`)
         ego = ransac_pose_3d2d(
             key_e,
             ego_lmk,
@@ -168,7 +184,7 @@ def frontend_step(
             threshold_px=cfg.camera_solver.ransac_threshold_px,
             min_inliers=cfg.camera_solver.min_inliers,
         )
-    else:
+    elif ego_mode == "3d3d":
         # 3d-3d Arun (`geometricOutlierRejection3d3d`): p_world = X(y_cam)
         from ..ops.ransac import ransac_rigid
 
@@ -178,9 +194,76 @@ def frontend_step(
             dst=ego_lmk,
             valid=ego_valid,
             iters=cfg.camera_solver.ransac_iterations,
-            threshold=cfg.camera_solver.ransac_threshold_stereo * 100.0,
+            threshold=cfg.camera_solver.ransac_threshold_stereo_m,
             min_inliers=5,
         )
+    elif ego_mode == "2d2d":
+        # 2d-2d epipolar (`geometricOutlierRejection2d2d`): needs no depth
+        # or landmarks — correspondences are (kp_{k-1}, kp_k) pairs.  Metric
+        # scale comes from the previous frame's depth where available
+        # (RGB-D); a pure-mono caller gets the scale-free |t|=1 pose.
+        from ..ops.epipolar import (
+            normalize_points,
+            ransac_essential,
+            ransac_translation_given_rot,
+            scale_from_depth,
+        )
+
+        corr2d = trk.s_active & (trk.s_age > 0)
+        if cfg.camera_solver.ransac_use_2point_mono:
+            # 2-pt translation-only with the constant-velocity rotation
+            # prior R(T_{k,k-1}) = rel_prev.R^T (MotionSolver.cc:161-177
+            # takes it from IMU; we use the motion model)
+            R_prior = jnp.swapaxes(state.rel_prev.R, -1, -2)
+            ep2 = ransac_translation_given_rot(
+                key_e, prev_uv_s, trk.s_uv, corr2d, cam, R_prior,
+                iters=cfg.camera_solver.ransac_iterations,
+                threshold=cfg.camera_solver.ransac_threshold_mono,
+            )
+            ep5 = ransac_essential(
+                key_e, prev_uv_s, trk.s_uv, corr2d, cam,
+                iters=cfg.camera_solver.ransac_iterations,
+                threshold=cfg.camera_solver.ransac_threshold_mono,
+            )
+            use2 = state.rel_prev_valid
+            ep_rel = SE3(
+                jnp.where(use2, ep2.rel_pose.R, ep5.rel_pose.R),
+                jnp.where(use2, ep2.rel_pose.t, ep5.rel_pose.t),
+            )
+            ep_inl = jnp.where(use2, ep2.inliers, ep5.inliers)
+            ep_n = jnp.where(use2, ep2.n_inliers, ep5.n_inliers)
+        else:
+            ep = ransac_essential(
+                key_e, prev_uv_s, trk.s_uv, corr2d, cam,
+                iters=cfg.camera_solver.ransac_iterations,
+                threshold=cfg.camera_solver.ransac_threshold_mono,
+            )
+            ep_rel, ep_inl, ep_n = ep.rel_pose, ep.inliers, ep.n_inliers
+        prev_d2, prev_d2ok = _depth_at(
+            prev_images.depth, prev_uv_s, cfg.max_background_depth
+        )
+        scale, _ = scale_from_depth(
+            ep_rel,
+            normalize_points(cam, prev_uv_s),
+            normalize_points(cam, trk.s_uv),
+            jnp.where(prev_d2ok, prev_d2, 0.0),
+            ep_inl,
+        )
+        # x_k ~ R x_{k-1} + t  =>  T_{k,k-1}; X_k = X_{k-1} T_{k,k-1}^-1
+        T_rel = SE3(ep_rel.R, ep_rel.t * scale)
+        X_2d2d = se3_compose(state.X_world, se3_inverse(T_rel))
+        ego = RansacResult(
+            pose=X_2d2d,
+            inliers=ep_inl,
+            n_inliers=ep_n,
+            status=jnp.where(
+                ep_n >= cfg.camera_solver.min_inliers,
+                STATUS_VALID,
+                2,  # STATUS_INVALID
+            ),
+        )
+    else:
+        raise ValueError(f"unknown ego_motion_solver {cfg.ego_motion_solver}")
     ego_ok = ego.status == STATUS_VALID
     # fallback: propagate with identity relative motion (the reference sets
     # X = X_{k-1} on failure, `RGBDInstanceFrontendModule.cc:239-241`)
@@ -194,6 +277,7 @@ def frontend_step(
         prev_d, prev_dok = _depth_at(
             prev_images.depth, prev_uv_s, cfg.max_background_depth
         )
+        participated = ego.inliers[:ns_pool] & prev_dok
         fp = refine.optimize_flow_and_pose(
             cam,
             X_k,
@@ -201,12 +285,42 @@ def frontend_step(
             prev_uv_s,
             prev_d,
             trk.s_uv - prev_uv_s,
-            ego.inliers[:ns_pool] & prev_dok,
+            participated,
+            outlier_rounds=(
+                cfg.refinement_outlier_rounds
+                if cfg.joint_of_outlier_reject else 0
+            ),
         )
         X_k = SE3(
             jnp.where(ego_ok, fp.pose.R, X_k.R),
             jnp.where(ego_ok, fp.pose.t, X_k.t),
         )
+        # ---- write the refined flow back into the frame/tracker state
+        # (`OpticalFlowAndPoseOptimizer::updateFrameOutliersWithResult`,
+        # MotionSolver.cc:289-362): inlier keypoints move to
+        # kp_{k-1} + refined_flow if they stay in-bounds and on the
+        # background mask; rejected tracks are marked outliers so the
+        # tracker replaces them.  Unlike the reference (which leaves the
+        # old depth attached to the moved keypoint) we re-sample depth at
+        # the refined keypoint — xyz and uv stay consistent.
+        refined_uv = prev_uv_s + fp.flow
+        hgt, wid = images.gray.shape
+        inb = (
+            (refined_uv[:, 0] >= 0.0) & (refined_uv[:, 0] <= wid - 1.0)
+            & (refined_uv[:, 1] >= 0.0) & (refined_uv[:, 1] <= hgt - 1.0)
+        )
+        lab = _mask_label_at(images.mask, refined_uv)
+        wb = participated & fp.inliers & inb & (lab == 0) & ego_ok
+        new_outlier = participated & ~wb & ego_ok
+        s_uv_new = jnp.where(wb[:, None], refined_uv, trk.s_uv)
+        trk = trk._replace(
+            s_uv=s_uv_new, s_active=trk.s_active & ~new_outlier
+        )
+        s_depth, s_dok = _depth_at(
+            images.depth, trk.s_uv, cfg.max_background_depth
+        )
+        s_xyz = backproject(cam, trk.s_uv, s_depth)
+        s_obs_ok = trk.s_active & s_dok
 
     # ---------------- scene-flow dynamicity (`vision_tools::trackDynamic`)
     # world scene flow of dynamic tracks seen at k-1 and k
@@ -276,14 +390,21 @@ def frontend_step(
         G = res.pose
         inl = res.inliers
         uv_prev = prev_uv_d[idx]
+        ref_uv = uv_cur
+        wb = jnp.zeros_like(ok)
         if cfg.refine_motion_with_joint_of and not first_frame:
             # joint optical-flow + pose refinement of G, treating the
             # object's points as static under the "virtual camera" G
             # (`ObjectMotionSovler` joint OF stage, MotionSolver.cc:493-509)
             dprev = d_depth_prev[idx]
+            part = inl & (dprev > 0.0)
             fp = refine.optimize_flow_and_pose(
                 cam, G, state.X_world, uv_prev, dprev,
-                uv_cur - uv_prev, inl & (dprev > 0.0),
+                uv_cur - uv_prev, part,
+                outlier_rounds=(
+                    cfg.refinement_outlier_rounds
+                    if cfg.joint_of_outlier_reject else 0
+                ),
             )
             G = SE3(
                 jnp.where(ok_solved, fp.pose.R, G.R),
@@ -291,12 +412,27 @@ def frontend_step(
             )
             if cfg.joint_of_outlier_reject:
                 inl = jnp.where(ok_solved, fp.inliers, inl)
+            # refined-keypoint write-back candidates (bounds + same-object
+            # mask label checked like `updateFrameOutliersWithResult`)
+            ref_uv = uv_prev + fp.flow
+            hgt, wid = images.gray.shape
+            inb = (
+                (ref_uv[:, 0] >= 0.0) & (ref_uv[:, 0] <= wid - 1.0)
+                & (ref_uv[:, 1] >= 0.0) & (ref_uv[:, 1] <= hgt - 1.0)
+            )
+            lab_ok = _mask_label_at(images.mask, ref_uv) == trk.obj_labels[j]
+            wb = part & fp.inliers & inb & lab_ok & ok_solved
+            ref_uv = jnp.where(wb[:, None], ref_uv, uv_cur)
         # H_w = X_k ∘ G^-1 (ref: `ObjectMotionSovler`, MotionSolver.cc:492-511)
         H = se3_compose(X_k, se3_inverse(G))
         if cfg.refine_motion_with_3d:
             mr = refine.optimize_motion_only(
                 cam, H, state.X_world, X_k, p_prev_w, uv_prev, uv_cur,
                 inl,
+                outlier_rounds=(
+                    cfg.refinement_outlier_rounds
+                    if cfg.refinement_3d_outlier_reject else 0
+                ),
             )
             H = SE3(
                 jnp.where(ok_solved, mr.motion.R, H.R),
@@ -304,10 +440,12 @@ def frontend_step(
             )
             if cfg.refinement_3d_outlier_reject:
                 inl = jnp.where(ok_solved, mr.inliers, inl)
-        return H, inl, ok_solved
+        return H, inl, ok_solved, ref_uv, wb
 
     keys_o = jax.random.split(key_o, no)
-    H_all, obj_inl, solved = jax.vmap(solve_obj)(obj_ids, idxs, oks, keys_o)
+    H_all, obj_inl, solved, ref_uvs, wbs = jax.vmap(solve_obj)(
+        obj_ids, idxs, oks, keys_o
+    )
     motion_valid = solved & obj_is_dynamic & (not first_frame)
 
     # scatter per-object inliers back to the (ND,) dynamic pool; fresh
@@ -319,32 +457,85 @@ def frontend_step(
     )
     d_inlier = d_inlier | ~prop
 
-    # ---------------- object pose propagation (`propogateObjectPoses`)
-    # L_k = H_k L_{k-1}; first sighting initializes L at the object centroid
+    # ---- refined-flow write-back for dynamic tracks (the per-object
+    # `optimizeAndUpdate` of the reference).  Scatter-add of masked deltas:
+    # a slot receives a nonzero delta from at most one object (tracks
+    # belong to one object), duplicate gather paddings add zero.
+    wb_flat = (wbs & oks).reshape(-1)
+    idx_flat = idxs.reshape(-1)
+    delta_uv = jnp.where(
+        wb_flat[:, None],
+        ref_uvs.reshape(-1, 2) - trk.d_uv[idx_flat],
+        0.0,
+    )
+    d_uv_new = trk.d_uv.at[idx_flat].add(delta_uv)
+    trk = trk._replace(d_uv=d_uv_new)
+    d_depth, d_dok = _depth_at(images.depth, trk.d_uv, cfg.max_object_depth)
+    d_xyz = backproject(cam, trk.d_uv, d_depth)
+    d_obs_ok = trk.d_active & d_dok
+    m_cur_w = se3_apply(X_k, d_xyz)
+
+    # ---------------- object pose propagation (`propogateObjectPoses`,
+    # `src/common/DynamicObjects.cc:48-191`).
+    # L_k = H_k L_{k-1} while the motion chain is unbroken; a motion that
+    # RESUMES after a gap < 3 frames restarts from (last rotation, current
+    # centroid) — the causal endpoint of the reference's slerp interpolation
+    # (the interior fill happens offline in the backend accessor); longer
+    # gaps re-initialise from the previous-frame centroid before applying H.
     centroid = jnp.einsum("no,nd->od", onehot, m_cur_w) / jnp.maximum(
         n_per_obj[:, None], 1.0
     )
+    cen_prev = jnp.einsum("no,nd->od", onehot, state.d_lmk) / jnp.maximum(
+        n_per_obj[:, None], 1.0
+    )
+    gap = state.obj_gap
+    fresh = gap == 0
+    prop_ok = motion_valid & state.obj_pose_valid & fresh
+    resume_ok = (
+        motion_valid & state.obj_pose_valid & (gap >= 1) & (gap < 3)
+    )
+    reinit_m = motion_valid & ~(prop_ok | resume_ok)
+    hold = state.obj_pose_valid & ~motion_valid
+    first_init = (
+        ~state.obj_pose_valid & ~motion_valid
+        & trk.obj_active & (n_per_obj > 0)
+    )
+
     prop_pose = se3_compose(H_all, state.obj_pose)
-    can_prop = state.obj_pose_valid & motion_valid
-    # priority: propagate when possible; else KEEP the previous pose (the
-    # reference holds L on a failed solve); else centroid init for a new
-    # object
-    keep_prev = state.obj_pose_valid & ~can_prop
+    # reinit: pose_{k-1} = (I, centroid_{k-1}), pose_k = H * pose_{k-1}
+    reinit_pose = SE3(
+        H_all.R,
+        jnp.einsum("oij,oj->oi", H_all.R, cen_prev) + H_all.t,
+    )
     eye_R = jnp.broadcast_to(
         jnp.eye(3, dtype=centroid.dtype), prop_pose.R.shape
     )
     L_R = jnp.where(
-        can_prop[:, None, None],
-        prop_pose.R,
-        jnp.where(keep_prev[:, None, None], state.obj_pose.R, eye_R),
+        prop_ok[:, None, None], prop_pose.R,
+        jnp.where(
+            resume_ok[:, None, None], state.obj_pose.R,
+            jnp.where(
+                reinit_m[:, None, None], reinit_pose.R,
+                jnp.where(hold[:, None, None], state.obj_pose.R, eye_R),
+            ),
+        ),
     )
     L_t = jnp.where(
-        can_prop[:, None],
-        prop_pose.t,
-        jnp.where(keep_prev[:, None], state.obj_pose.t, centroid),
+        prop_ok[:, None], prop_pose.t,
+        jnp.where(
+            resume_ok[:, None], centroid,
+            jnp.where(
+                reinit_m[:, None], reinit_pose.t,
+                jnp.where(hold[:, None], state.obj_pose.t, centroid),
+            ),
+        ),
     )
     L_k = SE3(L_R, L_t)
-    pose_valid = can_prop | keep_prev | (trk.obj_active & (n_per_obj > 0))
+    updated = prop_ok | resume_ok | reinit_m | first_init
+    pose_valid = updated | hold
+    obj_gap_new = jnp.where(
+        updated, 0, jnp.minimum(gap + 1, 10000)
+    )
 
     # ---------------- output packet
     static_out = StaticObs(uv=trk.s_uv, xyz=s_xyz, valid=s_obs_ok)
@@ -390,6 +581,9 @@ def frontend_step(
         obj_H_prev=H_all,
         obj_H_prev_valid=motion_valid,
         obj_static=obj_static_new,
+        obj_gap=obj_gap_new,
+        rel_prev=se3_compose(se3_inverse(state.X_world), X_k),
+        rel_prev_valid=jnp.asarray(not first_frame) & ego_ok,
         frame_idx=state.frame_idx + 1,
     )
     return new_state, packet, report, ego

@@ -13,10 +13,16 @@ expressed on the shared LM engine (`backend/solver.py`) instead of gtsam:
     projection factors (sigma 2.0) + LandmarkMotionTernary (sigma 0.001),
     Huber(k=1e-4) (`MotionSolver.hpp:217-219`).
 
-The reference runs 4 rounds of optimize-then-remove-outlier-factors; here
-outlier suppression is a final robust-weight threshold (`weight < 0.5` on
-the Huber reweighting — the same criterion `factor_graph_tools::
-determineFactorOutliers` uses, `FactorGraphTools.hpp:69-99`).
+Both stages run the reference's optimize -> determine-outlier-factors ->
+remove -> re-optimize cycle (up to 4 extra rounds, early-exiting when no new
+outliers appear; `MotionSolver-inl.hpp:194-232` and :406): a
+`lax.while_loop` over rounds whose body re-masks the factor grid and resets
+the pose to its initial value (the reference's
+`optimised_values.update(pose_key, initial_pose)`) while carrying the
+refined flows/landmarks forward.  Outlier detection is the robust-weight
+threshold (`weight < 0.5` on the Huber reweighting — the criterion
+`factor_graph_tools::determineFactorOutliers` uses,
+`FactorGraphTools.hpp:69-99`).
 """
 
 from __future__ import annotations
@@ -51,32 +57,66 @@ def optimize_flow_and_pose(
     flow_prior_sigma: float = 3.33,
     k_huber: float = 0.001,
     max_iterations: int = 10,
+    outlier_rounds: int = 4,
 ) -> FlowPoseResult:
     """Jointly refine the dense-flow measurements and a pose estimate."""
-    vmask = valid[:, None]
 
-    def resid(values):
-        flow, X = values["flow"], values["X"]
-        r_proj, z = factors.flow_projection_residual(
-            flow, X, kp_prev, depth_prev, X_prev, cam
-        )
-        r_proj = jnp.where(vmask & (z > 0.01)[:, None], r_proj / flow_sigma, 0.0)
-        r_prior = jnp.where(vmask, (flow - flow_init) / flow_prior_sigma, 0.0)
-        return [r_proj, r_prior]
+    def resid_with(active):
+        amask = active[:, None]
+
+        def resid(values):
+            flow, X = values["flow"], values["X"]
+            r_proj, z = factors.flow_projection_residual(
+                flow, X, kp_prev, depth_prev, X_prev, cam
+            )
+            r_proj = jnp.where(
+                amask & (z > 0.01)[:, None], r_proj / flow_sigma, 0.0
+            )
+            r_prior = jnp.where(amask, (flow - flow_init) / flow_prior_sigma, 0.0)
+            return [r_proj, r_prior]
+
+        return resid
 
     specs = [RobustSpec("huber", k_huber), RobustSpec()]
-    init = {"flow": flow_init, "X": X_init}
     cfg = LMConfig(max_iterations=max_iterations, cg_max_iterations=60)
-    res = lm_optimize(resid, specs, init, cfg)
 
-    r_final = resid(res.values)[0]
-    norm = jnp.linalg.norm(r_final, axis=-1)
-    weight = jnp.where(norm <= k_huber, 1.0, k_huber / jnp.maximum(norm, 1e-30))
-    inliers = valid & (weight >= 0.5)
+    # chi-squared(dim=2, 0.99) gate on the Gaussian-whitened flow-projection
+    # error (`determineFactorOutliers`, FactorGraphTools.hpp:69-99: outlier
+    # iff 0.5 |r|^2 > 0.5 chi2_quantile(dim, confidence))
+    chi2_gate = 9.210340
+
+    def solve(active, flow_start):
+        resid = resid_with(active)
+        res = lm_optimize(resid, specs, {"flow": flow_start, "X": X_init}, cfg)
+        r_final = resid(res.values)[0]
+        outliers = active & (jnp.sum(r_final * r_final, axis=-1) > chi2_gate)
+        return res, outliers
+
+    res0, out0 = solve(valid, flow_init)
+    active0 = valid & ~out0
+
+    def cond(carry):
+        _, _, _, n_new, it = carry
+        return (n_new > 0) & (it < outlier_rounds)
+
+    def body(carry):
+        active, flow_c, _, _, it = carry
+        res, outliers = solve(active, flow_c)
+        active_new = active & ~outliers
+        return (
+            active_new, res.values["flow"], res,
+            jnp.sum(outliers), it + 1,
+        )
+
+    active, flow_out, res, _, _ = jax.lax.while_loop(
+        cond, body,
+        (active0, res0.values["flow"], res0, jnp.sum(out0),
+         jnp.asarray(0, jnp.int32)),
+    )
     return FlowPoseResult(
         pose=res.values["X"],
-        flow=res.values["flow"],
-        inliers=inliers,
+        flow=flow_out,
+        inliers=active,
         error=res.error,
     )
 
@@ -100,38 +140,72 @@ def optimize_motion_only(
     projection_sigma: float = 2.0,
     k_huber: float = 0.0001,
     max_iterations: int = 10,
+    outlier_rounds: int = 4,
 ) -> MotionRefineResult:
     """Refine an object motion with fixed camera poses.
 
     Variables: landmark pair (m_{k-1}, m_k) per track + H.  The current
     landmark is initialized by motion-propagating the previous one.
     """
-    vmask = valid[:, None]
     m_cur_init = se3_apply(H_init, m_prev_world)
 
-    def resid(values):
-        mp, mc, H = values["mp"], values["mc"], values["H"]
-        rp_prev, zp = factors.reprojection_residual(X_prev, mp, uv_prev, cam)
-        rp_cur, zc = factors.reprojection_residual(X_cur, mc, uv_cur, cam)
-        rp_prev = jnp.where(vmask & (zp > 0.01)[:, None], rp_prev / projection_sigma, 0.0)
-        rp_cur = jnp.where(vmask & (zc > 0.01)[:, None], rp_cur / projection_sigma, 0.0)
-        r_tern = factors.landmark_motion_ternary_residual(mp, mc, H)
-        r_tern = jnp.where(vmask, r_tern / landmark_motion_sigma, 0.0)
-        return [rp_prev, rp_cur, r_tern]
+    def resid_with(active):
+        amask = active[:, None]
+
+        def resid(values):
+            mp, mc, H = values["mp"], values["mc"], values["H"]
+            rp_prev, zp = factors.reprojection_residual(X_prev, mp, uv_prev, cam)
+            rp_cur, zc = factors.reprojection_residual(X_cur, mc, uv_cur, cam)
+            rp_prev = jnp.where(
+                amask & (zp > 0.01)[:, None], rp_prev / projection_sigma, 0.0
+            )
+            rp_cur = jnp.where(
+                amask & (zc > 0.01)[:, None], rp_cur / projection_sigma, 0.0
+            )
+            r_tern = factors.landmark_motion_ternary_residual(mp, mc, H)
+            r_tern = jnp.where(amask, r_tern / landmark_motion_sigma, 0.0)
+            return [rp_prev, rp_cur, r_tern]
+
+        return resid
 
     specs = [
         RobustSpec("huber", k_huber),
         RobustSpec("huber", k_huber),
         RobustSpec("huber", k_huber),
     ]
-    init = {"mp": m_prev_world, "mc": m_cur_init, "H": H_init}
     cfg = LMConfig(max_iterations=max_iterations, cg_max_iterations=60)
-    res = lm_optimize(resid, specs, init, cfg)
 
-    r_final = resid(res.values)[2]
-    norm = jnp.linalg.norm(r_final, axis=-1)
-    weight = jnp.where(norm <= k_huber, 1.0, k_huber / jnp.maximum(norm, 1e-30))
-    inliers = valid & (weight >= 0.5)
+    # chi-squared(dim=3, 0.99) gate on the whitened LandmarkMotionTernary
+    # error (`determineFactorOutliers<LandmarkMotionTernaryFactor>`,
+    # MotionSolver-inl.hpp:401)
+    chi2_gate = 11.344867
+
+    def solve(active, mp_start, mc_start):
+        resid = resid_with(active)
+        res = lm_optimize(
+            resid, specs, {"mp": mp_start, "mc": mc_start, "H": H_init}, cfg
+        )
+        r_final = resid(res.values)[2]
+        outliers = active & (jnp.sum(r_final * r_final, axis=-1) > chi2_gate)
+        return res, outliers
+
+    res0, out0 = solve(valid, m_prev_world, m_cur_init)
+    active0 = valid & ~out0
+
+    def cond(carry):
+        _, _, n_new, it = carry
+        return (n_new > 0) & (it < outlier_rounds)
+
+    def body(carry):
+        active, res_prev, _, it = carry
+        res, outliers = solve(
+            active, res_prev.values["mp"], res_prev.values["mc"]
+        )
+        return (active & ~outliers, res, jnp.sum(outliers), it + 1)
+
+    active, res, _, _ = jax.lax.while_loop(
+        cond, body, (active0, res0, jnp.sum(out0), jnp.asarray(0, jnp.int32))
+    )
     return MotionRefineResult(
-        motion=res.values["H"], inliers=inliers, error=res.error
+        motion=res.values["H"], inliers=active, error=res.error
     )

@@ -151,3 +151,121 @@ def ransac_essential(
     inl_out = jnp.where(better, inl_f, inl[best])
     rel = decompose_essential(E_out, p, q, inl_out)
     return EpipolarResult(rel, E_out, inl_out, jnp.sum(inl_out))
+
+
+def triangulate_depth_ref(rel: SE3, p: jax.Array, q: jax.Array) -> jax.Array:
+    """Depth of each reference point along its bearing given x2 ~ R x1 + t.
+
+    From lambda2 q = lambda1 R p + t, eliminating lambda2 with cross
+    products: (q x (R p)) lambda1 = -(q x t).  p, q are normalized coords
+    (N, 2); returns lambda1 (N,) — the z-depth of the point in frame 1.
+    """
+    ph = jnp.concatenate([p, jnp.ones((*p.shape[:-1], 1), p.dtype)], -1)
+    qh = jnp.concatenate([q, jnp.ones((*q.shape[:-1], 1), q.dtype)], -1)
+    Rp = jnp.einsum("ij,nj->ni", rel.R, ph, precision="highest")
+    cx = jnp.cross(qh, Rp)
+    ct = jnp.cross(qh, jnp.broadcast_to(rel.t, qh.shape))
+    return -jnp.einsum("ni,ni->n", cx, ct) / jnp.maximum(
+        jnp.einsum("ni,ni->n", cx, cx), 1e-12
+    )
+
+
+def scale_from_depth(
+    rel: SE3,
+    p: jax.Array,
+    q: jax.Array,
+    depth_ref: jax.Array,
+    valid: jax.Array,
+):
+    """Metric scale for a unit-baseline relative pose from measured depth.
+
+    2d2d solves are scale-free (|t| = 1); with an RGB-D/stereo depth channel
+    the reference recovers metric translation implicitly by using 3d solvers
+    instead — for the 2d2d mode we recover it as the median ratio of
+    measured to triangulated reference depth over the inliers.  Returns
+    (scale, ok): ok False when too few valid depths support the estimate.
+    """
+    lam = triangulate_depth_ref(rel, p, q)
+    good = valid & (lam > 1e-3) & (depth_ref > 0)
+    ratio = jnp.where(good, depth_ref / jnp.maximum(lam, 1e-6), jnp.nan)
+    scale = jnp.nanmedian(ratio)
+    ok = jnp.sum(good) >= 5
+    return jnp.where(ok, scale, 1.0), ok
+
+
+def ransac_translation_given_rot(
+    key,
+    uv1: jax.Array,
+    uv2: jax.Array,
+    valid: jax.Array,
+    cam: CameraParams,
+    R: jax.Array,
+    iters: int = 200,
+    threshold: float = 2e-4,
+) -> EpipolarResult:
+    """2-point relative translation with known rotation.
+
+    The analog of the reference's 2-pt mono mode
+    (`TranslationOnlySacProblem` with `adapter.setR12`,
+    `src/frontend/vision/MotionSolver.cc:161-177`): with R given (IMU /
+    motion prior), each correspondence constrains t linearly via
+    q^T hat(t) (R p) = 0  <=>  ((R p) x q) . t = 0, so two correspondences
+    determine t (up to scale) as the cross product of their constraint
+    rows.  Batched: all K 2-point hypotheses at once, scored by Sampson
+    error of E = hat(t) R.
+    """
+    p = normalize_points(cam, uv1)
+    q = normalize_points(cam, uv2)
+    n = p.shape[0]
+    ph = jnp.concatenate([p, jnp.ones((n, 1), p.dtype)], -1)
+    qh = jnp.concatenate([q, jnp.ones((n, 1), q.dtype)], -1)
+    Rp = jnp.einsum("ij,nj->ni", R, ph, precision="highest")
+    rows = jnp.cross(Rp, qh)                               # (N, 3)
+
+    g = jax.random.gumbel(key, (iters, n))
+    logits = jnp.where(valid[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(logits, 2)                      # (K, 2)
+    t_hyp = jnp.cross(rows[idx[:, 0]], rows[idx[:, 1]])    # (K, 3)
+    t_hyp = t_hyp / jnp.maximum(
+        jnp.linalg.norm(t_hyp, axis=-1, keepdims=True), 1e-12
+    )
+
+    def hat(t):
+        z = jnp.zeros_like(t[..., 0])
+        return jnp.stack(
+            [
+                jnp.stack([z, -t[..., 2], t[..., 1]], -1),
+                jnp.stack([t[..., 2], z, -t[..., 0]], -1),
+                jnp.stack([-t[..., 1], t[..., 0], z], -1),
+            ],
+            -2,
+        )
+
+    Es = jnp.einsum("kij,jl->kil", hat(t_hyp), R)          # (K, 3, 3)
+    err = sampson_error(Es, p[None], q[None])
+    inl = (err < threshold) & valid[None]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores)
+
+    # least-squares refit of t on the best inliers: min |diag(w) rows t|
+    w_in = inl[best].astype(p.dtype)
+    A = rows * w_in[:, None]
+    AtA = jnp.einsum("ni,nj->ij", A, A, precision="highest")
+    _, vecs = jnp.linalg.eigh(AtA)
+    t_ref = vecs[:, 0]
+    t_ref = t_ref / jnp.maximum(jnp.linalg.norm(t_ref), 1e-12)
+    E_ref = hat(t_ref) @ R
+    err_f = sampson_error(E_ref, p, q)
+    inl_f = (err_f < threshold) & valid
+    better = jnp.sum(inl_f) >= scores[best]
+    t_out = jnp.where(better, t_ref, t_hyp[best])
+    inl_out = jnp.where(better, inl_f, inl[best])
+    E_out = hat(t_out) @ R
+
+    # cheirality: majority of inliers must triangulate in front
+    rel = SE3(R, t_out)
+    lam = triangulate_depth_ref(rel, p, q)
+    front = jnp.sum((lam > 0) & inl_out)
+    back = jnp.sum((lam < 0) & inl_out)
+    t_out = jnp.where(front >= back, t_out, -t_out)
+    return EpipolarResult(SE3(R, t_out), E_out, inl_out, jnp.sum(inl_out))

@@ -121,7 +121,18 @@ def run_and_log(
 
     from .utils.logger import EstimationLogger
 
-    cam = dataset.camera_params()
+    # `prefer_data_provider_camera_params` (reference PipelineParams): the
+    # dataset's own calibration wins unless explicitly overridden by a
+    # camera_params_yaml
+    if (
+        not cfg.pipeline.prefer_data_provider_camera_params
+        and cfg.pipeline.camera_params_yaml
+    ):
+        from .core.camera import camera_params_from_yaml
+
+        cam = camera_params_from_yaml(cfg.pipeline.camera_params_yaml)
+    else:
+        cam = dataset.camera_params()
     pipe = DynoPipeline(cam, cfg, use_klt=use_klt)
     result = pipe.run(dataset.prefetched_frames())
 

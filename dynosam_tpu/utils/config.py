@@ -48,7 +48,15 @@ class MotionSolverConfig:
     ransac_iterations: int = 500
     ransac_probability: float = 0.995
     ransac_threshold_mono: float = 2e-4       # MotionSolver.cc 2d2d default
-    ransac_threshold_stereo: float = 0.001    # 3d3d
+    ransac_threshold_stereo: float = 0.001    # 3d3d (opengv squared-distance
+    #                                           units; see threshold_stereo_m)
+    # metric 3d3d inlier radius used by our Arun scorer; the reference's
+    # opengv threshold is in a different unit system, 0.1 m matches its
+    # effective gate on KITTI-scale scenes
+    ransac_threshold_stereo_m: float = 0.1
+    # 2-pt translation-only mono solver when an external rotation prior is
+    # available (MotionSolver.cc:161-177 `ransac_use_2point_mono`)
+    ransac_use_2point_mono: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,12 +67,27 @@ class FrontendConfig:
     max_background_depth: float = 40.0
     max_object_depth: float = 25.0
     use_ego_motion_pnp: bool = True
+    # ego-motion solver family, the analog of the reference's
+    # EgoMotionSolver mode selection (`MotionSolver.cc:111-320`):
+    #   "3d2d" — PnP RANSAC (RGB-D default, geometricOutlierRejection3d2d)
+    #   "3d3d" — Arun point-cloud alignment (geometricOutlierRejection3d3d)
+    #   "2d2d" — Nister-style essential matrix (geometricOutlierRejection2d2d),
+    #            metric scale recovered from depth when available (mono path
+    #            stays scale-free); with `ransac_use_2point_mono` and a
+    #            constant-velocity rotation prior, the 2-pt translation-only
+    #            solver is used instead
+    # `use_ego_motion_pnp=False` is the legacy alias for "3d3d".
+    ego_motion_solver: str = "3d2d"
     use_object_motion_pnp: bool = True
     refine_camera_pose_with_joint_of: bool = True
     refine_motion_with_joint_of: bool = True
     refine_motion_with_3d: bool = True
     joint_of_outlier_reject: bool = True
     refinement_3d_outlier_reject: bool = True
+    # optimize -> remove-outlier-factors -> re-optimize rounds in the two
+    # refinement stages (the reference hardcodes 4,
+    # `MotionSolver-inl.hpp:194-232` / :406)
+    refinement_outlier_rounds: int = 4
     min_dynamic_features_per_object: int = 30  # VisionTools.cc demotion rule
     scene_flow_percentage: float = 0.5
     # objects classified static by scene flow contribute their points to the
@@ -144,6 +167,10 @@ class PipelineConfig:
     starting_frame: int = -1
     ending_frame: int = -1
     use_backend: bool = True
+    # reference `prefer_data_provider_camera_params` (PipelineParams): use
+    # the dataset's own calibration over `camera_params_yaml`
+    prefer_data_provider_camera_params: bool = True
+    camera_params_yaml: Optional[str] = None
     output_path: Optional[str] = None
     save_frontend_json: bool = False
     frontend_from_file: bool = False

@@ -96,3 +96,160 @@ def test_factory(tmp_path):
     assert len(ds) == 3
     with pytest.raises(ValueError):
         create_dataset(9, root)
+
+
+def make_fake_omd(root, n=3, h=48, w=64, fx=100.0, baseline=0.05):
+    """OMD preprocessed layout: text masks, .flo flow, disparity PNGs,
+    pose_gt with 4x4 rows, object_pose with Rodrigues rows, oxford.yaml."""
+    for d in ["image_0", "depth", "flow", "semantic"]:
+        os.makedirs(f"{root}/{d}", exist_ok=True)
+    rng = np.random.default_rng(1)
+    for k in range(n):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(f"{root}/image_0/{k:06d}.png", img)
+        # disparity d_png/256 = 4 -> depth = baseline * fx / 4
+        cv2.imwrite(
+            f"{root}/depth/{k:06d}.png", np.full((h, w), 256 * 4, np.uint16)
+        )
+        flow = rng.normal(0, 1, (h, w, 2)).astype(np.float32)
+        with open(f"{root}/flow/{k:06d}.flo", "wb") as f:
+            np.asarray([202021.25], np.float32).tofile(f)
+            np.asarray([w, h], np.int32).tofile(f)
+            flow.tofile(f)
+        mask = np.zeros((h, w), np.int32)
+        mask[10:20, 20:40] = 1
+        np.savetxt(f"{root}/semantic/{k:06d}.txt", mask, fmt="%d")
+    np.savetxt(f"{root}/times.txt", np.arange(n) * 0.1)
+    # pose_gt: frame + 16 values; give frame 0 a NON-identity pose so the
+    # alignment branch is exercised
+    rows = []
+    for k in range(n):
+        T = np.eye(4)
+        T[:3, 3] = [1.0 + 0.2 * k, 2.0, 3.0]
+        rows.append([k] + T.reshape(-1).tolist())
+    np.savetxt(f"{root}/pose_gt.txt", np.asarray(rows))
+    # object_pose: frame obj t(3) rodrigues(3); rotation pi/2 about z
+    obj_rows = []
+    for k in range(n):
+        obj_rows.append([k, 1, 1.5 + 0.2 * k, 2.0, 4.0, 0.0, 0.0, np.pi / 2])
+    np.savetxt(f"{root}/object_pose.txt", np.asarray(obj_rows))
+    with open(f"{root}/oxford.yaml", "w") as f:
+        f.write(
+            f"'Camera.fx': {fx}\n'Camera.fy': {fx}\n'Camera.cx': {w/2}\n"
+            f"'Camera.cy': {h/2}\n'Camera.width': {w}\n'Camera.height': {h}\n"
+            f"'Camera.baseline': {baseline}\n"
+        )
+    return root
+
+
+def test_omd_loader(tmp_path):
+    from dynosam_tpu.data.omd import OMDDataset
+
+    root = make_fake_omd(str(tmp_path / "omd"))
+    ds = OMDDataset(root)
+    assert len(ds) == 3
+    cam = ds.camera_params()
+    np.testing.assert_allclose(float(np.asarray(cam.fx)), 100.0)
+    fr = ds.frame(1)
+    # disparity 4 -> depth = 0.05 * 100 / 4 = 1.25
+    np.testing.assert_allclose(np.asarray(fr.depth)[0, 0], 1.25, rtol=1e-5)
+    assert int(np.asarray(fr.mask).max()) == 1  # text-format mask decoded
+    assert fr.flow.shape == (48, 64, 2)
+    gt = ds.ground_truth(2)
+    # aligned: X_2 = X_0^-1 X_2 -> x translation 0.4
+    np.testing.assert_allclose(gt.X_world[0, 3], 0.4, atol=1e-9)
+    # object pose re-expressed in the aligned world: offset keeps the
+    # camera-relative translation [0.5, 0, 1]
+    L = gt.object_poses[1]
+    np.testing.assert_allclose(L[:3, 3], [0.9, 0.0, 1.0], atol=1e-9)
+    # world-centric motion between frames (pure x translation of 0.2... the
+    # camera moves 0.2 and the object moves 0.2 -> H translation = 0.2)
+    H = gt.object_motions[1]
+    np.testing.assert_allclose(H[:3, 3], [0.2, 0.0, 0.0], atol=1e-7)
+
+
+def make_fake_cluster(root, n=2, h=96, w=160, fx=80.0, baseline=0.3):
+    for d in [
+        "images/left", "images/right", "optical_flow", "instance_masks",
+        "pose", "landmarks/left",
+    ]:
+        os.makedirs(f"{root}/{d}", exist_ok=True)
+    rng = np.random.default_rng(2)
+    # shifted stereo pair -> constant disparity 8 -> depth = fx*b/8
+    for k in range(n):
+        left = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        left = np.repeat(left, 3).reshape(h, w, 3)
+        right = np.roll(left, -8, axis=1)
+        cv2.imwrite(f"{root}/images/left/{k:06d}.png", left)
+        cv2.imwrite(f"{root}/images/right/{k:06d}.png", right)
+        flow = np.zeros((h, w, 2), np.float32)
+        with open(f"{root}/optical_flow/{k:06d}.flo", "wb") as f:
+            np.asarray([202021.25], np.float32).tofile(f)
+            np.asarray([w, h], np.int32).tofile(f)
+            flow.tofile(f)
+        mask = np.zeros((h, w), np.uint16)
+        mask[5:20, 5:25] = 7          # detected instance label 7
+        cv2.imwrite(f"{root}/instance_masks/{k:06d}.png", mask)
+        # pantheon pose file: camera + 1 object (x y z qx qy qz qw)
+        np.savetxt(
+            f"{root}/pose/{k}",
+            np.asarray(
+                [
+                    [0.1 * k, 0, 0, 0, 0, 0, 1.0],
+                    [1.0 + 0.3 * k, 0, 5.0, 0, 0, 0, 1.0],
+                ]
+            ),
+        )
+        # landmarks inside the instance bbox, all of cluster 1
+        np.savetxt(
+            f"{root}/landmarks/left/{k}",
+            np.asarray([[11, 10.0, 10.0], [12, 15.0, 12.0]]),
+        )
+    np.savetxt(f"{root}/landmark_mapping.txt", np.asarray([[11, 1], [12, 1]]), fmt="%d")
+    # intrinsic.txt: two 3x4 projections, right with tx = -fx*baseline
+    K = np.asarray([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]])
+    P1 = np.hstack([K, np.zeros((3, 1))])
+    P2 = K @ np.hstack([np.eye(3), np.asarray([[-baseline], [0], [0]])])
+    with open(f"{root}/intrinsic.txt", "w") as f:
+        for row in P1:
+            f.write(" ".join(str(v) for v in row) + "\n")
+        f.write("\n")
+        for row in P2:
+            f.write(" ".join(str(v) for v in row) + "\n")
+    return root
+
+
+def test_cluster_loader(tmp_path):
+    from dynosam_tpu.data.cluster import ClusterSlamDataset
+
+    root = make_fake_cluster(str(tmp_path / "cs"))
+    ds = ClusterSlamDataset(root)
+    assert len(ds) == 2
+    cam = ds.camera_params()
+    np.testing.assert_allclose(float(np.asarray(cam.fx)), 80.0)
+    # baseline recovered from the projection matrices
+    np.testing.assert_allclose(ds.baseline, 0.3, rtol=1e-6)
+    fr = ds.frame(0)
+    # SGBM depth near fx*b/disp = 80*0.3/8 = 3.0 where matched
+    d = np.asarray(fr.depth)
+    good = d[d > 0]
+    assert good.size > 500
+    assert abs(np.median(good) - 3.0) < 0.5
+    # mask relabelled from instance label 7 to cluster id 1
+    assert int(np.asarray(fr.mask).max()) == 1
+    gt = ds.ground_truth(1)
+    np.testing.assert_allclose(gt.X_world[0, 3], 0.1, atol=1e-9)
+    assert 1 in gt.object_poses
+    np.testing.assert_allclose(gt.object_motions[1][:3, 3], [0.3, 0, 0], atol=1e-7)
+
+
+def test_cluster_loader_jax_stereo(tmp_path):
+    from dynosam_tpu.data.cluster import ClusterSlamDataset
+
+    root = make_fake_cluster(str(tmp_path / "cs2"))
+    ds = ClusterSlamDataset(root, stereo_backend="jax")
+    fr = ds.frame(0)
+    d = np.asarray(fr.depth)
+    good = d[d > 0]
+    assert good.size > 500
+    assert abs(np.median(good) - 3.0) < 0.5

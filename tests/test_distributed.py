@@ -67,3 +67,70 @@ def test_distributed_output_shardings(problem):
     # the optimized dynamic points stay sharded over the mesh
     sh = res.values["dp"].sharding
     assert not sh.is_fully_replicated
+
+
+def test_spike_chain_solve_matches_thomas():
+    """Frame-sharded SPIKE chain elimination == single-device block-Thomas
+    on random SPD block-tridiagonal systems (8-device mesh, 4 frame blocks)."""
+    from dynosam_tpu.backend.schur import chain_solve
+    from dynosam_tpu.parallel.schur_dist import make_spike_chain_solver
+
+    rng = np.random.default_rng(3)
+    W, N, M = 8, 4, 5
+    A = np.zeros((W, N, 3, 3), np.float32)
+    B = np.zeros((W, N, 3, 3), np.float32)
+    rhs = rng.normal(size=(W, N, 3, M)).astype(np.float32)
+    for n in range(N):
+        C = np.zeros((3 * W, 3 * W))
+        for k in range(W):
+            C[3 * k : 3 * k + 3, 3 * k : 3 * k + 3] = rng.normal(size=(3, 3))
+            if k > 0:
+                C[3 * k : 3 * k + 3, 3 * k - 3 : 3 * k] = rng.normal(size=(3, 3))
+        G = C @ C.T + np.eye(3 * W)
+        for k in range(W):
+            A[k, n] = G[3 * k : 3 * k + 3, 3 * k : 3 * k + 3]
+            if k > 0:
+                B[k, n] = G[3 * k - 3 : 3 * k, 3 * k : 3 * k + 3]
+    want = np.asarray(chain_solve(jnp.asarray(A), jnp.asarray(B), jnp.asarray(rhs)))
+    solver = make_spike_chain_solver(make_mesh(8))
+    got = np.asarray(solver(jnp.asarray(A), jnp.asarray(B), jnp.asarray(rhs)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_distributed_schur_matches_single_device(problem):
+    """The frame-partitioned direct Schur solver (SPIKE chains + psum'd
+    reduced system) must reach the same solution as the 1-device mesh."""
+    from dynosam_tpu.parallel.schur_dist import distributed_schur_optimize
+
+    m, scfg = problem
+    cfg = BackendConfig()
+    lm = LMConfig(max_iterations=8)
+
+    res1 = distributed_schur_optimize(m, 8, cfg, mesh=make_mesh(1), lm_cfg=lm)
+    res8 = distributed_schur_optimize(m, 8, cfg, mesh=make_mesh(8), lm_cfg=lm)
+
+    assert np.isfinite(float(res1.error)) and np.isfinite(float(res8.error))
+    assert float(res1.error) < 0.005 * float(res1.initial_error)
+    assert float(res8.error) < 0.005 * float(res8.initial_error)
+    np.testing.assert_allclose(
+        np.asarray(res1.values["X"].t), np.asarray(res8.values["X"].t),
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res1.values["H"].t), np.asarray(res8.values["H"].t),
+        atol=2e-2,
+    )
+
+
+def test_distributed_schur_world_pose(problem):
+    """Updater-1 (WorldPose) also runs distributed with the SPIKE chains."""
+    from dynosam_tpu.parallel.schur_dist import distributed_schur_optimize
+
+    m, scfg = problem
+    cfg = BackendConfig(backend_updater_enum=1)
+    lm = LMConfig(max_iterations=6)
+    res = distributed_schur_optimize(
+        m, 8, cfg, mesh=make_mesh(8), updater=1, lm_cfg=lm
+    )
+    assert np.isfinite(float(res.error))
+    assert float(res.error) < float(res.initial_error)

@@ -59,3 +59,41 @@ def test_ransac_essential_with_outliers(rng):
     t_gt = np.asarray(rel.t) / np.linalg.norm(np.asarray(rel.t))
     t_est = np.asarray(res.rel_pose.t)
     assert abs(float(t_gt @ t_est)) > 0.97
+
+
+def test_two_point_given_rotation(rng):
+    """2-pt translation-only solver with the true rotation recovers the
+    translation direction (MotionSolver.cc 2-pt mono mode analog)."""
+    cam, rel, uv1, uv2, out_idx = make_pair(rng, outliers=20)
+    res = epipolar.ransac_translation_given_rot(
+        jax.random.PRNGKey(1), uv1, uv2, jnp.ones(uv1.shape[0], bool), cam,
+        rel.R, iters=300, threshold=2e-6,
+    )
+    assert int(res.n_inliers) >= 80
+    t_gt = np.asarray(rel.t) / np.linalg.norm(np.asarray(rel.t))
+    t_est = np.asarray(res.rel_pose.t)
+    # cheirality voting fixes the sign
+    assert float(t_gt @ t_est) > 0.97
+    np.testing.assert_allclose(np.asarray(res.rel_pose.R), np.asarray(rel.R))
+
+
+def test_scale_from_depth(rng):
+    """Triangulated-vs-measured depth recovers the metric baseline scale."""
+    cam, rel, uv1, uv2, _ = make_pair(rng)
+    depth1 = np.asarray(
+        cam_mod.backproject(cam, uv1, jnp.ones(uv1.shape[0]))
+    )  # direction only; recompute actual depths
+    # re-derive the GT depths used by make_pair via projection geometry:
+    # triangulate with the unit-scaled pose and compare
+    t_norm = float(np.linalg.norm(np.asarray(rel.t)))
+    rel_unit = lie.SE3(rel.R, rel.t / t_norm)
+    p = epipolar.normalize_points(cam, uv1)
+    q = epipolar.normalize_points(cam, uv2)
+    lam_unit = epipolar.triangulate_depth_ref(rel_unit, p, q)
+    # measured depth = lam under the TRUE scale
+    lam_true = epipolar.triangulate_depth_ref(rel, p, q)
+    scale, ok = epipolar.scale_from_depth(
+        rel_unit, p, q, lam_true, jnp.ones(p.shape[0], bool)
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(float(scale), t_norm, rtol=2e-3)

@@ -146,3 +146,36 @@ def test_static_object_demotion_feeds_ego():
     assert max(inliers_per_frame[3:]) > max(inliers_off[3:]), (
         inliers_per_frame, inliers_off,
     )
+
+
+def test_frontend_2d2d_ego_mode(scene):
+    """The 2d2d essential-matrix ego mode (geometricOutlierRejection2d2d
+    analog) reaches GT-level accuracy on the rendered sequence, with metric
+    scale recovered from the depth channel."""
+    sc, frames = scene
+    tcfg = TrackerConfig(
+        max_features_per_frame=300, klt_window=13, klt_levels=2,
+        semantic_mask_step_size=4,
+    )
+    cfg = FrontendConfig(
+        tracker=tcfg,
+        ego_motion_solver="2d2d",
+        refine_camera_pose_with_joint_of=True,
+        refine_motion_with_3d=False,
+        min_dynamic_features_per_object=20,
+    )
+    st = FrontendState.create(ns=400, nd=1024, no=8)
+    packets = []
+    prev = frames[0]
+    for k, img in enumerate(frames):
+        st, pkt, rep, ego = frontend_step(
+            st, prev, img, sc.cam, cfg,
+            jax.random.PRNGKey(k), use_klt=True, first_frame=(k == 0),
+        )
+        packets.append(pkt)
+        prev = img
+    for k in [1, 2, 3, 4]:
+        X = packets[k].X_world
+        err = np.asarray(lie.se3_local(sc.X_gt[k], X))
+        assert np.linalg.norm(err[3:]) < 0.08, (k, err)
+        assert np.linalg.norm(err[:3]) < 0.03, (k, err)

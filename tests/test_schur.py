@@ -57,6 +57,7 @@ def test_schur_step_matches_dense():
     ]
     sys = schur.build_normal_system(vals, sqrt_w, w, masks, cfg, anchor, res0)
     delta = schur.schur_step(sys, jnp.asarray(lam, jnp.float32), 1e-6)
+    delta = {"X": delta["X"], "H": delta["P"], "sp": delta["sp"], "dp": delta["dp"]}
     got = retract_tree(vals, delta)
     want, _ = dense_normal_solve(resid, spec.robust, vals, lam)
 
@@ -103,6 +104,7 @@ def test_schur_step_reduces_cost():
     ]
     sys = schur.build_normal_system(vals, sqrt_w, w, masks, cfg, anchor, res0)
     delta = schur.schur_step(sys, jnp.asarray(1e-4, jnp.float32), 1e-6)
+    delta = {"X": delta["X"], "H": delta["P"], "sp": delta["sp"], "dp": delta["dp"]}
     new_vals = retract_tree(vals, delta)
     err1 = float(total_error(resid(new_vals), spec.robust))
     assert np.isfinite(err1)
@@ -173,3 +175,90 @@ def test_chain_solve_matches_dense():
             dense[n], rhs[:, n].reshape(3 * W, M)
         ).reshape(W, 3, M)
         np.testing.assert_allclose(got[:, n], want, rtol=2e-4, atol=2e-4)
+
+
+def test_schur_step_matches_dense_world_pose():
+    """WorldPose (LLWorld) direct reduced step == dense solve of the same
+    damped normal equations (validates the hand-derived LandmarkMotionPose
+    Jacobians and the 4-coupling chain layout)."""
+    sc, scfg, w, masks, cfg = make_problem()
+    anchor = w.X_init[0]
+    vals = fm.init_values_world_pose(w, masks, cfg)
+    spec = fm.world_pose_families(cfg)
+
+    def resid(v):
+        return fm.world_pose_residuals(v, w, masks, cfg, anchor)
+
+    lam = 1e-3
+    res0 = resid(vals)
+    sqrt_w = [
+        robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
+        else jnp.ones(r.shape[:-1], r.dtype)
+        for r, s in zip(res0, spec.robust)
+    ]
+    sys = schur.build_normal_system_pose(
+        vals, sqrt_w, w, masks, cfg, anchor, res0
+    )
+    delta = schur.schur_step(sys, jnp.asarray(lam, jnp.float32), 1e-6)
+    delta = {"X": delta["X"], "L": delta["P"], "sp": delta["sp"], "dp": delta["dp"]}
+    got = retract_tree(vals, delta)
+    want, _ = dense_normal_solve(resid, spec.robust, vals, lam)
+
+    np.testing.assert_allclose(
+        np.asarray(got["X"].t), np.asarray(want["X"].t), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["X"].R), np.asarray(want["X"].R), atol=2e-3
+    )
+    # L tolerance is looser: the dense AD reference linearizes through the
+    # slightly non-orthonormal f32 rotations (R^T R = I + ~1e-6) while the
+    # closed forms assume exact orthonormality; the ill-conditioned L block
+    # amplifies that into ~1e-2 step differences (verified block-by-block:
+    # direct Hessian/gradient blocks agree to <1e-6 in f64)
+    np.testing.assert_allclose(
+        np.asarray(got["L"].t), np.asarray(want["L"].t), atol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["sp"]), np.asarray(want["sp"]), atol=2e-3
+    )
+    ok = np.asarray(masks.dyn_obs)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(got["dp"]) * ok, np.asarray(want["dp"]) * ok, atol=5e-3
+    )
+    # both steps must decrease the true cost comparably
+    from dynosam_tpu.backend.solver import total_error
+
+    err0 = float(total_error(res0, spec.robust))
+    err_got = float(total_error(resid(got), spec.robust))
+    err_want = float(total_error(resid(want), spec.robust))
+    assert err_got < err0
+    assert err_got < 1.05 * err_want + 1e-6, (err_got, err_want)
+
+
+def test_backend_schur_world_pose_converges():
+    """Updater-1 sliding windows with the direct solver + warm start."""
+    scfg = ScenarioConfig(n_frames=12)
+    scenario = Scenario(scfg)
+    cfg = BackendConfig(
+        backend_updater_enum=1,
+        use_schur=True,
+        opt_window_size=8,
+        opt_window_overlap=3,
+        lm_max_iterations=20,
+    )
+    backend = RGBDBackend(cfg, small_caps(scfg))
+    for pkt in scenario.frontend_outputs():
+        backend.spin(pkt)
+    backend.finish()
+
+    res = backend.last_result
+    assert res is not None
+    assert float(res.error) < float(res.initial_error)
+    X_est, xvalid = backend.camera_poses()
+    assert bool(np.asarray(xvalid)[: scfg.n_frames].all())
+    rel_est = lie.se3_between(X_est[0], X_est[scfg.n_frames - 1])
+    rel_gt = lie.se3_between(
+        scenario.X_gt[0], scenario.X_gt[scfg.n_frames - 1]
+    )
+    drift = np.asarray(lie.se3_local(rel_gt, rel_est))
+    assert np.linalg.norm(drift[3:]) < 0.2, drift
