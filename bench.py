@@ -1,7 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark: frontend frames/s per chip on KITTI-sized synthetic frames.
+"""Benchmark: frontend frames/s per chip on KITTI-sized RENDERED frames.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the full
+fused frontend step (tracking + ego PnP + joint-OF refinement + per-object
+motion solves) on structured synthetic imagery from `testing/render.py`
+(textured background + moving textured objects with consistent depth/flow/
+mask channels), NOT noise.  The backend window-10 direct-Schur solve time is
+ALWAYS measured and printed to stderr; `DYNO_BENCH_BACKEND=1` adds the
+larger solver sweep.
+
+Pinned config (matches BENCH_NOTES): 1280x384 frames, 1000 static features,
+KLT window 21 x 3 levels, both joint-OF refinements on, 4 outlier rounds.
 
 Baseline note: the reference publishes no numeric benchmark tables
 (BASELINE.md); its C++ frontend runs of order 10 fps on CPU (per-module
@@ -23,37 +32,39 @@ import numpy as np
 REF_BASELINE_FPS = 10.0
 
 
-def main():
-    from dynosam_tpu.core.camera import CameraParams
-    from dynosam_tpu.frontend.frontend import (
-        FrameImages,
-        FrontendState,
-        frontend_step,
+def rendered_frames(n=12, h=384, w=1280):
+    from dynosam_tpu.testing.render import RenderConfig, RenderedScene
+
+    rcfg = RenderConfig(
+        n_frames=n, h=h, w=w, fx=718.0,
+        bg_depth=14.0, obj_depth=9.0, cam_step=0.10, obj_step=0.18,
     )
-    from dynosam_tpu.utils.config import FrontendConfig, TrackerConfig
+    # render on the host CPU backend: the renderer issues many tiny jnp ops
+    # that would each pay tunnel dispatch latency on the remote TPU
+    t0 = time.perf_counter()
+    with jax.default_device(jax.devices("cpu")[0]):
+        sc = RenderedScene(rcfg)
+        frames = sc.frames()
+        frames = [
+            jax.tree.map(np.asarray, f) for f in frames
+        ]
+    frames = [
+        type(f)(*(jnp.asarray(x) for x in f)) for f in frames
+    ]
+    print(
+        f"rendered {n} frames {w}x{h} in {time.perf_counter()-t0:.1f}s",
+        file=sys.stderr,
+    )
+    return sc, frames
 
-    h, w = 384, 1280  # KITTI-like
-    rng = np.random.default_rng(0)
-    cam = CameraParams.create(718.0, 718.0, w / 2, h / 2, w, h)
-    tcfg = TrackerConfig(max_features_per_frame=1000)
-    cfg = FrontendConfig(tracker=tcfg)
 
-    def synth_frame(k):
-        gray = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
-        depth = jnp.asarray(rng.uniform(3, 30, (h, w)), jnp.float32)
-        flow = jnp.asarray(rng.normal(0, 1.5, (h, w, 2)), jnp.float32)
-        mask = jnp.zeros((h, w), jnp.int32)
-        mask = mask.at[100:220, 300 + 10 * k : 500 + 10 * k].set(3)
-        mask = mask.at[120:260, 700 + 8 * k : 900 + 8 * k].set(7)
-        return FrameImages(gray=gray, depth=depth, flow=flow, mask=mask)
+def bench_frontend(frames, cam, label, cfg, n_iter=10):
+    from dynosam_tpu.frontend.frontend import FrontendState, frontend_step
 
-    frames = [synth_frame(k) for k in range(12)]
-    state = FrontendState.create(1200, 4096, 16)
-
-    # warmup / compile
-    prev = frames[0]
+    state = FrontendState.create(2048, 4096, 16)
+    # warmup / compile (first + steady-state program)
     state, pkt, _, _ = frontend_step(
-        state, prev, frames[0], cam, cfg, jax.random.PRNGKey(0),
+        state, frames[0], frames[0], cam, cfg, jax.random.PRNGKey(0),
         use_klt=True, first_frame=True,
     )
     state, pkt, _, _ = frontend_step(
@@ -62,9 +73,8 @@ def main():
     )
     jax.block_until_ready(pkt.X_world.t)
 
-    n = 10
     t0 = time.perf_counter()
-    for k in range(n):
+    for k in range(n_iter):
         a = frames[(k + 1) % len(frames)]
         b = frames[(k + 2) % len(frames)]
         state, pkt, _, _ = frontend_step(
@@ -73,57 +83,71 @@ def main():
         )
     jax.block_until_ready(pkt.X_world.t)
     dt = time.perf_counter() - t0
-    fps = n / dt
+    fps = n_iter / dt
+    print(f"{label}: {fps:.1f} frames/s", file=sys.stderr)
+    return fps
 
-    # ---- secondary: backend BA throughput (stderr; headline stays 1 line).
-    # Opt-in: the LM while-loop compile takes minutes on the remote-compile
-    # TPU path, which would risk the driver's bench timeout.
-    if os.environ.get("DYNO_BENCH_BACKEND") != "1":
-        print(
-            json.dumps(
-                {
-                    "metric": "frontend_frames_per_s_per_chip",
-                    "value": round(fps, 3),
-                    "unit": "frames/s",
-                    "vs_baseline": round(fps / REF_BASELINE_FPS, 3),
-                }
-            )
+
+def bench_backend_window(reps=5):
+    """Window-10 direct-Schur solve to convergence (production default)."""
+    from dynosam_tpu.backend.backend import optimize_window_jit
+    from dynosam_tpu.backend.map import MeasurementMap, update_map
+    from dynosam_tpu.backend.solver import LMConfig
+    from dynosam_tpu.core.lie import se3_identity
+    from dynosam_tpu.testing.simulator import Scenario, ScenarioConfig
+    from dynosam_tpu.utils.config import BackendConfig
+
+    scfg = ScenarioConfig(
+        n_frames=10, n_static=800, n_objects=4, pts_per_object=200,
+        ns=1024, nd=1024, no=8,
+    )
+    sc = Scenario(scfg)
+    m = MeasurementMap.create(10, 1024, 1024, 8)
+    for k, pkt in enumerate(sc.frontend_outputs()):
+        m = update_map(m, pkt, k)
+    bcfg = BackendConfig(lm_max_iterations=10)
+    lm_cfg = LMConfig(max_iterations=10)
+    anchor = se3_identity((), jnp.float32)
+    args = (m, 0, 10, bcfg, lm_cfg, anchor, jnp.asarray(False), 0)
+    res, _ = optimize_window_jit(*args)  # compile
+    jax.block_until_ready(res.error)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res, _ = optimize_window_jit(*args)
+    jax.block_until_ready(res.error)
+    ba_dt = (time.perf_counter() - t0) / reps
+    iters = int(res.iterations)
+    print(
+        f"backend: window10 schur solve {ba_dt*1e3:.1f} ms "
+        f"({iters} LM iters, final err {float(res.error):.3f})",
+        file=sys.stderr,
+    )
+    return ba_dt
+
+
+def main():
+    from dynosam_tpu.utils.config import FrontendConfig, TrackerConfig
+
+    sc, frames = rendered_frames()
+    cam = sc.cam
+    tcfg = TrackerConfig(max_features_per_frame=1000)
+    full_cfg = FrontendConfig(tracker=tcfg)
+
+    fps = bench_frontend(frames, cam, "frontend full-step", full_cfg)
+
+    if os.environ.get("DYNO_BENCH_TRACKING_ONLY") == "1":
+        # tracking-only ablation (refinements off) for the BENCH_NOTES table
+        track_cfg = FrontendConfig(
+            tracker=tcfg,
+            refine_camera_pose_with_joint_of=False,
+            refine_motion_with_joint_of=False,
+            refine_motion_with_3d=False,
         )
-        return
+        bench_frontend(frames, cam, "frontend tracking-only", track_cfg)
+
+    # backend number is part of every bench run (stderr; headline below)
     try:
-        from dynosam_tpu.backend.backend import optimize_window_jit
-        from dynosam_tpu.backend.map import MeasurementMap, update_map
-        from dynosam_tpu.backend.solver import LMConfig
-        from dynosam_tpu.core.lie import se3_identity
-        from dynosam_tpu.testing.simulator import Scenario, ScenarioConfig
-        from dynosam_tpu.utils.config import BackendConfig
-
-        scfg = ScenarioConfig(
-            n_frames=10, n_static=800, n_objects=4, pts_per_object=200,
-            ns=1024, nd=1024, no=8,
-        )
-        sc = Scenario(scfg)
-        m = MeasurementMap.create(10, 1024, 1024, 8)
-        for k, pkt in enumerate(sc.frontend_outputs()):
-            m = update_map(m, pkt, k)
-        bcfg = BackendConfig(lm_max_iterations=10, cg_max_iterations=60)
-        lm_cfg = LMConfig(max_iterations=10, cg_max_iterations=60)
-        anchor = se3_identity((), jnp.float32)
-        args = (m, 0, 10, bcfg, lm_cfg, anchor, jnp.asarray(False), 0)
-        res, _ = optimize_window_jit(*args)  # compile
-        jax.block_until_ready(res.error)
-        t0 = time.perf_counter()
-        reps = 5
-        for _ in range(reps):
-            res, _ = optimize_window_jit(*args)
-        jax.block_until_ready(res.error)
-        ba_dt = (time.perf_counter() - t0) / reps
-        iters = int(res.iterations)
-        print(
-            f"backend: window10 solve {ba_dt*1e3:.1f} ms, "
-            f"{iters/ba_dt:.1f} LM iters/s, final err {float(res.error):.3f}",
-            file=sys.stderr,
-        )
+        bench_backend_window()
     except Exception as e:  # never break the headline metric
         print(f"backend bench failed: {e}", file=sys.stderr)
 

@@ -299,24 +299,26 @@ def world_motion_residuals(
 
 def world_pose_families(cfg: BackendConfig) -> FamilySpec:
     k = cfg.huber_k_static
-    return FamilySpec(
-        names=(
-            "anchor",
-            "odometry",
-            "static_obs",
-            "dyn_obs",
-            "motion_pose",
-            "pose_smoothing",
-        ),
-        robust=(
-            RobustSpec(),
-            RobustSpec(),
-            RobustSpec("huber", k),
-            RobustSpec("huber", cfg.huber_k_dynamic),
-            RobustSpec("huber", cfg.huber_k_dynamic),
-            RobustSpec(),
-        ),
-    )
+    names = [
+        "anchor",
+        "odometry",
+        "static_obs",
+        "dyn_obs",
+        "motion_pose",
+        "pose_smoothing",
+    ]
+    robust = [
+        RobustSpec(),
+        RobustSpec(),
+        RobustSpec("huber", k),
+        RobustSpec("huber", cfg.huber_k_dynamic),
+        RobustSpec("huber", cfg.huber_k_dynamic),
+        RobustSpec(),
+    ]
+    if cfg.use_object_kinematic_factor:
+        names.append("kinematic")
+        robust.append(RobustSpec())
+    return FamilySpec(names=tuple(names), robust=tuple(robust))
 
 
 def world_pose_residuals(
@@ -400,7 +402,19 @@ def world_pose_residuals(
     triple = masks.smoothing[1:-1] & masks.smoothing[2:]
     r_ps = jnp.where(triple[..., None], r_ps, 0.0)
 
-    return [r_anchor, r_odo, r_static, r_dyn, r_mp, r_ps]
+    out = [r_anchor, r_odo, r_static, r_dyn, r_mp, r_ps]
+
+    if cfg.use_object_kinematic_factor:
+        # ObjectKinematicFactor e = Log(L_k^-1 H L_{k-1}) with H the
+        # frontend's measured motion (a motion prior on the pose chain)
+        r_kin = factors.object_kinematic_residual(
+            SE3(w.motion_init.R[1:], w.motion_init.t[1:]),
+            SE3(L.R[:-1], L.t[:-1]),
+            SE3(L.R[1:], L.t[1:]),
+        ) / cfg.object_kinematic_sigma
+        kin_mask = masks.smoothing[1:] & w.motion_valid[1:]
+        out.append(jnp.where(kin_mask[..., None], r_kin, 0.0))
+    return out
 
 
 def init_values_world_pose(
@@ -549,7 +563,9 @@ def world_pose_gn_diag(
     dp = values["dp"]
     dtype = X.t.dtype
     W_, O = masks.smoothing.shape
-    w_anchor, w_odo, w_static, w_dyn, w_mp, w_ps = [s**2 for s in sqrt_w]
+    w_anchor, w_odo, w_static, w_dyn, w_mp, w_ps, *w_rest = [
+        s**2 for s in sqrt_w
+    ]
 
     pose_sig = jnp.asarray(
         [cfg.odometry_rotation_sigma] * 3 + [cfg.odometry_translation_sigma] * 3,
@@ -610,5 +626,14 @@ def world_pose_gn_diag(
     dL = dL.at[:-2].add(ps_w)
     dL = dL.at[1:-1].add(ps_w)
     dL = dL.at[2:].add(ps_w)
+
+    if cfg.use_object_kinematic_factor and w_rest:
+        # kinematic factor: Log-type pose Jacobians ~ identity scale
+        kin_mask = masks.smoothing[1:] & w.motion_valid[1:]
+        kin_w = (w_rest[0] * kin_mask.astype(dtype))[..., None] / (
+            cfg.object_kinematic_sigma**2
+        )
+        dL = dL.at[:-1].add(kin_w)
+        dL = dL.at[1:].add(kin_w)
 
     return {"X": dX, "L": dL, "sp": dsp, "dp": ddp}

@@ -3,8 +3,10 @@
 Analog of `factor_graph_tools::*` (`backend/FactorGraphTools.hpp:44-260`,
 `src/backend/FactorGraphTools.cc`):
 
-  * robust-weight-based outlier factor detection (`determineFactorOutliers`:
-    a factor is an outlier when its m-estimator weight < 0.5),
+  * chi-squared outlier factor detection (`determineFactorOutliers`,
+    `FactorGraphTools.hpp:69-99`: a factor is an outlier when its
+    Gaussian-whitened squared error exceeds the chi2 quantile of its
+    dimension at 0.99 confidence),
   * graph composition statistics (`DebugInfo`,
     `backend/BackendDefinitions.hpp:175-224`: per-family factor/variable
     counts),
@@ -21,26 +23,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.robust import robust_sqrt_weights
 from .formulation import WindowMasks
 from .solver import RobustSpec
+
+
+# chi2 quantiles at 0.99 confidence by residual dimension
+_CHI2_99 = {1: 6.634897, 2: 9.210340, 3: 11.344867, 6: 16.811894}
 
 
 def factor_outliers(
     residuals: Sequence[jax.Array], specs: Sequence[RobustSpec]
 ) -> List[jax.Array]:
-    """Per-family boolean outlier masks: robust weight < 0.5
-    (`FactorGraphTools.hpp:69-99`)."""
+    """Per-family boolean outlier masks (`determineFactorOutliers`,
+    `FactorGraphTools.hpp:69-99`): outlier iff the Gaussian-whitened
+    (robust kernel stripped) squared error exceeds chi2(dim, 0.99) —
+    0.5 |r|^2 > 0.5 * chi2_quantile in gtsam's error convention.  Only
+    robust families are tested, matching the reference's template filter."""
     out = []
     for r, s in zip(residuals, specs):
         if s.kind == "none":
             out.append(jnp.zeros(r.shape[:-1], bool))
         else:
-            w = robust_sqrt_weights(r, s.k, s.kind) ** 2
+            gate = _CHI2_99.get(r.shape[-1], 11.344867)
             # only count factors that are actually active (nonzero residual
             # rows — masked rows are exactly zero)
             active = jnp.any(r != 0.0, axis=-1)
-            out.append(active & (w < 0.5))
+            out.append(active & (jnp.sum(r * r, axis=-1) > gate))
     return out
 
 

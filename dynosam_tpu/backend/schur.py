@@ -477,7 +477,7 @@ def build_normal_system_pose(
     dtype = sp.dtype
     W_, O = masks.smoothing.shape
     z6 = jnp.zeros(6, dtype)
-    r_anchor, r_odo, r_static, r_dyn, r_mp, r_ps = res0
+    r_anchor, r_odo, r_static, r_dyn, r_mp, r_ps, *r_rest = res0
     _, smooth_sigma = _pose_sigmas(cfg, dtype)
 
     wgt_static = sqrt_w[2] ** 2 * masks.static_obs.astype(dtype)
@@ -551,6 +551,37 @@ def build_normal_system_pose(
     g_mot = g_mot.at[:-2].add(_es("to,tora,tor->toa", triple, Ja, r_ps))
     g_mot = g_mot.at[1:-1].add(_es("to,tora,tor->toa", triple, Jb, r_ps))
     g_mot = g_mot.at[2:].add(_es("to,tora,tor->toa", triple, Jc3, r_ps))
+
+    if cfg.use_object_kinematic_factor and r_rest:
+        # optional ObjectKinematicFactor (config docstring): pose-pair
+        # blocks via jacfwd on the small (W-1, O) grid, like smoothing
+        r_kin = r_rest[0]
+        kin_w = (masks.smoothing[1:] & w.motion_valid[1:]).astype(dtype)
+        H_meas = SE3(w.motion_init.R[1:], w.motion_init.t[1:])
+
+        def _j_kin(Hm: SE3, La: SE3, Lb: SE3):
+            def f(a, b):
+                return (
+                    factors.object_kinematic_residual(
+                        Hm, se3_retract(La, a), se3_retract(Lb, b)
+                    )
+                    / cfg.object_kinematic_sigma
+                )
+
+            return jax.jacfwd(f, argnums=(0, 1))(z6, z6)
+
+        Ja_k, Jb_k = jax.vmap(jax.vmap(_j_kin))(
+            H_meas, SE3(L.R[:-1], L.t[:-1]), SE3(L.R[1:], L.t[1:])
+        )
+        Dmm = Dmm.at[:-1].add(_es("ko,kora,korb->koab", kin_w, Ja_k, Ja_k))
+        Dmm = Dmm.at[1:].add(_es("ko,kora,korb->koab", kin_w, Jb_k, Jb_k))
+        Omm1 = Omm1 + _es("ko,kora,korb->koab", kin_w, Ja_k, Jb_k)
+        g_mot = g_mot.at[:-1].add(
+            _es("ko,kora,kor->koa", kin_w, Ja_k, r_kin)
+        )
+        g_mot = g_mot.at[1:].add(
+            _es("ko,kora,kor->koa", kin_w, Jb_k, r_kin)
+        )
 
     Hll_s, Us, b_sp = _static_blocks(wgt_static, Jx_s, Jp_s, r_static, dtype)
 

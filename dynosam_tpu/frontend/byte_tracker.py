@@ -177,13 +177,16 @@ def mask_boxes(mask: np.ndarray):
     return labels, np.asarray(boxes, np.float64).reshape(-1, 4), np.asarray(counts)
 
 
-def relabel_mask(tracker: ByteTracker, mask: np.ndarray) -> np.ndarray:
+def relabel_mask(
+    tracker: ByteTracker, mask: np.ndarray, score_pixel_norm: float = 200.0
+) -> np.ndarray:
     """Associate this frame's instances and return a temporally-consistent
-    relabelled mask."""
+    relabelled mask.  `score_pixel_norm` is the mask area at which the
+    detection score saturates (TrackerConfig.byte_score_pixel_norm)."""
     labels, boxes, counts = mask_boxes(mask)
     if len(labels) == 0:
         return mask.copy()
-    scores = np.minimum(counts / 200.0, 1.0)
+    scores = np.minimum(counts / score_pixel_norm, 1.0)
     ids = tracker.update(boxes, scores)
     out = np.zeros_like(mask)
     for l, tid in zip(labels, ids):

@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..backend.solver import LMConfig, RobustSpec, lm_optimize
+from ..backend.solver import LMConfig, LMResult, RobustSpec, lm_optimize
 from ..core.camera import CameraParams
 from ..core.lie import SE3, se3_apply, se3_inverse
 from ..ops import factors
@@ -92,25 +92,31 @@ def optimize_flow_and_pose(
         outliers = active & (jnp.sum(r_final * r_final, axis=-1) > chi2_gate)
         return res, outliers
 
-    res0, out0 = solve(valid, flow_init)
-    active0 = valid & ~out0
-
+    # one `lm_optimize` trace total: iteration 0 is the initial solve, later
+    # iterations re-run with outliers re-masked (early exit when none)
     def cond(carry):
         _, _, _, n_new, it = carry
-        return (n_new > 0) & (it < outlier_rounds)
+        return (it == 0) | ((n_new > 0) & (it <= outlier_rounds))
 
     def body(carry):
         active, flow_c, _, _, it = carry
         res, outliers = solve(active, flow_c)
-        active_new = active & ~outliers
         return (
-            active_new, res.values["flow"], res,
+            active & ~outliers, res.values["flow"], res,
             jnp.sum(outliers), it + 1,
         )
 
+    dummy = LMResult(
+        values={"flow": flow_init, "X": X_init},
+        error=jnp.asarray(0.0, flow_init.dtype),
+        initial_error=jnp.asarray(0.0, flow_init.dtype),
+        iterations=jnp.asarray(0, jnp.int32),
+        lam=jnp.asarray(0.0, jnp.float32),
+        converged=jnp.asarray(False),
+    )
     active, flow_out, res, _, _ = jax.lax.while_loop(
         cond, body,
-        (active0, res0.values["flow"], res0, jnp.sum(out0),
+        (valid, flow_init, dummy, jnp.asarray(0, jnp.int32),
          jnp.asarray(0, jnp.int32)),
     )
     return FlowPoseResult(
@@ -189,12 +195,10 @@ def optimize_motion_only(
         outliers = active & (jnp.sum(r_final * r_final, axis=-1) > chi2_gate)
         return res, outliers
 
-    res0, out0 = solve(valid, m_prev_world, m_cur_init)
-    active0 = valid & ~out0
-
+    # single `lm_optimize` trace (see optimize_flow_and_pose)
     def cond(carry):
         _, _, n_new, it = carry
-        return (n_new > 0) & (it < outlier_rounds)
+        return (it == 0) | ((n_new > 0) & (it <= outlier_rounds))
 
     def body(carry):
         active, res_prev, _, it = carry
@@ -203,8 +207,17 @@ def optimize_motion_only(
         )
         return (active & ~outliers, res, jnp.sum(outliers), it + 1)
 
+    dummy = LMResult(
+        values={"mp": m_prev_world, "mc": m_cur_init, "H": H_init},
+        error=jnp.asarray(0.0, m_prev_world.dtype),
+        initial_error=jnp.asarray(0.0, m_prev_world.dtype),
+        iterations=jnp.asarray(0, jnp.int32),
+        lam=jnp.asarray(0.0, jnp.float32),
+        converged=jnp.asarray(False),
+    )
     active, res, _, _ = jax.lax.while_loop(
-        cond, body, (active0, res0, jnp.sum(out0), jnp.asarray(0, jnp.int32))
+        cond, body, (valid, dummy, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(0, jnp.int32))
     )
     return MotionRefineResult(
         motion=res.values["H"], inliers=active, error=res.error

@@ -211,12 +211,12 @@ def track_frame(
     n_new_static = jnp.sum(pair_ok)
 
     # ------------------------------------------------------------ objects
-    # label census of the current mask (labels capped to [0, 256))
-    label_cap = 256
+    # label census of the current mask (labels capped to the config limit)
+    label_cap = cfg.max_instance_labels
     labels_flat = jnp.clip(mask_cur.reshape(-1), 0, label_cap - 1)
     counts = jnp.zeros((label_cap,), jnp.int32).at[labels_flat].add(1)
     counts = counts.at[0].set(0)  # background
-    present = counts >= 50        # minimum pixel support for an object
+    present = counts >= cfg.min_object_pixels
     # match present labels to existing table
     table = state.obj_labels                              # (O,)
     label_ids = jnp.arange(label_cap, dtype=jnp.int32)

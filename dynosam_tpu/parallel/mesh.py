@@ -24,12 +24,24 @@ FRAME_AXIS = "frames"
 TRACK_AXIS = "tracks"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    """2D (frames x tracks) mesh; tracks axis gets a factor of 2 when the
-    device count allows."""
+def make_mesh(
+    n_devices: int | None = None, tracks: int | None = None
+) -> Mesh:
+    """2D (frames x tracks) mesh.
+
+    `tracks` fixes the tracks-axis size explicitly (must divide the device
+    count); by default it gets a factor of 2 when the device count allows —
+    frames is the longer axis because the window/trajectory length is the
+    dimension that grows with problem size, while the track pools are
+    capacity-bounded.
+    """
     devs = jax.devices()
     n = n_devices or len(devs)
-    if n % 2 == 0 and n >= 4:
+    if tracks is not None:
+        if n % tracks != 0:
+            raise ValueError(f"tracks axis {tracks} must divide {n} devices")
+        shape = (n // tracks, tracks)
+    elif n % 2 == 0 and n >= 4:
         shape = (n // 2, 2)
     else:
         shape = (n, 1)

@@ -63,7 +63,9 @@ class DynoPipeline:
             from .frontend.byte_tracker import relabel_mask
 
             relabelled = relabel_mask(
-                self._byte_tracker, np.asarray(images.mask)
+                self._byte_tracker,
+                np.asarray(images.mask),
+                score_pixel_norm=self.cfg.frontend.tracker.byte_score_pixel_norm,
             )
             images = images._replace(mask=jnp.asarray(relabelled))
         first = self._k == 0

@@ -32,6 +32,14 @@ class TrackerConfig:
     max_feature_track_age: int = 25           # FeatureTracker.cc:227-231
     min_distance_btw_tracked_and_detected_features: float = 8.0
     cell_size: int = 30                       # occupancy grid bin (px)
+    # instance-mask census: label values are capped to [0, max_instance_labels)
+    # and an instance needs >= min_object_pixels mask support to become an
+    # object slot (the analog of the reference's mask shrink/size gating)
+    max_instance_labels: int = 256
+    min_object_pixels: int = 50
+    # pixel count at which a ByteTrack detection's score saturates to 1.0
+    # (mask-area proxy for the detector confidence ByteTrack expects)
+    byte_score_pixel_norm: float = 200.0
     klt_window: int = 21
     klt_levels: int = 3
     klt_iterations: int = 30
@@ -115,6 +123,14 @@ class BackendConfig:
     opt_window_overlap: int = 4
     use_vo_factor: bool = True
     use_smoothing_factor: bool = True
+    # ObjectKinematicFactor (`src/factors/ObjectKinematicFactor.cc:37-74`):
+    # e = Log(L_k^-1 H L_{k-1}) tying consecutive object poses through a
+    # motion.  The reference defines-but-never-adds it
+    # (RGBDBackendModule.cc:46 includes the header only); here it is wired
+    # as an optional WorldPose family using the frontend's measured motions
+    # as H — default off to match the reference's effective behaviour.
+    use_object_kinematic_factor: bool = False
+    object_kinematic_sigma: float = 0.1
     use_full_batch_opt: bool = False
     backend_updater_enum: int = 0             # 0=MotionInWorld, 1=LLWorld
     init_H_with_identity: bool = True

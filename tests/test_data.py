@@ -253,3 +253,40 @@ def test_cluster_loader_jax_stereo(tmp_path):
     good = d[d > 0]
     assert good.size > 500
     assert abs(np.median(good) - 3.0) < 0.5
+
+
+def test_aria_loader(tmp_path):
+    """Aria layout: flow folder defines size + nanosecond-stem timestamps;
+    hardcoded rig when calibration json absent; mm depth scaling."""
+    from dynosam_tpu.data.aria import ProjectAriaDataset
+
+    root = str(tmp_path / "aria")
+    for d in ["rgb_sync", "depth_sync", "optical_flow", "instance_masks"]:
+        os.makedirs(f"{root}/{d}", exist_ok=True)
+    h, w = 36, 64
+    rng = np.random.default_rng(4)
+    stems = [1_000_000_000, 1_100_000_000, 1_200_000_000]
+    for k, stem in enumerate(stems):
+        cv2.imwrite(
+            f"{root}/rgb_sync/{k:06d}.png",
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+        )
+        cv2.imwrite(
+            f"{root}/depth_sync/{k:06d}.png",
+            np.full((h, w), 2500, np.uint16),   # 2.5 m in mm
+        )
+        flow = np.zeros((h, w, 2), np.float32)
+        with open(f"{root}/optical_flow/{stem}.flo", "wb") as f:
+            np.asarray([202021.25], np.float32).tofile(f)
+            np.asarray([w, h], np.int32).tofile(f)
+            flow.tofile(f)
+        cv2.imwrite(
+            f"{root}/instance_masks/{k:06d}.png", np.zeros((h, w), np.uint16)
+        )
+    ds = ProjectAriaDataset(root)
+    assert len(ds) == 3
+    np.testing.assert_allclose(ds.timestamp(1), 1.1)
+    cam = ds.camera_params()
+    np.testing.assert_allclose(float(np.asarray(cam.fx)), 267.644012)
+    fr = ds.frame(0)
+    np.testing.assert_allclose(np.asarray(fr.depth)[0, 0], 2.5)

@@ -262,3 +262,43 @@ def test_backend_schur_world_pose_converges():
     )
     drift = np.asarray(lie.se3_local(rel_gt, rel_est))
     assert np.linalg.norm(drift[3:]) < 0.2, drift
+
+
+def test_schur_step_world_pose_kinematic():
+    """With the optional ObjectKinematicFactor enabled the WorldPose step
+    still matches the dense solve (validates the extra pose-pair blocks)."""
+    sc, scfg, w, masks, _ = make_problem()
+    cfg = BackendConfig(
+        motion_ternary_factor_noise_sigma=0.05,
+        use_object_kinematic_factor=True,
+        object_kinematic_sigma=0.05,
+    )
+    masks = fm.build_masks(w, cfg)
+    anchor = w.X_init[0]
+    vals = fm.init_values_world_pose(w, masks, cfg)
+    spec = fm.world_pose_families(cfg)
+    assert spec.names[-1] == "kinematic"
+
+    def resid(v):
+        return fm.world_pose_residuals(v, w, masks, cfg, anchor)
+
+    res0 = resid(vals)
+    assert len(res0) == 7
+    sqrt_w = [
+        robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
+        else jnp.ones(r.shape[:-1], r.dtype)
+        for r, s in zip(res0, spec.robust)
+    ]
+    sys = schur.build_normal_system_pose(
+        vals, sqrt_w, w, masks, cfg, anchor, res0
+    )
+    delta = schur.schur_step(sys, jnp.asarray(1e-3, jnp.float32), 1e-6)
+    delta = {"X": delta["X"], "L": delta["P"], "sp": delta["sp"], "dp": delta["dp"]}
+    got = retract_tree(vals, delta)
+    want, _ = dense_normal_solve(resid, spec.robust, vals, 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got["X"].t), np.asarray(want["X"].t), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["L"].t), np.asarray(want["L"].t), atol=3e-2
+    )
