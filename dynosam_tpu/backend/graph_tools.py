@@ -140,3 +140,178 @@ def sparsity_stats(masks: WindowMasks) -> SparsityStats:
         nnz_offdiag_blocks=nnz,
         total_offdiag_blocks=total_pairs,
     )
+
+
+# ---------------------------------------------------------------------------
+# graph save / viz (`NonlinearFactorGraphManager::writeDynosamGraphFile`,
+# `src/backend/FactorGraphTools.cc:316-380`, and gtsam saveGraph-style dot
+# output, `FactorGraphTools.hpp:291-358`)
+# ---------------------------------------------------------------------------
+
+def _key(kind: str, *idx) -> str:
+    """Human-readable key replacing the reference's Cantor-paired gtsam
+    symbols (`core/types.py` §2.15): x<k> pose, h<k>_<o> motion/object pose,
+    s<i> static landmark, d<k>_<i> dynamic landmark."""
+    return kind + "_".join(str(int(i)) for i in idx)
+
+
+def _se3_line(R: np.ndarray, t: np.ndarray) -> str:
+    # row-major rotation + translation (12 numbers), reference-style plain text
+    return " ".join(f"{v:.9g}" for v in np.concatenate([R.reshape(-1), t]))
+
+
+def write_dynosam_graph_file(
+    path: str,
+    values: Dict,
+    masks: WindowMasks,
+    pose_key: str = "h",
+    dyn_obj=None,
+) -> int:
+    """Write the masked factor grids as a typed plain-text graph file — the
+    analog of `writeDynosamGraphFile` (`FactorGraphTools.cc:316-380`:
+    `TAG <keys...> <measurement>` factor lines then `TAG <key> <value>`
+    value lines).  Returns the number of factor lines written.
+
+    `pose_key` labels the per-object variable family ("h" WorldMotion
+    motions, "l" WorldPose object poses); `dyn_obj` is the (ND,) tracklet ->
+    object-slot grid (`WindowData.dyn_obj`, (W, ND)) keying motion factors.
+    """
+    m = jax.tree.map(np.asarray, masks)
+    X = jax.tree.map(np.asarray, values["X"])
+    H = jax.tree.map(np.asarray, values.get("H", values.get("L")))
+    sp = np.asarray(values["sp"])
+    dp = np.asarray(values["dp"])
+    W = m.frame.shape[0]
+    n = 0
+    with open(path, "w") as f:
+        # ---- factors ----
+        f.write(f"SE3_PRIOR_FACTOR {_key('x', 0)}\n")
+        n += 1
+        for k in range(1, W):
+            if m.odometry[k]:
+                f.write(
+                    f"SE3_BETWEEN_FACTOR {_key('x', k - 1)} {_key('x', k)}\n"
+                )
+                n += 1
+        ks, js = np.nonzero(m.static_obs)
+        for k, j in zip(ks, js):
+            f.write(
+                f"POSE_TO_POINT_FACTOR {_key('x', k)} {_key('s', j)}\n"
+            )
+            n += 1
+        ks, js = np.nonzero(m.dyn_obs)
+        for k, j in zip(ks, js):
+            f.write(
+                f"POSE_TO_POINT_FACTOR {_key('x', k)} {_key('d', k, j)}\n"
+            )
+            n += 1
+        obj_of = np.asarray(dyn_obj) if dyn_obj is not None else None
+        ks, js = np.nonzero(m.ternary)
+        for k, j in zip(ks, js):
+            o = int(obj_of[k, j]) if obj_of is not None else 0
+            f.write(
+                "SE3_MOTION_FACTOR "
+                f"{_key('d', k - 1, j)} {_key('d', k, j)} {_key(pose_key, k, o)}\n"
+            )
+            n += 1
+        ks, os_ = np.nonzero(m.smoothing[1:])
+        for k, o in zip(ks, os_):
+            f.write(
+                "SE3_BETWEEN_FACTOR "
+                f"{_key(pose_key, k, o)} {_key(pose_key, k + 1, o)}\n"
+            )
+            n += 1
+        # ---- values ----
+        for k in range(W):
+            if m.frame[k]:
+                f.write(
+                    f"SE3_POSE_VALUE {_key('x', k)} "
+                    f"{_se3_line(X.R[k], X.t[k])}\n"
+                )
+        for k in range(W):
+            for o in range(m.motion_active.shape[1]):
+                if m.motion_active[k, o]:
+                    f.write(
+                        f"SE3_MOTION_VALUE {_key(pose_key, k, o)} "
+                        f"{_se3_line(H.R[k, o], H.t[k, o])}\n"
+                    )
+        live_s = m.static_obs.sum(0) > 0
+        for j in np.nonzero(live_s)[0]:
+            f.write(
+                f"POINT3_STATIC_VALUE {_key('s', j)} "
+                + " ".join(f"{v:.9g}" for v in sp[j])
+                + "\n"
+            )
+        ks, js = np.nonzero(m.dyn_obs)
+        for k, j in zip(ks, js):
+            f.write(
+                f"POINT3_DYNAMIC_VALUE {_key('d', k, j)} "
+                + " ".join(f"{v:.9g}" for v in dp[k, j])
+                + "\n"
+            )
+    return n
+
+
+def save_graph_dot(
+    path: str, masks: WindowMasks, pose_key: str = "h", dyn_obj=None
+) -> None:
+    """Graphviz dot of the factor graph (gtsam `saveGraph` analog,
+    `FactorGraphTools.hpp:291-358`): variables as ellipses coloured by
+    family, factors as small filled boxes, landmark grids collapsed to one
+    node per tracklet to keep the drawing readable."""
+    m = jax.tree.map(np.asarray, masks)
+    W = m.frame.shape[0]
+    O = m.motion_active.shape[1]
+    lines = [
+        "graph dynosam {",
+        "  rankdir=LR;",
+        '  node [fontsize=9];',
+    ]
+    for k in range(W):
+        if m.frame[k]:
+            lines.append(
+                f'  x{k} [shape=ellipse, style=filled, fillcolor="#aec6e8"];'
+            )
+    for k in range(W):
+        for o in range(O):
+            if m.motion_active[k, o]:
+                lines.append(
+                    f'  {pose_key}{k}_{o} '
+                    '[shape=ellipse, style=filled, fillcolor="#ffbb78"];'
+                )
+    # collapse landmarks: one node per static tracklet / dynamic tracklet
+    live_s = np.nonzero(m.static_obs.sum(0) > 0)[0]
+    for j in live_s:
+        lines.append(f'  s{j} [shape=point, color="#2ca02c"];')
+    live_d = np.nonzero(m.dyn_obs.sum(0) > 0)[0]
+    for j in live_d:
+        lines.append(f'  d{j} [shape=point, color="#d62728"];')
+    fid = 0
+
+    def factor(*keys):
+        nonlocal fid
+        lines.append(f"  f{fid} [shape=box, width=0.08, height=0.08, style=filled, fillcolor=black, label=\"\"];")
+        for kk in keys:
+            lines.append(f"  f{fid} -- {kk};")
+        fid += 1
+
+    for k in range(1, W):
+        if m.odometry[k]:
+            factor(f"x{k-1}", f"x{k}")
+    for j in live_s:
+        for k in np.nonzero(m.static_obs[:, j])[0]:
+            factor(f"x{k}", f"s{j}")
+    for j in live_d:
+        ks = np.nonzero(m.dyn_obs[:, j])[0]
+        for k in ks:
+            factor(f"x{k}", f"d{j}")
+    obj_of = np.asarray(dyn_obj) if dyn_obj is not None else None
+    for j in np.nonzero(m.ternary.sum(0) > 0)[0]:
+        for k in np.nonzero(m.ternary[:, j])[0]:
+            o = int(obj_of[k, j]) if obj_of is not None else 0
+            factor(f"d{j}", f"{pose_key}{k}_{o}")
+    for k, o in zip(*np.nonzero(m.smoothing[1:])):
+        factor(f"{pose_key}{k}_{o}", f"{pose_key}{k+1}_{o}")
+    lines.append("}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -182,8 +182,15 @@ def track_frame(
     s_cooldown = jnp.maximum(state.s_cooldown - 1, 0)
     s_cooldown = jnp.where(s_died, cfg.slot_cooldown_frames, s_cooldown)
 
-    # re-detect into free slots
-    resp = shi_tomasi_response_fast(cur_gray)
+    # re-detect into free slots (detector input optionally CLAHE-equalized,
+    # `FeatureDetector.cc:95-109`; tracking always uses the raw image)
+    if cfg.use_clahe_filter:
+        from ..ops.clahe import clahe
+
+        det_gray = clahe(cur_gray)
+    else:
+        det_gray = cur_gray
+    resp = shi_tomasi_response_fast(det_gray)
     occupied = occupancy_mask(
         (h, w), s_uv, s_ok,
         int(cfg.min_distance_btw_tracked_and_detected_features),

@@ -37,10 +37,18 @@ class PipelineResult:
 class DynoPipeline:
     """Sequential (reference `parallel_run: False`) full pipeline."""
 
-    def __init__(self, cam: CameraParams, cfg: DynoConfig, use_klt: bool = True):
+    def __init__(
+        self,
+        cam: CameraParams,
+        cfg: DynoConfig,
+        use_klt: bool = True,
+        display=None,
+    ):
         self.cam = cam
         self.cfg = cfg
         self.use_klt = use_klt
+        # optional viz.visualizer.FrontendDisplay (display loop / video dump)
+        self.display = display
         cap = cfg.capacity
         self.frontend_state = FrontendState.create(
             cap.max_static_tracks, cap.max_dynamic_tracks, cap.max_objects
@@ -82,6 +90,8 @@ class DynoPipeline:
                 first_frame=first,
             )
         self.packets.append(packet)
+        if self.display is not None:
+            self.display.spin_once(images, packet)
         if self.backend is not None:
             with stats_mod.timer("backend.spin"):
                 self.backend.spin(packet)
@@ -98,6 +108,8 @@ class DynoPipeline:
         if self.backend is not None:
             with stats_mod.timer("backend.finish"):
                 self.backend.finish()
+        if self.display is not None:
+            self.display.close()
         # block on the last packet to get honest timing
         jax.block_until_ready(self.packets[-1].X_world.t)
         dt = time.perf_counter() - t0

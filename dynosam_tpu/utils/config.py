@@ -31,6 +31,11 @@ class TrackerConfig:
     use_byte_tracker: bool = False            # frontend.flags
     max_feature_track_age: int = 25           # FeatureTracker.cc:227-231
     min_distance_btw_tracked_and_detected_features: float = 8.0
+    # CLAHE(2.0, 8x8) on the detector input (`FeatureDetector.cc:95-109`,
+    # `TrackerParams.hpp:94` default true); KLT tracks the RAW image, like
+    # the reference (its tracking-side CLAHE is commented out,
+    # `StaticFeatureTracker.cc:292-294`)
+    use_clahe_filter: bool = True
     cell_size: int = 30                       # occupancy grid bin (px)
     # instance-mask census: label values are capped to [0, max_instance_labels)
     # and an instance needs >= min_object_pixels mask support to become an

@@ -117,3 +117,75 @@ def frontend_debug_image(images, packet, prev_uv_s=None) -> np.ndarray:
         np.asarray(packet.dynamic_obs.valid),
     )
     return base
+
+
+class FrontendDisplay:
+    """Display loop with video dump — the working analog of the reference's
+    `DisplayBase`/`OpenCVFrontendDisplay` (`visualizer/Display.hpp:36`,
+    `OpenCVFrontendDisplay.cc:32-42`; the reference's OpenCV body is a stub
+    and its real displays live in the ROS layer, which doesn't exist here).
+
+    `spin_once(images, packet)` composes the tracking debug image and
+    (a) appends it to an mp4/avi via cv2.VideoWriter when `video_path` is
+    set, (b) shows it in a window when `show=True` and a GUI exists,
+    (c) keeps it readable at `.last_frame`.
+    """
+
+    def __init__(
+        self,
+        video_path: Optional[str] = None,
+        fps: float = 10.0,
+        show: bool = False,
+        window: str = "dynosam_tpu frontend",
+    ):
+        self.video_path = video_path
+        self.fps = fps
+        self.show = show
+        self.window = window
+        self._writer = None
+        self.last_frame: Optional[np.ndarray] = None
+        self._prev_uv_s: Optional[np.ndarray] = None
+
+    def spin_once(self, images, packet) -> np.ndarray:
+        frame = frontend_debug_image(images, packet, prev_uv_s=self._prev_uv_s)
+        self._prev_uv_s = np.asarray(packet.static_obs.uv).copy()
+        self.last_frame = frame
+        if self.video_path is not None:
+            import cv2
+
+            if self._writer is None:
+                h, w = frame.shape[:2]
+                fourcc = cv2.VideoWriter_fourcc(
+                    *("mp4v" if self.video_path.endswith(".mp4") else "MJPG")
+                )
+                self._writer = cv2.VideoWriter(
+                    self.video_path, fourcc, self.fps, (w, h)
+                )
+            self._writer.write(frame)
+        if self.show:
+            import cv2
+
+            try:
+                cv2.imshow(self.window, frame)
+                cv2.waitKey(1)
+            except cv2.error:
+                self.show = False  # headless environment: disable quietly
+        return frame
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+        if self.show:
+            import cv2
+
+            try:
+                cv2.destroyWindow(self.window)
+            except cv2.error:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

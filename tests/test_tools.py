@@ -161,3 +161,84 @@ def test_deterministic_frontend_step():
             use_klt=True, first_frame=True,
         )[1].X_world.t
     )
+
+
+def test_graph_export(tmp_path):
+    """writeDynosamGraphFile + saveGraph dot analogs
+    (`FactorGraphTools.cc:316-380`, `FactorGraphTools.hpp:291-358`)."""
+    from dynosam_tpu.backend import formulation as fm
+    from dynosam_tpu.backend.map import MeasurementMap, slice_window, update_map
+    from dynosam_tpu.testing.simulator import Scenario, ScenarioConfig
+    from dynosam_tpu.utils.config import BackendConfig
+
+    scfg = ScenarioConfig(n_frames=4, n_static=10, n_objects=1,
+                          pts_per_object=5, ns=16, nd=16, no=2)
+    sc = Scenario(scfg)
+    m = MeasurementMap.create(4, 16, 16, 2)
+    for k, pkt in enumerate(sc.frontend_outputs()):
+        m = update_map(m, pkt, k)
+    w = slice_window(m, 0, 4)
+    cfg = BackendConfig()
+    masks = fm.build_masks(w, cfg)
+    vals = fm.init_values(w, masks, cfg)
+
+    gpath = tmp_path / "graph.txt"
+    n = graph_tools.write_dynosam_graph_file(
+        str(gpath), vals, masks, dyn_obj=w.dyn_obj
+    )
+    text = gpath.read_text()
+    info = graph_tools.DebugInfo.from_masks(masks)
+    expected = (
+        1 + info.num_odometry_factors + info.num_static_factors
+        + info.num_dynamic_factors + info.num_motion_factors
+        + info.num_smoothing_factors
+    )
+    assert n == expected
+    assert text.count("POSE_TO_POINT_FACTOR") == (
+        info.num_static_factors + info.num_dynamic_factors
+    )
+    assert text.count("SE3_MOTION_FACTOR") == info.num_motion_factors
+    assert text.count("SE3_POSE_VALUE") == info.num_poses
+    # every factor key must have a matching value line
+    assert "SE3_PRIOR_FACTOR x0" in text
+    assert "POINT3_STATIC_VALUE" in text and "POINT3_DYNAMIC_VALUE" in text
+
+    dpath = tmp_path / "graph.dot"
+    graph_tools.save_graph_dot(str(dpath), masks, dyn_obj=w.dyn_obj)
+    dot = dpath.read_text()
+    assert dot.startswith("graph dynosam {") and dot.rstrip().endswith("}")
+    assert dot.count("-- x0;") >= 1 and "shape=box" in dot
+
+
+def test_frontend_display_video(tmp_path, rng):
+    """FrontendDisplay writes a playable video file (display-loop/video-dump
+    analog of `visualizer/Display.hpp:36`)."""
+    import cv2
+    import jax
+
+    from dynosam_tpu.pipeline import DynoPipeline
+    from dynosam_tpu.testing.render import RenderConfig, RenderedScene
+    from dynosam_tpu.utils.config import (
+        DynoConfig, FrontendConfig, PipelineConfig, TrackerConfig,
+    )
+    from dynosam_tpu.viz.visualizer import FrontendDisplay
+
+    scene = RenderedScene(RenderConfig(n_frames=3))
+    cfg = DynoConfig(
+        frontend=FrontendConfig(
+            tracker=TrackerConfig(
+                max_features_per_frame=200, klt_window=13, klt_levels=2
+            )
+        ),
+        pipeline=PipelineConfig(use_backend=False),
+    )
+    vid = str(tmp_path / "tracks.avi")
+    disp = FrontendDisplay(video_path=vid, fps=5.0)
+    pipe = DynoPipeline(scene.cam, cfg, display=disp)
+    pipe.run(scene.frames())
+    cap = cv2.VideoCapture(vid)
+    assert cap.isOpened()
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert n == 3
+    assert disp.last_frame is not None and disp.last_frame.ndim == 3

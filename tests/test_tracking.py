@@ -209,3 +209,23 @@ def test_slot_cooldown_blocks_immediate_reuse(rng):
     # cooldown counters set on the dead slots that were not re-used
     cd = np.asarray(st1.s_cooldown)
     assert (cd[died & ~fresh] > 0).all()
+
+
+def test_clahe_matches_opencv(rng):
+    """ops/clahe.py vs cv2.createCLAHE(2.0, (8, 8)) — same algorithm up to
+    OpenCV's integer LUT rounding and border padding mode
+    (`FeatureDetector.cc:95-109`)."""
+    cv2 = pytest.importorskip("cv2")
+    from dynosam_tpu.ops.clahe import clahe
+
+    h, w = 240, 320
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = (
+        80 + 60 * np.sin(xx / 40) + 40 * np.cos(yy / 30)
+        + rng.normal(0, 10, (h, w))
+    ).clip(0, 255).astype(np.uint8)
+    ref = cv2.createCLAHE(2.0, (8, 8)).apply(img)
+    got = np.asarray(clahe(jnp.asarray(img, jnp.float32)))
+    d = np.abs(ref.astype(np.float32) - got)
+    assert d.mean() < 4.0
+    assert np.corrcoef(ref.ravel().astype(float), got.ravel())[0, 1] > 0.99
