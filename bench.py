@@ -58,6 +58,63 @@ def rendered_frames(n=12, h=384, w=1280):
     return sc, frames
 
 
+def bench_frontend_scan(frames, cam, label, cfg, reps=6):
+    """Whole-program throughput: the steady-state frontend step scanned over
+    the frame batch inside ONE jitted program — one tunnel dispatch per rep.
+
+    The per-frame-dispatch variant (`bench_frontend`) chains 10 small
+    dispatches and its wall time is dominated by tunnel latency spikes
+    (observed 107-877 fps for identical code); this is the honest
+    chip-throughput number per the repo rule "benchmark only whole jitted
+    programs on the tunneled TPU".  Best-of-reps guards the residual
+    single-dispatch jitter.
+    """
+    from dynosam_tpu.frontend.frontend import FrontendState, frontend_step
+
+    state0 = FrontendState.create(2048, 4096, 16)
+    state0, pkt, _, _ = frontend_step(
+        state0, frames[0], frames[0], cam, cfg, jax.random.PRNGKey(0),
+        use_klt=True, first_frame=True,
+    )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+    n_steps = len(frames) - 1
+    keys = jax.random.split(jax.random.PRNGKey(7), n_steps)
+
+    @jax.jit
+    def run(state, stacked, keys):
+        prev = jax.tree.map(lambda a: a[:-1], stacked)
+        cur = jax.tree.map(lambda a: a[1:], stacked)
+
+        def step(st, inp):
+            pf, cf, key = inp
+            st, pkt, _, _ = frontend_step(
+                st, pf, cf, cam, cfg, key, use_klt=True, first_frame=False,
+            )
+            # checksum over EVERY packet leaf: forces XLA to materialize
+            # the full frontend output (nothing the sequential pipeline
+            # produces may be dead-code-eliminated inside the scan)
+            chk = sum(
+                jnp.sum(x.astype(jnp.float32))
+                for x in jax.tree.leaves(pkt)
+            )
+            return st, chk
+
+        state, ts = jax.lax.scan(step, state, (prev, cur, keys))
+        return state, ts
+
+    state, ts = run(state0, stacked, keys)        # compile
+    jax.block_until_ready(ts)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, ts = run(state, stacked, keys)
+        jax.block_until_ready(ts)
+        best = max(best, n_steps / (time.perf_counter() - t0))
+    print(f"{label}: {best:.1f} frames/s (scan x{n_steps}, best of {reps})",
+          file=sys.stderr)
+    return best
+
+
 def bench_frontend(frames, cam, label, cfg, n_iter=10):
     from dynosam_tpu.frontend.frontend import FrontendState, frontend_step
 
@@ -133,7 +190,9 @@ def main():
     tcfg = TrackerConfig(max_features_per_frame=1000)
     full_cfg = FrontendConfig(tracker=tcfg)
 
-    fps = bench_frontend(frames, cam, "frontend full-step", full_cfg)
+    fps = bench_frontend_scan(frames, cam, "frontend full-step", full_cfg)
+    bench_frontend(frames, cam, "frontend per-dispatch (tunnel-bound)",
+                   full_cfg)
 
     if os.environ.get("DYNO_BENCH_TRACKING_ONLY") == "1":
         # tracking-only ablation (refinements off) for the BENCH_NOTES table

@@ -117,6 +117,90 @@ def results_table_markdown(results: Dict) -> str:
     return "\n".join(lines)
 
 
+def _fmt4(v) -> str:
+    return f"{v:.4f}" if isinstance(v, (int, float)) else "-"
+
+
+def results_table_latex(results: Dict) -> str:
+    """LaTeX result tables — the analog of the reference's pylatex
+    `result_tables.pdf` (`evaluation/formatting_utils.py:62-210`): per
+    module, a camera ATE/RPE `|c|cc|` table and a per-object motion-error
+    `|c|cc|cc|` table (AME/RME translation + rotation, plus the
+    over-objects mean row).  Returned as one standalone compilable
+    document (no pylatex dependency; plain strings)."""
+    L = [
+        r"\documentclass{article}",
+        r"\usepackage[margin=2cm]{geometry}",
+        r"\begin{document}",
+    ]
+    for prefix, res in results.items():
+        name = prefix.replace("_", r"\_")
+        L.append(rf"\section*{{{name}}}")
+        cam = res.get("camera")
+        if cam:
+            L += [
+                r"\subsection*{Camera}",
+                r"\begin{tabular}{|c|cc|}",
+                r"\hline",
+                r"metric & translation [m] & rotation [deg] \\",
+                r"\hline\hline",
+                rf"ATE & {_fmt4(cam.get('ate_trans_rmse'))} & "
+                rf"{_fmt4(cam.get('ate_rot_deg_rmse'))} \\",
+                rf"RPE & {_fmt4(cam.get('rpe_trans_rmse'))} & "
+                rf"{_fmt4(cam.get('rpe_rot_deg_rmse'))} \\",
+                r"\hline",
+                r"\end{tabular}",
+            ]
+        objs = res.get("objects")
+        if objs:
+            L += [
+                r"\subsection*{Object motions}",
+                r"\begin{tabular}{|c|cc|cc|}",
+                r"\hline",
+                r"object & AME t [m] & AME r [deg] & RME t [m] & "
+                r"RME r [deg] \\",
+                r"\hline\hline",
+            ]
+            for obj in sorted(objs):
+                e = objs[obj]
+                L.append(
+                    rf"{obj} & {_fmt4(e.get('ame_trans_rmse'))} & "
+                    rf"{_fmt4(e.get('ame_rot_deg_rmse'))} & "
+                    rf"{_fmt4(e.get('rme_trans_rmse'))} & "
+                    rf"{_fmt4(e.get('rme_rot_deg_rmse'))} \\"
+                )
+            om = res.get("objects_mean", {})
+            L += [
+                r"\hline",
+                rf"mean & {_fmt4(om.get('ame_trans_rmse'))} & "
+                rf"{_fmt4(om.get('ame_rot_deg_rmse'))} & "
+                rf"{_fmt4(om.get('rme_trans_rmse'))} & "
+                rf"{_fmt4(om.get('rme_rot_deg_rmse'))} \\",
+                r"\hline",
+                r"\end{tabular}",
+            ]
+    L.append(r"\end{document}")
+    return "\n".join(L)
+
+
+def write_result_tables(output_dir: str, results: Dict) -> str:
+    """Write `result_tables.tex` (and compile to PDF when a `pdflatex`
+    binary exists, mirroring the reference's `save_pdf`; silently skipped
+    otherwise — this environment has no TeX)."""
+    import shutil
+    import subprocess
+
+    tex_path = os.path.join(output_dir, "result_tables.tex")
+    with open(tex_path, "w") as f:
+        f.write(results_table_latex(results))
+    if shutil.which("pdflatex"):
+        subprocess.run(
+            ["pdflatex", "-interaction=batchmode", "result_tables.tex"],
+            cwd=output_dir, capture_output=True, check=False,
+        )
+    return tex_path
+
+
 def aggregate_runs(run_dirs, out_path: Optional[str] = None) -> Dict:
     """Aggregate results.json across runs (the reference's
     `make_stats_over_all_runs.py`)."""

@@ -53,6 +53,8 @@ class TrackerState(NamedTuple):
     s_active: jax.Array
     s_age: jax.Array
     s_cooldown: jax.Array  # frames until a freed slot may be reused
+    s_desc: jax.Array      # (NS, 256) int8 ±1 ORB descriptor at detection
+    #                        (all-zero unless feature_detector_type="orb")
     # dynamic pool (ND,)
     d_uv: jax.Array
     d_active: jax.Array
@@ -70,6 +72,7 @@ class TrackerState(NamedTuple):
             s_active=jnp.zeros((ns,), bool),
             s_age=jnp.zeros((ns,), jnp.int32),
             s_cooldown=jnp.zeros((ns,), jnp.int32),
+            s_desc=jnp.zeros((ns, 256), jnp.int8),
             d_uv=jnp.zeros((nd, 2), dtype),
             d_active=jnp.zeros((nd,), bool),
             d_obj=jnp.full((nd,), INVALID_ID, jnp.int32),
@@ -105,6 +108,8 @@ class TrackOutputs(NamedTuple):
     n_dynamic_tracked: jax.Array
     n_dynamic_new: jax.Array
     homography_inliers: jax.Array
+    # tracklets revived by descriptor re-association (orb_reassociate)
+    n_reassociated: jax.Array = 0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_klt", "first_frame"))
@@ -190,7 +195,6 @@ def track_frame(
         det_gray = clahe(cur_gray)
     else:
         det_gray = cur_gray
-    resp = shi_tomasi_response_fast(det_gray)
     occupied = occupancy_mask(
         (h, w), s_uv, s_ok,
         int(cfg.min_distance_btw_tracked_and_detected_features),
@@ -200,12 +204,99 @@ def track_frame(
         | (mask_cur != 0)
         | border_mask((h, w), max(cfg.shrink_row, 4), max(cfg.shrink_col, 4))
     )
-    dets = detect_grid_nms(
-        resp,
-        forbid,
-        max_corners=cfg.max_features_per_frame,
-        cell_size=max(8, cfg.cell_size // 2),
-    )
+    s_desc = state.s_desc
+    n_reassoc = jnp.asarray(0, jnp.int32)
+    cand_desc = None
+    if cfg.feature_detector_type == "orb":
+        # pyramid FAST + octree-analog distribution (`frontend/orb.py`,
+        # reference mode ORB_SLAM_ORB, `FeatureDetector.cc:55-83`); the
+        # forbid mask is applied by sampling at the candidate positions
+        from .detect import Detections
+        from .orb import extract_orb, match_descriptors
+
+        feats = extract_orb(
+            det_gray,
+            n_features=cfg.max_nr_keypoints_before_anms,
+            n_levels=cfg.orb_n_levels,
+            scale_factor=cfg.orb_scale_factor,
+            init_threshold=float(cfg.orb_init_threshold_fast),
+            min_threshold=float(cfg.orb_min_threshold_fast),
+        )
+        order = jnp.argsort(jnp.where(feats.valid, -feats.response, jnp.inf))
+        m_cap = cfg.max_features_per_frame
+        cand_uv = feats.uv[order][:m_cap]
+        cand_score = feats.response[order][:m_cap]
+        cand_valid = feats.valid[order][:m_cap]
+        cand_desc = feats.desc[order][:m_cap]
+
+        revive_mask = jnp.zeros_like(cand_valid)
+        if cfg.orb_reassociate and not first_frame:
+            # revive recently lost tracklets whose stored descriptor
+            # mutually best-matches a new detection near the last position
+            # (descriptor path of ExternalFlowFeatureTracker, made
+            # functional; `StaticFeatureTracker.cc:81-83`).  Matched BEFORE
+            # the occupancy/forbid filter: revival re-attaches an existing
+            # id, so the keep-away spacing rule for NEW detections does
+            # not apply.
+            eligible = ~s_ok & (s_cooldown > 0)
+            mm = match_descriptors(
+                cand_desc, cand_valid, s_desc, eligible,
+                max_hamming=cfg.orb_reassoc_max_hamming,
+                ratio=0.9, cross_check=True,
+            )
+            slot = mm.index
+            # gate against the STORED last position (the KLT-propagated
+            # s_uv is meaningless for slots that were not active)
+            d2 = jnp.linalg.norm(cand_uv - state.s_uv[slot], axis=-1)
+            revive = mm.ok & (d2 <= cfg.orb_reassoc_radius_px)
+            # Scatter per-slot.  NOTE: every candidate carries SOME best
+            # slot index (unmatched rows default to an arbitrary argmin),
+            # so a plain .at[slot].set would race no-op writes against the
+            # real revival (duplicate-index scatter order is undefined).
+            # Use OR/add semantics gated on `revive` instead; cross_check
+            # guarantees at most one revive=True row per slot, so the adds
+            # never mix two candidates.
+            ns = s_ok.shape[0]
+            rev_slot = jnp.zeros((ns,), bool).at[slot].max(revive)
+            uv_new = jnp.zeros_like(s_uv).at[slot].add(
+                jnp.where(revive[:, None], cand_uv, 0.0)
+            )
+            desc_new = jnp.zeros_like(s_desc).at[slot].add(
+                jnp.where(revive[:, None], cand_desc, 0).astype(s_desc.dtype)
+            )
+            s_uv = jnp.where(rev_slot[:, None], uv_new, s_uv)
+            s_ok = s_ok | rev_slot
+            s_age = jnp.where(rev_slot, state.s_age + 1, s_age)
+            s_cooldown = jnp.where(rev_slot, 0, s_cooldown)
+            s_desc = jnp.where(rev_slot[:, None], desc_new, s_desc)
+            revive_mask = revive
+            n_reassoc = jnp.sum(revive)
+            n_tracked = n_tracked + n_reassoc
+
+        allowed = nearest_at((~forbid).astype(jnp.int32), cand_uv) > 0
+        dets = Detections(
+            uv=cand_uv, score=cand_score,
+            valid=cand_valid & allowed & ~revive_mask,
+        )
+    else:
+        if cfg.feature_detector_type == "harris":
+            from .detect import harris_response
+
+            resp = harris_response(det_gray)
+        elif cfg.feature_detector_type == "fast":
+            from .detect import fast_response
+
+            resp = fast_response(
+                det_gray, float(cfg.orb_init_threshold_fast)
+            )
+        else:
+            resp = shi_tomasi_response_fast(det_gray)
+        dets = detect_grid_nms(
+            resp,
+            forbid,
+            max_corners=cfg.max_features_per_frame,
+            cell_size=max(8, cfg.cell_size // 2),
+        )
     budget = cfg.max_features_per_frame - n_tracked
     want = dets.valid & (jnp.cumsum(dets.valid) <= budget)
     slot_i, cand_i, pair_ok = assign_slots(~s_ok & (s_cooldown == 0), want)
@@ -216,6 +307,10 @@ def track_frame(
     s_active_new = s_ok.at[slot_i].set(s_ok[slot_i] | pair_ok)
     s_age = s_age.at[slot_i].set(jnp.where(pair_ok, 0, s_age[slot_i]))
     n_new_static = jnp.sum(pair_ok)
+    if cand_desc is not None:
+        s_desc = s_desc.at[slot_i].set(
+            jnp.where(pair_ok[:, None], cand_desc[cand_i], s_desc[slot_i])
+        )
 
     # ------------------------------------------------------------ objects
     # label census of the current mask (labels capped to the config limit)
@@ -299,6 +394,7 @@ def track_frame(
         s_active=s_active_new,
         s_age=s_age,
         s_cooldown=s_cooldown,
+        s_desc=s_desc,
         d_uv=d_uv,
         d_active=d_active_new,
         d_obj=d_obj,
@@ -313,6 +409,7 @@ def track_frame(
         n_dynamic_tracked=n_dyn_tracked,
         n_dynamic_new=n_dyn_new,
         homography_inliers=homo_inl,
+        n_reassociated=n_reassoc,
     )
     return new_state, report
 

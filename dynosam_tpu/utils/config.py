@@ -36,6 +36,25 @@ class TrackerConfig:
     # the reference (its tracking-side CLAHE is commented out,
     # `StaticFeatureTracker.cc:292-294`)
     use_clahe_filter: bool = True
+    # detector selection (reference FeatureDetectorType: GFTT vs
+    # ORB_SLAM_ORB, `FeatureDetector.cc:76-84`): "shi_tomasi" (GFTT
+    # analog, default), "harris", "fast", or "orb" (pyramid FAST +
+    # orientation + steered BRIEF descriptors, `frontend/orb.py`)
+    feature_detector_type: str = "shi_tomasi"
+    # ORB extractor params (`TrackerParams.hpp:81-84` OrbParams defaults)
+    orb_scale_factor: float = 1.2
+    orb_n_levels: int = 8
+    orb_init_threshold_fast: int = 20
+    orb_min_threshold_fast: int = 7
+    # descriptor re-association of recently lost static tracks (an
+    # extension of the reference's ExternalFlowFeatureTracker descriptor
+    # path, whose descriptors are computed but never matched —
+    # `StaticFeatureTracker.cc:81-83`); requires feature_detector_type
+    # "orb".  A new detection whose descriptor mutually best-matches a
+    # cooling-down slot within the radius revives that tracklet id.
+    orb_reassociate: bool = False
+    orb_reassoc_max_hamming: float = 50.0
+    orb_reassoc_radius_px: float = 48.0
     cell_size: int = 30                       # occupancy grid bin (px)
     # instance-mask census: label values are capped to [0, max_instance_labels)
     # and an instance needs >= min_object_pixels mask support to become an

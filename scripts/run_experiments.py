@@ -78,8 +78,12 @@ def main():
 
     results = evaluate_all(out_dir)
     pdf = make_report(out_dir, results)
+    from dynosam_tpu.eval.plotting import write_result_tables
+
+    tex = write_result_tables(out_dir, results)
     print(json.dumps(results, indent=2, default=float))
     print(f"report: {pdf}")
+    print(f"tables: {tex}")
 
 
 if __name__ == "__main__":

@@ -148,3 +148,36 @@ def test_results_table_and_aggregate(tmp_path, rng):
     table = summary["tables"]["runA"]
     assert "| frontend |" in table and "0.0000" in table
     assert os.path.exists(str(tmp_path / "all.json"))
+
+
+def test_latex_result_tables(tmp_path, rng):
+    """`result_tables.tex` emission (the reference's pylatex
+    `result_tables.pdf`, `formatting_utils.py:62-210`)."""
+    from dynosam_tpu.eval.evaluator import evaluate_all
+    from dynosam_tpu.eval.plotting import results_table_latex, write_result_tables
+    from dynosam_tpu.utils.logger import EstimationLogger
+
+    gt = random_traj(rng, n=8)
+    est = gt.copy()
+    est[:, :3, 3] += rng.normal(size=(8, 3)) * 0.02
+    log = EstimationLogger(str(tmp_path), "rgbd_backend")
+    for k in range(8):
+        log.log_camera_pose(k, est[k], gt[k])
+        log.log_timestamp(k, k * 0.1)
+    for k in range(1, 8):
+        log.log_object_motion(k, 3, est[k], gt[k])
+        log.log_object_pose(k, 3, est[k], gt[k])
+    log.flush()
+    results = evaluate_all(str(tmp_path))
+    tex = results_table_latex(results)
+    assert tex.startswith(r"\documentclass")
+    assert tex.rstrip().endswith(r"\end{document}")
+    assert r"rgbd\_backend" in tex
+    assert r"\begin{tabular}{|c|cc|}" in tex       # camera ATE/RPE table
+    assert r"\begin{tabular}{|c|cc|cc|}" in tex    # per-object AME/RME table
+    assert "ATE &" in tex and "mean &" in tex
+    # the logged object (id 3) has its own row
+    assert "\n3 & " in tex
+    path = write_result_tables(str(tmp_path), results)
+    assert os.path.exists(path)
+    assert open(path).read() == tex
