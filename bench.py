@@ -66,8 +66,12 @@ def bench_frontend_scan(frames, cam, label, cfg, reps=6):
     dispatches and its wall time is dominated by tunnel latency spikes
     (observed 107-877 fps for identical code); this is the honest
     chip-throughput number per the repo rule "benchmark only whole jitted
-    programs on the tunneled TPU".  Best-of-reps guards the residual
-    single-dispatch jitter.
+    programs on the tunneled TPU".
+
+    TIMING BARRIER: `jax.block_until_ready` does NOT wait under the axon
+    tunnel (returns in ~1 ms while the remote execution is queued), so
+    every measurement here chains reps through the carried state and ends
+    in a VALUE FETCH of a scalar checksum — the only honest barrier.
     """
     from dynosam_tpu.frontend.frontend import FrontendState, frontend_step
 
@@ -102,17 +106,21 @@ def bench_frontend_scan(frames, cam, label, cfg, reps=6):
         state, ts = jax.lax.scan(step, state, (prev, cur, keys))
         return state, ts
 
-    state, ts = run(state0, stacked, keys)        # compile
-    jax.block_until_ready(ts)
-    best = 0.0
+    state, ts = run(state0, stacked, keys)        # compile + settle
+    float(np.asarray(ts[-1]))                     # fetch barrier
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
         state, ts = run(state, stacked, keys)
-        jax.block_until_ready(ts)
-        best = max(best, n_steps / (time.perf_counter() - t0))
-    print(f"{label}: {best:.1f} frames/s (scan x{n_steps}, best of {reps})",
-          file=sys.stderr)
-    return best
+    float(np.asarray(ts[-1]))                     # fetch barrier
+    dt = time.perf_counter() - t0
+    fps = n_steps * reps / dt
+    print(
+        f"{label}: {fps:.1f} frames/s "
+        f"({dt / (n_steps * reps) * 1e3:.2f} ms/frame; scan x{n_steps} "
+        f"x{reps} chained reps, fetch barrier)",
+        file=sys.stderr,
+    )
+    return fps
 
 
 def bench_frontend(frames, cam, label, cfg, n_iter=10):
@@ -128,7 +136,7 @@ def bench_frontend(frames, cam, label, cfg, n_iter=10):
         state, frames[0], frames[1], cam, cfg, jax.random.PRNGKey(1),
         use_klt=True, first_frame=False,
     )
-    jax.block_until_ready(pkt.X_world.t)
+    float(np.asarray(jnp.sum(pkt.X_world.t)))     # fetch barrier
 
     t0 = time.perf_counter()
     for k in range(n_iter):
@@ -138,7 +146,7 @@ def bench_frontend(frames, cam, label, cfg, n_iter=10):
             state, a, b, cam, cfg, jax.random.PRNGKey(k + 2),
             use_klt=True, first_frame=False,
         )
-    jax.block_until_ready(pkt.X_world.t)
+    float(np.asarray(jnp.sum(pkt.X_world.t)))     # fetch barrier
     dt = time.perf_counter() - t0
     fps = n_iter / dt
     print(f"{label}: {fps:.1f} frames/s", file=sys.stderr)
@@ -167,11 +175,13 @@ def bench_backend_window(reps=5):
     anchor = se3_identity((), jnp.float32)
     args = (m, 0, 10, bcfg, lm_cfg, anchor, jnp.asarray(False), 0)
     res, _ = optimize_window_jit(*args)  # compile
-    jax.block_until_ready(res.error)
+    float(res.error)                     # fetch barrier
     t0 = time.perf_counter()
     for _ in range(reps):
         res, _ = optimize_window_jit(*args)
-    jax.block_until_ready(res.error)
+    # single-device executions serialize, so one final VALUE FETCH bounds
+    # all reps (block_until_ready does not wait under axon)
+    float(res.error)
     ba_dt = (time.perf_counter() - t0) / reps
     iters = int(res.iterations)
     print(

@@ -145,15 +145,32 @@ def track_frame(
         homo_inl = jnp.asarray(0, jnp.int32)
     else:
         if use_klt:
-            res = klt_track(
-                prev_gray,
-                cur_gray,
-                state.s_uv,
-                state.s_active,
-                win=cfg.klt_window,
-                levels=cfg.klt_levels,
-                iters=cfg.klt_iterations,
-            )
+            # Pallas patch kernel on TPU (XLA per-element gathers serialize
+            # there: 3.9 s/frame -> ms; see ops/pallas/lk.py); the XLA
+            # formulation elsewhere (CPU tests, interpret-less platforms)
+            if cfg.use_pallas_klt and jax.default_backend() == "tpu":
+                from ..ops.pallas.lk import klt_track_pallas
+
+                res = klt_track_pallas(
+                    prev_gray,
+                    cur_gray,
+                    state.s_uv,
+                    state.s_active,
+                    win=cfg.klt_window,
+                    levels=cfg.klt_levels,
+                    iters=cfg.klt_iterations,
+                    eps=cfg.klt_eps,
+                )
+            else:
+                res = klt_track(
+                    prev_gray,
+                    cur_gray,
+                    state.s_uv,
+                    state.s_active,
+                    win=cfg.klt_window,
+                    levels=cfg.klt_levels,
+                    iters=cfg.klt_iterations,
+                )
             s_uv, s_ok = res.uv, res.ok
         else:
             s_uv = state.s_uv + flow_at(flow_prev, state.s_uv)

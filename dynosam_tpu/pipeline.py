@@ -110,8 +110,9 @@ class DynoPipeline:
                 self.backend.finish()
         if self.display is not None:
             self.display.close()
-        # block on the last packet to get honest timing
-        jax.block_until_ready(self.packets[-1].X_world.t)
+        # VALUE-FETCH barrier for honest timing (jax.block_until_ready
+        # does not wait under the axon remote backend)
+        np.asarray(self.packets[-1].X_world.t)
         dt = time.perf_counter() - t0
         return PipelineResult(
             packets=self.packets,

@@ -68,6 +68,9 @@ class TrackerConfig:
     klt_levels: int = 3
     klt_iterations: int = 30
     klt_eps: float = 0.01
+    # Pallas LK patch kernel on TPU (ops/pallas/lk.py); the pure-XLA path
+    # stays for CPU and as an escape hatch
+    use_pallas_klt: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,3 +33,29 @@ def test_auto_dispatch_shapes(rng):
     # KITTI-sized frames take the pallas path; huge frames fall back
     assert 384 * 1280 <= _VMEM_BUDGET_PX
     assert 2000 * 4000 > _VMEM_BUDGET_PX
+
+
+def test_lk_kernel_matches_xla(rng):
+    """Pallas LK level kernel (interpret mode) == ops.klt.klt_track to
+    float tolerance, including near-border features where per-sample
+    clamping matters (`ops/pallas/lk.py`)."""
+    from dynosam_tpu.ops.klt import klt_track
+    from dynosam_tpu.ops.pallas.lk import klt_track_pallas
+    from dynosam_tpu.testing.render import RenderConfig, RenderedScene
+
+    scene = RenderedScene(RenderConfig(n_frames=2, h=192, w=256))
+    f0, f1 = scene.frames()
+    uv = jnp.asarray(rng.uniform([5, 5], [250, 186], (64, 2)), jnp.float32)
+    valid = jnp.ones((64,), bool)
+    ref = klt_track(f0.gray, f1.gray, uv, valid, win=21, levels=3, iters=30)
+    got = klt_track_pallas(
+        f0.gray, f1.gray, uv, valid, win=21, levels=3, iters=30,
+        interpret=True,
+    )
+    d = np.linalg.norm(np.asarray(ref.uv) - np.asarray(got.uv), axis=1)
+    both = np.asarray(ref.ok) & np.asarray(got.ok)
+    assert both.sum() >= 40
+    assert d[both].max() < 0.05
+    # ok masks agree except possibly at the error-gate boundary
+    agree = (np.asarray(ref.ok) == np.asarray(got.ok)).mean()
+    assert agree > 0.9
