@@ -361,7 +361,6 @@ def frontend_step(
         return idx, ok
 
     obj_ids = jnp.arange(no)
-    idxs, oks = jax.vmap(gather_obj)(obj_ids)              # (O, DPO)
     d_depth_prev, _ = _depth_at(
         prev_images.depth, prev_uv_d, cfg.max_object_depth
     )
@@ -442,10 +441,37 @@ def frontend_step(
                 inl = jnp.where(ok_solved, mr.inliers, inl)
         return H, inl, ok_solved, ref_uv, wb
 
-    keys_o = jax.random.split(key_o, no)
-    H_all, obj_inl, solved, ref_uvs, wbs = jax.vmap(solve_obj)(
-        obj_ids, idxs, oks, keys_o
+    # Only the top-`max_active_objects` slots by point support actually run
+    # the (expensive: RANSAC + two refinements, ~3 ms each) solve — the
+    # analog of the reference solving only OBSERVED objects
+    # (`RGBDInstanceFrontendModule.cc:297-315` iterates the frame's
+    # object-observation map, not an id range).  Non-selected slots fall
+    # through to the existing hold/reinit pose logic.
+    k_act = min(cfg.max_active_objects, no)
+    if k_act < no:
+        score = jnp.where(
+            trk.obj_active & obj_is_dynamic, n_per_obj, -1
+        )
+        _, act = jax.lax.top_k(score, k_act)               # distinct slots
+    else:
+        act = obj_ids
+    idxs, oks = jax.vmap(gather_obj)(act)
+    keys_o = jax.random.split(key_o, k_act)
+    H_act, obj_inl, solved_act, ref_uvs, wbs = jax.vmap(solve_obj)(
+        act, idxs, oks, keys_o
     )
+    if k_act < no:
+        # expand to the full slot axis (top_k indices are distinct, so
+        # .at[].set never collides); unsolved slots get identity H and
+        # solved=False, exactly the failed-solve hold path
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=H_act.R.dtype), (no, 3, 3))
+        H_all = SE3(
+            eye.at[act].set(H_act.R),
+            jnp.zeros((no, 3), H_act.t.dtype).at[act].set(H_act.t),
+        )
+        solved = jnp.zeros((no,), bool).at[act].set(solved_act)
+    else:
+        H_all, solved = H_act, solved_act
     motion_valid = solved & obj_is_dynamic & (not first_frame)
 
     # scatter per-object inliers back to the (ND,) dynamic pool; fresh

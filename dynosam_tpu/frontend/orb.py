@@ -258,8 +258,20 @@ def extract_orb(
                 quality_level=0.0,
             )
             blurred = _gaussian_blur7(level_img)
-            ang = _orientations(level_img, dets.uv)
-            desc = _descriptors(blurred, dets.uv, ang)
+            if jax.default_backend() == "tpu":
+                # per-element gathers serialize on TPU; the Pallas window
+                # kernel does the same sampling as dense matrix arithmetic
+                # (`ops/pallas/orb_sample.py`)
+                from ..ops.pallas.orb_sample import (
+                    orb_orientation_descriptors,
+                )
+
+                ang, desc = orb_orientation_descriptors(
+                    level_img, blurred, dets.uv
+                )
+            else:
+                ang = _orientations(level_img, dets.uv)
+                desc = _descriptors(blurred, dets.uv, ang)
             uts.append(dets.uv * scale)
             rts.append(dets.score)
             ats.append(ang)

@@ -40,6 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..klt import KLTResult, build_pyramid
 
+# MXU precision of the interpolation matmuls.  HIGHEST (6-pass f32) keeps
+# the kernel bit-comparable to the XLA path; "float32" (3-pass) is ~equal
+# accuracy for image interpolation in practice.  Module-level so
+# experiments can override before trace.
+_DOT_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _make_kernel(
     h: int, w: int, win: int, iters: int, feat_block: int, eps: float
@@ -103,9 +109,9 @@ def _make_kernel(
             R = jnp.maximum(0.0, 1.0 - jnp.abs(ly - jj_y))  # (size, SY)
             C = jnp.maximum(0.0, 1.0 - jnp.abs(lx - jj_x))  # (size, SX)
             rw = jnp.dot(R, win_, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=_DOT_PRECISION)
             return jnp.dot(rw, C.T, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_DOT_PRECISION)
 
         # Full arrays live in VMEM (tiny); each program addresses its rows
         # with pl.ds — (1, 2)-style blocks violate the (8, 128) block

@@ -124,6 +124,11 @@ class FrontendConfig:
     # `MotionSolver-inl.hpp:194-232` / :406)
     refinement_outlier_rounds: int = 4
     min_dynamic_features_per_object: int = 30  # VisionTools.cc demotion rule
+    # per-frame cap on object slots that run the full motion solve
+    # (RANSAC + refinements); slots are picked by point support.  The
+    # reference solves only OBSERVED objects — this is the static-shape
+    # analog (~3 ms/slot on TPU, so the cap directly buys frame time)
+    max_active_objects: int = 8
     scene_flow_percentage: float = 0.5
     # objects classified static by scene flow contribute their points to the
     # NEXT frame's ego-motion solve (reference demotes such features to the

@@ -59,3 +59,29 @@ def test_lk_kernel_matches_xla(rng):
     # ok masks agree except possibly at the error-gate boundary
     agree = (np.asarray(ref.ok) == np.asarray(got.ok)).mean()
     assert agree > 0.9
+
+
+def test_orb_sample_kernel_matches_xla(rng):
+    """Pallas ORB orientation/descriptor kernel (interpret mode) ==
+    frontend.orb._orientations/_descriptors (`ops/pallas/orb_sample.py`)."""
+    from dynosam_tpu.frontend.orb import (
+        _descriptors,
+        _gaussian_blur7,
+        _orientations,
+    )
+    from dynosam_tpu.ops.pallas.orb_sample import orb_orientation_descriptors
+    from dynosam_tpu.testing.render import RenderConfig, RenderedScene
+
+    scene = RenderedScene(RenderConfig(n_frames=1, h=192, w=256))
+    img = scene.frames()[0].gray
+    blurred = _gaussian_blur7(img)
+    uv = jnp.asarray(rng.uniform([20, 20], [236, 172], (32, 2)), jnp.float32)
+    ang_ref = _orientations(img, uv)
+    desc_ref = _descriptors(blurred, uv, ang_ref)
+    ang, desc = orb_orientation_descriptors(img, blurred, uv, interpret=True)
+    da = np.abs(np.asarray(ang) - np.asarray(ang_ref))
+    da = np.minimum(da, 2 * np.pi - da)
+    assert da.max() < 1e-3
+    # identical bits except where a tap pair is a near-tie under float
+    agree = (np.asarray(desc) == np.asarray(desc_ref)).mean()
+    assert agree > 0.995
