@@ -1,7 +1,9 @@
 """Frontend nonlinear refinement stages.
 
 TPU-native versions of the reference's two small per-frame optimizers, both
-expressed on the shared LM engine (`backend/solver.py`) instead of gtsam:
+solved by the direct block-eliminated LM engine
+(`backend/small_schur.py` — exact per-track elimination like gtsam's sparse
+direct solve, not PCG) instead of gtsam:
 
   * **Joint optical-flow + pose** (`OpticalFlowAndPoseOptimizer`,
     `frontend/vision/MotionSolver-inl.hpp:89-274`): per-tracklet flow
@@ -32,7 +34,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..backend.solver import LMConfig, LMResult, RobustSpec, lm_optimize
+from ..backend.small_schur import lm_optimize_eliminated
+from ..backend.solver import LMConfig, LMResult, RobustSpec
 from ..core.camera import CameraParams
 from ..core.lie import SE3, se3_apply, se3_inverse
 from ..ops import factors
@@ -78,7 +81,7 @@ def optimize_flow_and_pose(
         return resid
 
     specs = [RobustSpec("huber", k_huber), RobustSpec()]
-    cfg = LMConfig(max_iterations=max_iterations, cg_max_iterations=60)
+    cfg = LMConfig(max_iterations=max_iterations)
 
     # chi-squared(dim=2, 0.99) gate on the Gaussian-whitened flow-projection
     # error (`determineFactorOutliers`, FactorGraphTools.hpp:69-99: outlier
@@ -87,7 +90,13 @@ def optimize_flow_and_pose(
 
     def solve(active, flow_start):
         resid = resid_with(active)
-        res = lm_optimize(resid, specs, {"flow": flow_start, "X": X_init}, cfg)
+        # each residual couples one track's flow with the single pose: solved
+        # exactly per LM iteration by per-track elimination (60 sequential
+        # CG steps -> 1 batched solve; `backend/small_schur.py`)
+        res = lm_optimize_eliminated(
+            resid, specs, {"flow": flow_start, "X": X_init}, cfg,
+            block_keys=("flow",), glob_keys=("X",),
+        )
         r_final = resid(res.values)[0]
         outliers = active & (jnp.sum(r_final * r_final, axis=-1) > chi2_gate)
         return res, outliers
@@ -179,7 +188,7 @@ def optimize_motion_only(
         RobustSpec("huber", k_huber),
         RobustSpec("huber", k_huber),
     ]
-    cfg = LMConfig(max_iterations=max_iterations, cg_max_iterations=60)
+    cfg = LMConfig(max_iterations=max_iterations)
 
     # chi-squared(dim=3, 0.99) gate on the whitened LandmarkMotionTernary
     # error (`determineFactorOutliers<LandmarkMotionTernaryFactor>`,
@@ -188,8 +197,11 @@ def optimize_motion_only(
 
     def solve(active, mp_start, mc_start):
         resid = resid_with(active)
-        res = lm_optimize(
-            resid, specs, {"mp": mp_start, "mc": mc_start, "H": H_init}, cfg
+        # landmark pairs (mp, mc) form independent 6-dim blocks coupled only
+        # through the single motion H -> exact per-track elimination
+        res = lm_optimize_eliminated(
+            resid, specs, {"mp": mp_start, "mc": mc_start, "H": H_init}, cfg,
+            block_keys=("mp", "mc"), glob_keys=("H",),
         )
         r_final = resid(res.values)[2]
         outliers = active & (jnp.sum(r_final * r_final, axis=-1) > chi2_gate)
