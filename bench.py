@@ -50,6 +50,16 @@ def rendered_frames(n=12, h=384, w=1280):
         frames = [
             jax.tree.map(np.asarray, f) for f in frames
         ]
+    # the renderer emits EXACT flow; real pipelines consume estimated flow
+    # (dataset / NN, ~sub-pixel error).  Perturb it so flow-consuming paths
+    # (dynamic propagation, KLT warm start) do representative work.
+    fr = np.random.default_rng(0)
+    frames = [
+        f._replace(
+            flow=f.flow + fr.normal(0.0, 0.5, f.flow.shape).astype(np.float32)
+        )
+        for f in frames
+    ]
     frames = [
         type(f)(*(jnp.asarray(x) for x in f)) for f in frames
     ]

@@ -145,6 +145,14 @@ def track_frame(
         homo_inl = jnp.asarray(0, jnp.int32)
     else:
         if use_klt:
+            # dense-flow warm start: LK only polishes sub-pixel error, so
+            # the pyramid/iteration budget shrinks (see TrackerConfig)
+            if cfg.klt_flow_warm_start:
+                g0 = flow_at(flow_prev, state.s_uv)
+                levels, iters = cfg.klt_warm_levels, cfg.klt_warm_iterations
+            else:
+                g0 = None
+                levels, iters = cfg.klt_levels, cfg.klt_iterations
             # Pallas patch kernel on TPU (XLA per-element gathers serialize
             # there: 3.9 s/frame -> ms; see ops/pallas/lk.py); the XLA
             # formulation elsewhere (CPU tests, interpret-less platforms)
@@ -157,9 +165,10 @@ def track_frame(
                     state.s_uv,
                     state.s_active,
                     win=cfg.klt_window,
-                    levels=cfg.klt_levels,
-                    iters=cfg.klt_iterations,
+                    levels=levels,
+                    iters=iters,
                     eps=cfg.klt_eps,
+                    g0=g0,
                 )
             else:
                 res = klt_track(
@@ -168,8 +177,9 @@ def track_frame(
                     state.s_uv,
                     state.s_active,
                     win=cfg.klt_window,
-                    levels=cfg.klt_levels,
-                    iters=cfg.klt_iterations,
+                    levels=levels,
+                    iters=iters,
+                    g0=g0,
                 )
             s_uv, s_ok = res.uv, res.ok
         else:

@@ -93,10 +93,14 @@ def klt_track(
     levels: int = 3,
     iters: int = 10,
     max_error: float = 20.0,
+    g0: jax.Array | None = None,
 ):
     """Track points from prev to cur image.  All-feature-batched pyramidal LK.
 
     uv_prev: (N, 2) float (x, y).  Returns KLTResult with static shape N.
+    `g0` (N, 2, level-0 pixels) warm-starts the flow estimate (e.g. from the
+    dense optical-flow input channel) — used with a reduced level/iteration
+    budget since only a sub-pixel polish remains.
     """
     dtype = prev_gray.dtype
     pyr_prev = build_pyramid(prev_gray, levels)
@@ -105,7 +109,10 @@ def klt_track(
     n = uv_prev.shape[0]
 
     # start at coarsest level
-    g = jnp.zeros((n, 2), dtype)  # current flow estimate at level scale
+    if g0 is None:
+        g = jnp.zeros((n, 2), dtype)  # flow estimate at level scale
+    else:
+        g = g0.astype(dtype) / (2.0 ** (levels - 1))
     for lvl in range(levels - 1, -1, -1):
         scale = 2.0 ** lvl
         ip, ic = pyr_prev[lvl], pyr_cur[lvl]

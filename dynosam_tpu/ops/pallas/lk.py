@@ -121,12 +121,11 @@ def _make_kernel(
             base = pl.multiple_of(base, 8)
         pv = p_ref[pl.ds(base, feat_block), :]   # (F, 2) value; scalars
         gv = g_ref[pl.ds(base, feat_block), :]   # extracted from the value
-        outs = []
-        for f in range(feat_block):
-            px = pv[f, 0]
-            py = pv[f, 1]
 
-            # ---- template + gradients from the previous image ----------
+        # ---- per-feature templates + gradients (unrolled, independent) --
+        ts, gxs, gys, coefs = [], [], [], []
+        for f in range(feat_block):
+            px, py = pv[f, 0], pv[f, 1]
             b = sample(prev_ref, px - hw - 1, py - hw - 1, pwin)
             t = b[1:win + 1, 1:win + 1]                # (win, win)
             gx = (b[1:win + 1, 2:win + 2] - b[1:win + 1, 0:win]) * 0.5
@@ -137,56 +136,81 @@ def _make_kernel(
             det = gxx * gyy - gxy * gxy
             inv_ok = det > 1e-6
             det_safe = jnp.where(inv_ok, det, 1.0)
+            ts.append(t)
+            gxs.append(gx)
+            gys.append(gy)
+            coefs.append((gxx, gxy, gyy, det_safe, inv_ok))
 
-            def sample_cur(gu, gv):
-                p = sample(cur_ref, px + gu - hw - 1, py + gv - hw - 1, pwin)
-                return p[1:win + 1, 1:win + 1]         # (win, win)
+        def sample_cur(f, gu_f, gv_f):
+            p = sample(
+                cur_ref, pv[f, 0] + gu_f - hw - 1, pv[f, 1] + gv_f - hw - 1,
+                pwin,
+            )
+            return p[1:win + 1, 1:win + 1]             # (win, win)
 
-            def step(gu, gv_):
-                r = sample_cur(gu, gv_) - t
-                bx = jnp.sum(r * gx)
-                by = jnp.sum(r * gy)
-                du = -(gyy * bx - gxy * by) / det_safe
-                dv = -(-gxy * bx + gxx * by) / det_safe
-                du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
-                dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
-                return du, dv
+        def step(f, gu_f, gv_f):
+            r = sample_cur(f, gu_f, gv_f) - ts[f]
+            bx = jnp.sum(r * gxs[f])
+            by = jnp.sum(r * gys[f])
+            gxx, gxy, gyy, det_safe, inv_ok = coefs[f]
+            du = -(gyy * bx - gxy * by) / det_safe
+            dv = -(-gxy * bx + gxx * by) / det_safe
+            du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
+            dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
+            return du, dv
 
-            if eps > 0.0:
-                # cv::calcOpticalFlowPyrLK TermCriteria::EPS analog: stop
-                # when the update is below eps (most features converge in
-                # ~5 of the 30 allowed iterations — a ~3x wall win)
-                def cond(c):
-                    it, _, _, d2 = c
-                    return jnp.logical_and(it < iters, d2 > eps * eps)
+        # ---- JOINT iteration loop over the whole feature block ----------
+        # One loop whose body advances all F features (per-feature freeze
+        # mask for the eps gate) instead of F sequential per-feature
+        # loops: the F samples inside one body are independent, so their
+        # window loads/matmuls pipeline, and the sequential depth drops
+        # from sum_f(iters_f) to max_f(iters_f).  Trajectories are
+        # IDENTICAL to the per-feature loops (a frozen feature's update is
+        # where'd to zero, exactly like exiting its own loop).
+        gu0 = gv[:, 0]
+        gv0 = gv[:, 1]
+        if eps > 0.0:
+            eps2 = jnp.float32(eps * eps)
 
-                def wbody(c):
-                    it, gu, gv_, _ = c
-                    du, dv = step(gu, gv_)
-                    return (it + 1, gu + du, gv_ + dv, du * du + dv * dv)
+            def cond(c):
+                it, _, _, d2 = c
+                return jnp.logical_and(it < iters, jnp.max(d2) > eps2)
 
-                _, gu, gv_, _ = jax.lax.while_loop(
-                    cond, wbody,
-                    (jnp.int32(0), gv[f, 0], gv[f, 1], jnp.float32(1e9)),
-                )
-            else:
-                def body(_, gcur):
-                    gu, gv_ = gcur
-                    du, dv = step(gu, gv_)
-                    return (gu + du, gv_ + dv)
+            def wbody(c):
+                it, gu, gv_, d2 = c
+                dus, dvs = [], []
+                for f in range(feat_block):
+                    du_f, dv_f = step(f, gu[f], gv_[f])
+                    act = d2[f] > eps2
+                    dus.append(jnp.where(act, du_f, 0.0))
+                    dvs.append(jnp.where(act, dv_f, 0.0))
+                du = jnp.stack(dus)
+                dv = jnp.stack(dvs)
+                return (it + 1, gu + du, gv_ + dv, du * du + dv * dv)
 
-                gu, gv_ = jax.lax.fori_loop(
-                    0, iters, body, (gv[f, 0], gv[f, 1])
-                )
-            err = jnp.mean(jnp.abs(sample_cur(gu, gv_) - t))
-            outs.append((gu, gv_, err))
+            _, gu, gv_, _ = jax.lax.while_loop(
+                cond, wbody,
+                (jnp.int32(0), gu0, gv0,
+                 jnp.full((feat_block,), 1e9, jnp.float32)),
+            )
+        else:
+            def body(_, c):
+                gu, gv_ = c
+                dus, dvs = [], []
+                for f in range(feat_block):
+                    du_f, dv_f = step(f, gu[f], gv_[f])
+                    dus.append(du_f)
+                    dvs.append(dv_f)
+                return (gu + jnp.stack(dus), gv_ + jnp.stack(dvs))
 
-        gout_ref[pl.ds(base, feat_block), :] = jnp.array(
-            [[gu, gv_] for gu, gv_, _ in outs]
-        )
-        err_ref[pl.ds(base, feat_block), :] = jnp.array(
-            [[e] for _, _, e in outs]
-        )
+            gu, gv_ = jax.lax.fori_loop(0, iters, body, (gu0, gv0))
+
+        errs = [
+            jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
+            for f in range(feat_block)
+        ]
+        gout_ref[pl.ds(base, feat_block), :] = jnp.stack([gu, gv_], axis=-1)
+        err_ref[pl.ds(base, feat_block), :] = jnp.stack(errs)[:, None]
 
     return kernel
 
@@ -266,17 +290,22 @@ def klt_track_pallas(
     max_error: float = 20.0,
     eps: float = 0.0,
     interpret: bool = False,
+    g0: jax.Array | None = None,
 ) -> KLTResult:
     """Drop-in replacement for `ops.klt.klt_track` backed by the Pallas
     level kernel (same pyramid, same update equations, same result
     contract; border-window clamping differs only for features whose
-    patches leave the image — those fail the in-bounds/error gates)."""
+    patches leave the image — those fail the in-bounds/error gates).
+    `g0` (level-0 pixels) warm-starts the flow like `klt_track`."""
     dtype = prev_gray.dtype
     pyr_prev = build_pyramid(prev_gray, levels)
     pyr_cur = build_pyramid(cur_gray, levels)
     n = uv_prev.shape[0]
 
-    g = jnp.zeros((n, 2), dtype)
+    if g0 is None:
+        g = jnp.zeros((n, 2), dtype)
+    else:
+        g = g0.astype(dtype) / (2.0 ** (levels - 1))
     err = jnp.zeros((n,), dtype)
     for lvl in range(levels - 1, -1, -1):
         scale = 2.0 ** lvl

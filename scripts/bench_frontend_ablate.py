@@ -65,9 +65,9 @@ def main():
             ),
         ),
         (
-            "klt 1 level",
+            "cold KLT (no flow warm start)",
             FrontendConfig(
-                tracker=dataclasses.replace(tcfg, klt_levels=1),
+                tracker=dataclasses.replace(tcfg, klt_flow_warm_start=False),
             ),
         ),
         (

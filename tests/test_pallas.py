@@ -61,6 +61,31 @@ def test_lk_kernel_matches_xla(rng):
     assert agree > 0.9
 
 
+def test_lk_kernel_warm_start_matches_xla(rng):
+    """g0 warm-start path: Pallas (interpret) == XLA klt_track with the
+    same init, single level (the tracker's `klt_flow_warm_start` config)."""
+    from dynosam_tpu.ops.klt import flow_at, klt_track
+    from dynosam_tpu.ops.pallas.lk import klt_track_pallas
+    from dynosam_tpu.testing.render import RenderConfig, RenderedScene
+
+    scene = RenderedScene(RenderConfig(n_frames=2, h=192, w=256))
+    f0, f1 = scene.frames()
+    uv = jnp.asarray(rng.uniform([15, 15], [240, 176], (32, 2)), jnp.float32)
+    valid = jnp.ones((32,), bool)
+    g0 = flow_at(f0.flow, uv)
+    ref = klt_track(
+        f0.gray, f1.gray, uv, valid, win=21, levels=1, iters=10, g0=g0
+    )
+    got = klt_track_pallas(
+        f0.gray, f1.gray, uv, valid, win=21, levels=1, iters=10, g0=g0,
+        interpret=True,
+    )
+    d = np.linalg.norm(np.asarray(ref.uv) - np.asarray(got.uv), axis=1)
+    both = np.asarray(ref.ok) & np.asarray(got.ok)
+    assert both.sum() >= 20
+    assert d[both].max() < 0.05
+
+
 def test_orb_sample_kernel_matches_xla(rng):
     """Pallas ORB orientation/descriptor kernel (interpret mode) ==
     frontend.orb._orientations/_descriptors (`ops/pallas/orb_sample.py`)."""

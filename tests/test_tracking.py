@@ -63,6 +63,42 @@ def test_klt_tracks_translation(rng):
     np.testing.assert_allclose(med, [-dx, -dy], atol=0.3)
 
 
+def test_klt_flow_warm_start(rng):
+    """Level-0 polish from an approximate flow init matches cold 3-level
+    pyramidal LK (the tracker's `klt_flow_warm_start` fast path)."""
+    h, w = 120, 160
+    img = checkerboard(h, w, rng)
+    dx, dy = 5.7, -4.2
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    from scipy.ndimage import map_coordinates
+
+    img2 = map_coordinates(img, [yy + dy, xx + dx], order=1, mode="nearest")
+    n = 50
+    pts = jnp.asarray(
+        rng.uniform([25, 25], [w - 25, h - 25], size=(n, 2)), jnp.float32
+    )
+    # warm start = true flow + up-to-1px noise (dataset flow quality)
+    g0 = jnp.asarray(
+        np.array([-dx, -dy]) + rng.uniform(-1, 1, size=(n, 2)), jnp.float32
+    )
+    warm = klt.klt_track(
+        jnp.asarray(img), jnp.asarray(img2.astype(np.float32)),
+        pts, jnp.ones(n, bool), win=15, levels=1, iters=10, g0=g0,
+    )
+    cold = klt.klt_track(
+        jnp.asarray(img), jnp.asarray(img2.astype(np.float32)),
+        pts, jnp.ones(n, bool), win=15, levels=3, iters=15,
+    )
+    ok = np.asarray(warm.ok)
+    assert ok.sum() >= np.asarray(cold.ok).sum() - 2
+    med = np.median(np.asarray(warm.uv - pts)[ok], axis=0)
+    np.testing.assert_allclose(med, [-dx, -dy], atol=0.3)
+    both = ok & np.asarray(cold.ok)
+    np.testing.assert_allclose(
+        np.asarray(warm.uv)[both], np.asarray(cold.uv)[both], atol=0.2
+    )
+
+
 def test_detect_corners(rng):
     h, w = 96, 128
     img = np.zeros((h, w), np.float32)
