@@ -134,3 +134,24 @@ def test_distributed_schur_world_pose(problem):
     )
     assert np.isfinite(float(res.error))
     assert float(res.error) < float(res.initial_error)
+
+
+def test_distributed_schur_hlo_has_collectives(problem):
+    """The compiled 8-device Schur program must contain the SPIKE halo
+    exchange (collective-permute) and a cross-device reduction/gather —
+    a regression guard against GSPMD silently replicating the solve
+    (`parallel/schur_dist.py`)."""
+    from dynosam_tpu.parallel.mesh import shard_map_data
+    from dynosam_tpu.parallel.schur_dist import _optimize_schur_sharded
+
+    m, scfg = problem
+    mesh = make_mesh(8)
+    cfg = BackendConfig()
+    lm = LMConfig(max_iterations=2)
+    m_sharded = shard_map_data(m, mesh)
+    fn = jax.jit(lambda mm: _optimize_schur_sharded(mm, 8, cfg, lm, 0, mesh))
+    txt = fn.lower(m_sharded).compile().as_text()
+    assert "collective-permute" in txt, "SPIKE ppermute halo exchange missing"
+    assert ("all-gather" in txt) or ("all-reduce" in txt), (
+        "interface gather / psum reduction missing"
+    )
