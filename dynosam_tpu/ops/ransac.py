@@ -9,8 +9,9 @@ hypothesize-and-verify loop is hostile to TPUs, so this module runs the
 
   1. sample all K minimal sets at once (Gumbel top-k over the validity mask
      — no replacement inside a set),
-  2. solve all K closed-form weighted-Procrustes (Kabsch/Arun) alignments as
-     one batched 3x3 SVD,
+  2. solve all K minimal sets with the closed-form orthonormal-triad
+     alignment (`rigid_from_minimal` — exact for rigid sets, no batched
+     SVD kernel; degenerate sets are masked out of the vote),
   3. score all K x N residuals in one einsum (3D distance or 2D
      reprojection, matching the reference's 3d3d / 3d2d modes),
   4. pick the argmax-inlier hypothesis and polish it with a fixed number of
@@ -84,6 +85,48 @@ def procrustes(src: jax.Array, dst: jax.Array, w: jax.Array) -> SE3:
     return SE3(R, t)
 
 
+def rigid_from_minimal(src3: jax.Array, dst3: jax.Array):
+    """(..., 3, 3) three-point correspondences -> (SE3, ok).
+
+    Orthonormal-triad alignment: build right-handed frames from the two
+    edge vectors on each side and compose R = F E^T — EXACT for rigid
+    noise-free minimal sets (all a RANSAC hypothesis needs; the inlier
+    GN polish does the least-squares part).  Entirely closed-form batched
+    arithmetic: `jnp.linalg.svd` on small batched blocks lowers to a
+    serialized iterative kernel on TPU (the same failure mode as batched
+    `linalg.solve`, see backend/schur._inv3), and SVD-free Kabsch
+    variants (polar iteration) cannot work here because a centered
+    3-point covariance is always rank-2.  `ok=False` flags (near-)
+    collinear sets; reflective correspondences yield a proper rotation
+    that misaligns the out-of-plane axis and scores ~0 inliers.
+    """
+    a1 = src3[..., 1, :] - src3[..., 0, :]
+    a2 = src3[..., 2, :] - src3[..., 0, :]
+    b1 = dst3[..., 1, :] - dst3[..., 0, :]
+    b2 = dst3[..., 2, :] - dst3[..., 0, :]
+
+    def triad(u, v):
+        nu = jnp.linalg.norm(u, axis=-1, keepdims=True)
+        e1 = u / jnp.maximum(nu, 1e-12)
+        w = v - jnp.sum(v * e1, axis=-1, keepdims=True) * e1
+        nw = jnp.linalg.norm(w, axis=-1, keepdims=True)
+        e2 = w / jnp.maximum(nw, 1e-12)
+        e3 = jnp.cross(e1, e2)
+        # relative gate: nw/nu is sin(angle) * |v|/|u| — 1e-4 rejects
+        # exactly/floating-point-collinear sets (f32 residue ~1e-7 rel)
+        # while keeping any geometrically usable triangle
+        ok = (nu[..., 0] > 1e-9) & (nw[..., 0] > 1e-4 * nu[..., 0])
+        return jnp.stack([e1, e2, e3], axis=-1), ok   # columns
+
+    E, ok_e = triad(a1, a2)
+    F, ok_f = triad(b1, b2)
+    R = jnp.einsum("...ij,...kj->...ik", F, E, precision="highest")
+    c_src = jnp.mean(src3, axis=-2)
+    c_dst = jnp.mean(dst3, axis=-2)
+    t = c_dst - jnp.einsum("...ij,...j->...i", R, c_src, precision="highest")
+    return SE3(R, t), ok_e & ok_f
+
+
 def _sample_minimal_sets(key, valid, iters: int):
     """(iters, 3) distinct indices drawn from valid slots (Gumbel top-3)."""
     n = valid.shape[-1]
@@ -119,8 +162,10 @@ def ransac_rigid(
     idx = _sample_minimal_sets(key, valid, iters)               # (K, 3)
     src_min = src[idx]                                          # (K, 3, 3)
     dst_min = dst[idx]
-    w_min = jnp.ones(idx.shape, src.dtype)
-    hyp = procrustes(src_min, dst_min, w_min)                   # (K,) SE3
+    # closed-form triad alignment: all-K hypothesis rotations without the
+    # serialized batched-SVD TPU kernel; degenerate minimal sets are
+    # masked out of the vote below
+    hyp, proper = rigid_from_minimal(src_min, dst_min)          # (K,) SE3
 
     reproj = uv is not None
     if reproj:
@@ -144,7 +189,7 @@ def ransac_rigid(
         return err                                              # (K, N)
 
     err = residuals_for(hyp)
-    inl = (err < threshold) & valid[None, :]
+    inl = (err < threshold) & valid[None, :] & proper[:, None]
     scores = jnp.sum(inl, axis=-1)                              # (K,)
     best = jnp.argmax(scores)
     best_pose = SE3(hyp.R[best], hyp.t[best])

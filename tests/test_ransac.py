@@ -114,3 +114,49 @@ def test_ransac_vmap_over_objects(rng):
     )(keys, src, dst, valid)
     assert np.all(np.asarray(res.status) == ransac.STATUS_VALID)
     np.testing.assert_allclose(res.pose.t, Ts.t, atol=0.01)
+
+
+def test_rigid_from_minimal_exact(rng):
+    """Triad minimal-set solver recovers the exact rigid transform of
+    noise-free 3-point sets (`ops/ransac.rigid_from_minimal`) and matches
+    SVD-Kabsch on noisy sets to first order."""
+    from dynosam_tpu.core.lie import se3_exp
+    from dynosam_tpu.ops.ransac import procrustes, rigid_from_minimal
+
+    K = 200
+    src = jnp.asarray(rng.uniform(-2, 2, (K, 3, 3)), jnp.float32)
+    T = se3_exp(jnp.asarray(rng.normal(size=(K, 6)) * 0.5, jnp.float32))
+    dst = jnp.einsum("kij,knj->kni", T.R, src) + T.t[:, None, :]
+    got, ok = rigid_from_minimal(src, dst)
+    okn = np.asarray(ok)
+    assert okn.mean() > 0.95
+    dR = np.linalg.norm(np.asarray(got.R) - np.asarray(T.R), axis=(1, 2))
+    dt = np.linalg.norm(np.asarray(got.t) - np.asarray(T.t), axis=1)
+    assert dR[okn].max() < 1e-4
+    assert dt[okn].max() < 1e-4
+    # rotations are orthonormal with det +1
+    RtR = np.einsum("kji,kjl->kil", np.asarray(got.R), np.asarray(got.R))
+    np.testing.assert_allclose(
+        RtR[okn], np.broadcast_to(np.eye(3), RtR[okn].shape), atol=1e-5
+    )
+    det = np.linalg.det(np.asarray(got.R)[okn])
+    np.testing.assert_allclose(det, 1.0, atol=1e-5)
+    # noisy: close to the least-squares (SVD) estimate
+    dstn = dst + jnp.asarray(rng.normal(size=(K, 3, 3)) * 0.01, jnp.float32)
+    got_n, ok_n = rigid_from_minimal(src, dstn)
+    ref_n = procrustes(src, dstn, jnp.ones((K, 3), jnp.float32))
+    dR = np.linalg.norm(
+        np.asarray(got_n.R) - np.asarray(ref_n.R), axis=(1, 2)
+    )[np.asarray(ok_n)]
+    assert np.median(dR) < 0.05
+
+
+def test_rigid_from_minimal_flags_collinear(rng):
+    """(Near-)collinear minimal sets must be flagged degenerate."""
+    from dynosam_tpu.ops.ransac import rigid_from_minimal
+
+    p0 = jnp.asarray(rng.uniform(-1, 1, (8, 1, 3)), jnp.float32)
+    d = jnp.asarray(rng.uniform(-1, 1, (8, 1, 3)), jnp.float32)
+    src = jnp.concatenate([p0, p0 + d, p0 + 2 * d], axis=1)   # collinear
+    _, ok = rigid_from_minimal(src, src)
+    assert not np.asarray(ok).any()
