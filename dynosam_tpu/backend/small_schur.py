@@ -42,8 +42,8 @@ import jax
 import jax.flatten_util
 import jax.numpy as jnp
 
+from ..ops.linalg import inv_spd as _inv_spd
 from ..ops.robust import robust_sqrt_weights
-from .schur import _inv3
 from .solver import (
     LMConfig,
     LMResult,
@@ -58,41 +58,6 @@ _HP = jax.lax.Precision.HIGHEST
 
 def _hp(eq, *ops):
     return jnp.einsum(eq, *ops, precision=_HP)
-
-
-def _inv2(M: jax.Array) -> jax.Array:
-    a, b = M[..., 0, 0], M[..., 0, 1]
-    c, d = M[..., 1, 0], M[..., 1, 1]
-    inv_det = 1.0 / (a * d - b * c)
-    row0 = jnp.stack([d, -b], axis=-1)
-    row1 = jnp.stack([-c, a], axis=-1)
-    return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
-
-
-def _inv_spd(M: jax.Array) -> jax.Array:
-    """Batched closed-form inverse of small SPD blocks (b in {1, 2, 3, 6})."""
-    b = M.shape[-1]
-    if b == 1:
-        return 1.0 / M
-    if b == 2:
-        return _inv2(M)
-    if b == 3:
-        return _inv3(M)
-    if b == 6:
-        A = M[..., :3, :3]
-        B = M[..., :3, 3:]
-        C = M[..., 3:, 3:]
-        Ai = _inv3(A)
-        AiB = _hp("...ij,...jk->...ik", Ai, B)
-        S = C - _hp("...ji,...jk->...ik", B, AiB)
-        Si = _inv3(S)
-        TL = Ai + _hp("...ij,...jk,...lk->...il", AiB, Si, AiB)
-        TR = -_hp("...ij,...jk->...ik", AiB, Si)
-        BL = jnp.swapaxes(TR, -1, -2)
-        top = jnp.concatenate([TL, TR], axis=-1)
-        bot = jnp.concatenate([BL, Si], axis=-1)
-        return jnp.concatenate([top, bot], axis=-2)
-    return jnp.linalg.inv(M)  # pragma: no cover - unused block sizes
 
 
 def lm_optimize_eliminated(

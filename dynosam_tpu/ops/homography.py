@@ -56,23 +56,54 @@ def _dlt_rows(p: jax.Array, q: jax.Array, w: jax.Array) -> jax.Array:
 
 
 def homography_from_points(
-    p: jax.Array, q: jax.Array, w: Optional[jax.Array] = None
+    p: jax.Array, q: jax.Array, w: Optional[jax.Array] = None,
+    method: str = "eigh",
 ) -> jax.Array:
     """Weighted least-squares homography p -> q; (..., N, 2) -> (..., 3, 3).
 
-    Hartley-normalized DLT; nullspace via batched `eigh` of A^T A.
+    Hartley-normalized DLT.  method:
+      * "eigh"  — nullspace via batched `eigh` of A^T A (the textbook
+        estimator; fine for ONE refit, but batched eigh on many tiny
+        blocks lowers to a serialized iterative TPU kernel);
+      * "solve" — gauge-fix h9 = 1 and solve the 8x8 normal equations
+        with the closed-form block-Schur inverse (`ops/linalg.inv_spd`)
+        — exact for minimal sets, pure fused arithmetic, used for the
+        RANSAC hypothesis batch.  Degenerate h9~0 homographies come out
+        non-finite/huge and are discarded by the caller's transfer-error
+        gate (same contract as a reflective RANSAC hypothesis).
     """
     if w is None:
         w = jnp.ones(p.shape[:-1], p.dtype)
     pn, Tp = _normalize(p, w)
     qn, Tq = _normalize(q, w)
     A = _dlt_rows(pn, qn, w)
-    AtA = jnp.einsum("...ni,...nj->...ij", A, A, precision="highest")
-    _, vecs = jnp.linalg.eigh(AtA)
-    h = vecs[..., :, 0]
+    if method == "solve":
+        from .linalg import inv_spd
+
+        A8 = A[..., :8]
+        a9 = A[..., 8]
+        M = jnp.einsum("...ni,...nj->...ij", A8, A8, precision="highest")
+        b = -jnp.einsum("...ni,...n->...i", A8, a9, precision="highest")
+        tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
+        M = M + (1e-7 * tr / 8.0) * jnp.eye(8, dtype=M.dtype)
+        h8 = jnp.einsum(
+            "...ij,...j->...i", inv_spd(M), b, precision="highest"
+        )
+        h = jnp.concatenate(
+            [h8, jnp.ones((*h8.shape[:-1], 1), h8.dtype)], axis=-1
+        )
+    else:
+        AtA = jnp.einsum("...ni,...nj->...ij", A, A, precision="highest")
+        _, vecs = jnp.linalg.eigh(AtA)
+        h = vecs[..., :, 0]
     Hn = h.reshape(*h.shape[:-1], 3, 3)
-    # denormalize: H = Tq^-1 Hn Tp
-    H = jnp.linalg.solve(Tq, Hn @ Tp)
+    # denormalize: H = Tq^-1 Hn Tp  (Tq^-1 in closed form — Tq is a
+    # similarity, but the adjugate is simpler than special-casing)
+    from .linalg import inv3
+
+    H = jnp.einsum(
+        "...ij,...jk->...ik", inv3(Tq), Hn @ Tp, precision="highest"
+    )
     return H / jnp.where(jnp.abs(H[..., 2:3, 2:3]) < 1e-12, 1.0, H[..., 2:3, 2:3])
 
 
@@ -106,7 +137,8 @@ def ransac_homography(
     g = jax.random.gumbel(key, (iters, n))
     logits = jnp.where(valid[None, :], g, -jnp.inf)
     _, idx = jax.lax.top_k(logits, 4)                    # (K, 4)
-    Hs = homography_from_points(p[idx], q[idx])          # (K, 3, 3)
+    # closed-form 8x8 solve per minimal set (no batched-eigh TPU kernel)
+    Hs = homography_from_points(p[idx], q[idx], method="solve")
     err = transfer_error(Hs, p[None], q[None])           # (K, N)
     inl = (err < threshold) & valid[None]
     scores = jnp.sum(inl, axis=-1)

@@ -1,0 +1,83 @@
+"""Closed-form batched small-matrix inverses.
+
+Batched LAPACK-style kernels (`linalg.solve`/`inv`/`eigh`/`svd`) on many
+tiny blocks lower to serialized iterative loops on TPU (measured 3x-24x
+slowdowns — see CLAUDE.md and `backend/schur._inv3`).  Everything here is
+pure fused elementwise arithmetic: adjugates for n <= 3, recursive 2x2
+block-Schur for larger SPD blocks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.einsum("...ij,...jk->...ik", a, b, precision=_HP)
+
+
+def inv2(M: jax.Array) -> jax.Array:
+    """Batched closed-form inverse of (..., 2, 2)."""
+    a, b = M[..., 0, 0], M[..., 0, 1]
+    c, d = M[..., 1, 0], M[..., 1, 1]
+    inv_det = 1.0 / (a * d - b * c)
+    row0 = jnp.stack([d, -b], axis=-1)
+    row1 = jnp.stack([-c, a], axis=-1)
+    return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
+
+
+def inv3(M: jax.Array) -> jax.Array:
+    """Batched adjugate inverse of (..., 3, 3) (general, not just SPD)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def inv_spd(M: jax.Array) -> jax.Array:
+    """Batched closed-form inverse of small SPD blocks (..., n, n).
+
+    n <= 3 by adjugate; larger n by recursive 2x2 block-Schur
+    ([A B; B^T C]^-1 with S = C - B^T A^-1 B), splitting n -> (n//2,
+    n - n//2).  Exact arithmetic (no iteration), fuses entirely on the
+    VPU; intended for n <= ~12 (refiner/DLT-scale blocks).
+    """
+    n = M.shape[-1]
+    if n == 1:
+        return 1.0 / M
+    if n == 2:
+        return inv2(M)
+    if n == 3:
+        return inv3(M)
+    m = n // 2
+    A = M[..., :m, :m]
+    B = M[..., :m, m:]
+    C = M[..., m:, m:]
+    Ai = inv_spd(A)
+    AiB = _mm(Ai, B)
+    S = C - jnp.einsum("...ji,...jk->...ik", B, AiB, precision=_HP)
+    Si = inv_spd(S)
+    TL = Ai + jnp.einsum(
+        "...ij,...jk,...lk->...il", AiB, Si, AiB, precision=_HP
+    )
+    TR = -_mm(AiB, Si)
+    BL = jnp.swapaxes(TR, -1, -2)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

@@ -265,3 +265,54 @@ def test_clahe_matches_opencv(rng):
     d = np.abs(ref.astype(np.float32) - got)
     assert d.mean() < 4.0
     assert np.corrcoef(ref.ravel().astype(float), got.ravel())[0, 1] > 0.99
+
+
+def test_inv_spd_blocks_all_sizes(rng):
+    from dynosam_tpu.ops.linalg import inv_spd
+
+    for n in (1, 2, 3, 4, 6, 8, 9, 12):
+        M = rng.normal(size=(5, n, n)).astype(np.float32)
+        spd = jnp.asarray(
+            M @ np.swapaxes(M, -1, -2) + (2.0 + n) * np.eye(n, dtype=np.float32)
+        )
+        prod = np.asarray(
+            jnp.einsum("kij,kjk2->kik2", spd, inv_spd(spd))
+            if False else jnp.einsum("bij,bjl->bil", spd, inv_spd(spd))
+        )
+        np.testing.assert_allclose(
+            prod, np.broadcast_to(np.eye(n), prod.shape), atol=5e-3
+        )
+
+
+def test_homography_solve_matches_eigh(rng):
+    """Gauge-fixed 8x8 solve == eigh nullspace on minimal 4-point DLT
+    systems (`homography_from_points(method='solve')`)."""
+    from dynosam_tpu.ops.homography import homography_from_points, transfer_error
+
+    K = 64
+    # realistic tracking-scale warps: affine part ~O(0.05), projective
+    # terms ~O(1e-5) (pixel coordinates; cf. test_homography_ransac)
+    Hgt = np.eye(3, dtype=np.float32) + rng.normal(0, 0.05, (K, 3, 3)).astype(np.float32)
+    Hgt[:, 2, :2] = rng.normal(0, 1e-5, (K, 2)).astype(np.float32)
+    Hgt[:, :2, 2] = rng.normal(0, 5.0, (K, 2)).astype(np.float32)
+    Hgt[:, 2, 2] = 1.0
+    p = rng.uniform(50, 500, (K, 4, 2)).astype(np.float32)
+    ph = np.concatenate([p, np.ones((K, 4, 1), np.float32)], axis=-1)
+    qh = np.einsum("kij,knj->kni", Hgt, ph)
+    q = qh[..., :2] / qh[..., 2:3]
+    He = homography_from_points(jnp.asarray(p), jnp.asarray(q))
+    Hs = homography_from_points(jnp.asarray(p), jnp.asarray(q), method="solve")
+    # compare by transfer error on fresh points (H scale-normalized already)
+    t = rng.uniform(50, 500, (K, 16, 2)).astype(np.float32)
+    th = np.concatenate([t, np.ones((K, 16, 1), np.float32)], axis=-1)
+    sh = np.einsum("kij,knj->kni", Hgt, th)
+    s = sh[..., :2] / sh[..., 2:3]
+    ee = np.asarray(transfer_error(He, jnp.asarray(t), jnp.asarray(s)))
+    es = np.asarray(transfer_error(Hs, jnp.asarray(t), jnp.asarray(s)))
+    # minimal-set fits extrapolated across a 500 px field amplify f32
+    # noise for BOTH estimators; compare bulk statistics, not tails (the
+    # solve path's rare near-degenerate blowups are exactly the
+    # hypotheses the RANSAC transfer-error vote discards)
+    me, ms = np.median(ee, axis=1), np.median(es, axis=1)
+    assert np.median(ms) <= np.median(me) * 2.0 + 0.05
+    assert np.percentile(ms, 75) <= np.percentile(me, 75) * 2.0 + 0.5
