@@ -223,7 +223,11 @@ def ransac_rigid(
         mm = lambda a, b: jnp.matmul(a, b, precision="highest")
         A = mm(Jw.T, J) + 1e-6 * jnp.eye(6, dtype=src.dtype)
         g = mm(Jw.T, r[:, None])[:, 0]
-        xi = jnp.linalg.solve(A, -g)
+        # closed-form SPD inverse: an LU `linalg.solve` inside the GN scan
+        # serializes on TPU (see ops/linalg.py)
+        from .linalg import inv_spd
+
+        xi = -jnp.einsum("ij,j->i", inv_spd(A), g, precision="highest")
         return se3_retract(T, xi), None
 
     refined, _ = jax.lax.scan(gn_step, best_pose, None, length=refine_steps)
