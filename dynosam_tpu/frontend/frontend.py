@@ -91,11 +91,11 @@ def _depth_at(depth: jax.Array, uv: jax.Array, max_depth: float):
 
 
 def _mask_label_at(mask: jax.Array, uv: jax.Array) -> jax.Array:
-    """Nearest-neighbour instance label under (possibly fractional) uv."""
-    h, w = mask.shape
-    x = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, h - 1)
-    return mask[y, x]
+    """Nearest-neighbour instance label under (possibly fractional) uv
+    (routes through the Pallas point kernel on TPU, see ops/klt)."""
+    from ..ops.klt import nearest_at
+
+    return nearest_at(mask, uv)
 
 
 def _project_world(cam: CameraParams, X: SE3, p_w: jax.Array):

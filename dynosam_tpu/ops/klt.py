@@ -47,8 +47,27 @@ def build_pyramid(gray: jax.Array, levels: int) -> list:
     return pyr
 
 
+def _tpu_point_query(img: jax.Array, xy: jax.Array) -> bool:
+    # (N, 2) single-point queries on TPU route through the Pallas point
+    # kernel (XLA serializes arbitrary-coordinate gathers at ~40
+    # cycles/element); patch-shaped queries on TPU already go through
+    # ops/pallas/lk.py, and CPU gathers are fine.
+    return (
+        jax.default_backend() == "tpu"
+        and img.ndim == 2
+        and xy.ndim == 2
+        and xy.shape[-1] == 2
+    )
+
+
 def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
     """Sample (..., 2) float (x, y) locations from (H, W) image, clamped."""
+    if _tpu_point_query(img, xy):
+        from .pallas.point_sample import point_sample
+
+        return point_sample(
+            img[None], xy, ("bilinear",)
+        )[:, 0].astype(img.dtype)
     h, w = img.shape
     x = jnp.clip(xy[..., 0], 0.0, w - 1.0)
     y = jnp.clip(xy[..., 1], 0.0, h - 1.0)
@@ -169,6 +188,12 @@ def klt_track(
 
 def flow_at(flow: jax.Array, uv: jax.Array) -> jax.Array:
     """Sample a dense flow field (H, W, 2) at feature locations (N, 2)."""
+    if _tpu_point_query(flow[..., 0], uv):
+        from .pallas.point_sample import point_sample
+
+        return point_sample(
+            jnp.moveaxis(flow, -1, 0), uv, ("bilinear", "bilinear")
+        ).astype(flow.dtype)
     fx = bilinear_sample(flow[..., 0], uv)
     fy = bilinear_sample(flow[..., 1], uv)
     return jnp.stack([fx, fy], axis=-1)
@@ -176,6 +201,13 @@ def flow_at(flow: jax.Array, uv: jax.Array) -> jax.Array:
 
 def nearest_at(img: jax.Array, uv: jax.Array) -> jax.Array:
     """Nearest-neighbour sample (for label/mask images)."""
+    if _tpu_point_query(img, uv):
+        from .pallas.point_sample import point_sample
+
+        # int labels round-trip exactly through f32 below 2^24
+        return point_sample(
+            img[None], uv, ("nearest",)
+        )[:, 0].astype(img.dtype)
     h, w = img.shape
     x = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, w - 1)
     y = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, h - 1)

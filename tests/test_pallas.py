@@ -110,3 +110,57 @@ def test_orb_sample_kernel_matches_xla(rng):
     # identical bits except where a tap pair is a near-tie under float
     agree = (np.asarray(desc) == np.asarray(desc_ref)).mean()
     assert agree > 0.995
+
+
+def test_point_sample_kernel_matches_xla(rng):
+    """Pallas point sampler (interpret) == bilinear_sample / nearest_at /
+    flow_at XLA semantics, incl. border-clamped coords
+    (`ops/pallas/point_sample.py`)."""
+    from dynosam_tpu.ops.klt import bilinear_sample, nearest_at
+    from dynosam_tpu.ops.pallas.point_sample import point_sample
+
+    h, w = 96, 160
+    img = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 9, (h, w)), jnp.int32)
+    flow = jnp.asarray(rng.normal(0, 3, (h, w, 2)), jnp.float32)
+    # interior + border + out-of-range coords (clamped by both paths)
+    uv = jnp.concatenate([
+        jnp.asarray(rng.uniform([0, 0], [w - 1, h - 1], (40, 2)), jnp.float32),
+        jnp.asarray([[0.0, 0.0], [w - 1.0, h - 1.0], [-3.0, 5.0],
+                     [w + 4.0, h + 2.0], [2.25, h - 1.0]], jnp.float32),
+    ])
+    got = point_sample(
+        jnp.stack([img, mask.astype(jnp.float32), flow[..., 0], flow[..., 1]]),
+        uv, ("bilinear", "nearest", "bilinear", "bilinear"), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[:, 0]), np.asarray(bilinear_sample(img, uv)),
+        rtol=1e-5, atol=1e-3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got[:, 1]).astype(np.int32), np.asarray(nearest_at(mask, uv))
+    )
+    fx = np.asarray(bilinear_sample(flow[..., 0], uv))
+    fy = np.asarray(bilinear_sample(flow[..., 1], uv))
+    np.testing.assert_allclose(np.asarray(got[:, 2]), fx, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[:, 3]), fy, rtol=1e-5, atol=1e-4)
+
+
+def test_point_sample_kernel_under_vmap(rng):
+    """vmapped point_sample (the per-object solve path shape) matches
+    per-lane XLA sampling."""
+    from dynosam_tpu.ops.klt import nearest_at
+    from dynosam_tpu.ops.pallas.point_sample import point_sample
+
+    h, w = 64, 128
+    mask = jnp.asarray(rng.integers(0, 5, (h, w)), jnp.int32)
+    uv = jnp.asarray(rng.uniform([0, 0], [w - 1, h - 1], (4, 24, 2)), jnp.float32)
+    got = jax.vmap(
+        lambda u: point_sample(
+            mask.astype(jnp.float32)[None], u, ("nearest",), interpret=True
+        )[:, 0]
+    )(uv)
+    want = jax.vmap(lambda u: nearest_at(mask, u))(uv)
+    np.testing.assert_array_equal(
+        np.asarray(got).astype(np.int32), np.asarray(want)
+    )
