@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, reps=20, label=""):
+def timed(fn, *args, reps=10, label=""):
     out = fn(*args)                       # compile
     float(np.asarray(out[0]).sum())       # fetch barrier
 
@@ -62,25 +62,25 @@ def main():
 
     from dynosam_tpu.ops.pallas import lk
 
-    def run(prec, eps):
-        # _DOT_PRECISION is read at trace time and is NOT part of the jit
-        # cache key — drop all caches so each variant recompiles
-        jax.clear_caches()
-        lk._DOT_PRECISION = prec
+    # production path first (warm start, 1 level x 10 iters): one Mosaic
+    # kernel compile instead of three
+    g0 = jnp.zeros_like(uv) + jnp.asarray([2.0, 3.0], jnp.float32)
 
-        def fn(i0, i1, p, v):
-            r = lk.klt_track_pallas(i0, i1, p, v, eps=eps)
-            return (r.uv, r.error)
+    def warm_fn(i0, i1, p, v):
+        r = lk.klt_track_pallas(
+            i0, i1, p, v, levels=1, iters=10, eps=0.01, g0=g0
+        )
+        return (r.uv, r.error)
 
-        return fn
+    timed(warm_fn, img0, img1, uv, valid,
+          label="lk warm-start 1x10 eps=0.01")
 
-    for prec, pname in [
-        (jax.lax.Precision.HIGHEST, "HIGHEST"),
-        (jax.lax.Precision.DEFAULT, "DEFAULT"),
-    ]:
-        fn = run(prec, 0.01)
-        timed(fn, img0, img1, uv, valid,
-              label=f"lk eps=0.01 prec={pname}")
+    def cold_fn(i0, i1, p, v):
+        r = lk.klt_track_pallas(i0, i1, p, v, eps=0.01)
+        return (r.uv, r.error)
+
+    timed(cold_fn, img0, img1, uv, valid,
+          label="lk cold 3x30 eps=0.01")
 
     print("done", file=sys.stderr)
 
