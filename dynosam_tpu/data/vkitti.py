@@ -78,6 +78,8 @@ class VirtualKittiDataset(DatasetProvider):
         )
         self._cam: Optional[CameraParams] = None
         self.gt_poses = self._load_extrinsics()
+        self.gt_objects = self._load_object_gt()
+        self.gt_bboxes = self._load_bbox_meta()
 
     def _load_extrinsics(self):
         p = os.path.join(self.textgt_dir, "extrinsic.txt")
@@ -97,6 +99,83 @@ class VirtualKittiDataset(DatasetProvider):
                     first_inv = np.linalg.inv(T)
                 poses.append(first_inv @ T)
         return poses
+
+    @staticmethod
+    def _header_columns(line: str) -> dict:
+        return {name: i for i, name in enumerate(line.split())}
+
+    def _load_bbox_meta(self):
+        """bbox.txt -> per-frame {track: (bbox ltrb, is_moving)}
+        (`VirtualKittidataProvider.cc:308-385` loadBBoxMetaData)."""
+        p = os.path.join(self.textgt_dir, "bbox.txt")
+        if not os.path.exists(p):
+            return None
+        per_frame: dict = {}
+        with open(p) as f:
+            cols = self._header_columns(next(f))
+            for line in f:
+                v = line.split()
+                if len(v) != len(cols) or int(v[cols["cameraID"]]) != 0:
+                    continue
+                k = int(v[cols["frame"]])
+                tid = int(v[cols["trackID"]])
+                bbox = (
+                    float(v[cols["left"]]), float(v[cols["top"]]),
+                    float(v[cols["right"]]), float(v[cols["bottom"]]),
+                )
+                moving = v[cols["isMoving"]].lower() in ("true", "1")
+                per_frame.setdefault(k, {})[tid] = (bbox, moving)
+        return per_frame
+
+    def _load_object_gt(self):
+        """pose.txt -> per-frame {track: L_world 4x4}.
+
+        Decode matches the reference's `loadPoseTxt`
+        (`VirtualKittidataProvider.cc:387-527`): camera-space translation
+        + the y-x-z Euler rotation matrix built from
+        rotation_camera_space_{y,x,z}; world pose through the (first-
+        frame-aligned) camera extrinsic, like the KITTI loader's
+        `L_world = X_gt @ L_cam`.
+        """
+        p = os.path.join(self.textgt_dir, "pose.txt")
+        if not os.path.exists(p) or self.gt_poses is None:
+            return None
+        per_frame: dict = {}
+        with open(p) as f:
+            cols = self._header_columns(next(f))
+            for line in f:
+                v = line.split()
+                if len(v) != len(cols) or int(v[cols["cameraID"]]) != 0:
+                    continue
+                k = int(v[cols["frame"]])
+                if k >= len(self.gt_poses):
+                    continue
+                tid = int(v[cols["trackID"]])
+                t = np.array(
+                    [
+                        float(v[cols["camera_space_X"]]),
+                        float(v[cols["camera_space_Y"]]),
+                        float(v[cols["camera_space_Z"]]),
+                    ]
+                )
+                y = float(v[cols["rotation_camera_space_y"]])
+                x = float(v[cols["rotation_camera_space_x"]])
+                z = float(v[cols["rotation_camera_space_z"]])
+                cy, sy = np.cos(y), np.sin(y)
+                cx, sx = np.cos(x), np.sin(x)
+                cz, sz = np.cos(z), np.sin(z)
+                R = np.array(
+                    [
+                        [cy * cz + sy * sx * sz, -cy * sz + sy * sx * cz, sy * cx],
+                        [cx * sz, cx * cz, -sx],
+                        [-sy * cz + cy * sx * sz, sy * sz + cy * sx * cz, cy * cx],
+                    ]
+                )
+                L_cam = np.eye(4)
+                L_cam[:3, :3] = R
+                L_cam[:3, 3] = t
+                per_frame.setdefault(k, {})[tid] = self.gt_poses[k] @ L_cam
+        return per_frame
 
     def __len__(self):
         return self._n
@@ -159,10 +238,19 @@ class VirtualKittiDataset(DatasetProvider):
     def ground_truth(self, idx: int) -> Optional[GroundTruthFrame]:
         if self.gt_poses is None or idx >= len(self.gt_poses):
             return None
+        obj_poses = {}
+        obj_motions = {}
+        if self.gt_objects is not None:
+            obj_poses = dict(self.gt_objects.get(idx, {}))
+            prev = self.gt_objects.get(idx - 1, {})
+            # ^wH_k = ^wL_k (^wL_{k-1})^-1 (world-centric motion)
+            for obj, L in obj_poses.items():
+                if obj in prev:
+                    obj_motions[obj] = L @ np.linalg.inv(prev[obj])
         return GroundTruthFrame(
             frame_id=idx,
             timestamp=idx * 0.1,
             X_world=self.gt_poses[idx],
-            object_poses={},
-            object_motions={},
+            object_poses=obj_poses,
+            object_motions=obj_motions,
         )

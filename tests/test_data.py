@@ -290,3 +290,67 @@ def test_aria_loader(tmp_path):
     np.testing.assert_allclose(float(np.asarray(cam.fx)), 267.644012)
     fr = ds.frame(0)
     np.testing.assert_allclose(np.asarray(fr.depth)[0, 0], 2.5)
+
+
+def make_fake_vkitti(root, n=3, h=48, w=64):
+    sub = "Scene01/clone"
+    rgb = f"{root}/vkitti_2.0.3_rgb/{sub}/frames/rgb/Camera_0"
+    textgt = f"{root}/vkitti_2.0.3_textgt/{sub}"
+    os.makedirs(rgb, exist_ok=True)
+    os.makedirs(textgt, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for k in range(n):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(f"{rgb}/rgb_{k:05d}.jpg", img)
+    # extrinsic.txt: world->camera 4x4 rows; camera moves +x by 0.5/frame
+    with open(f"{textgt}/extrinsic.txt", "w") as f:
+        f.write("frame cameraID r1,1 ...\n")
+        for k in range(n):
+            T = np.eye(4)
+            T[0, 3] = 0.5 * k
+            Tinv = np.linalg.inv(T)
+            f.write(f"{k} 0 " + " ".join(map(str, Tinv.reshape(-1))) + "\n")
+            f.write(f"{k} 1 " + " ".join(map(str, np.eye(4).reshape(-1))) + "\n")
+    # pose.txt: one object (track 7) moving +z in camera space
+    hdr = ("frame cameraID trackID alpha width height length "
+           "world_space_X world_space_Y world_space_Z "
+           "rotation_world_space_y rotation_world_space_x rotation_world_space_z "
+           "camera_space_X camera_space_Y camera_space_Z "
+           "rotation_camera_space_y rotation_camera_space_x rotation_camera_space_z")
+    with open(f"{textgt}/pose.txt", "w") as f:
+        f.write(hdr + "\n")
+        for k in range(n):
+            f.write(
+                f"{k} 0 7 0 1.5 1.4 3.2 0 0 0 0 0 0 "
+                f"1.0 0.5 {5.0 + 1.0 * k} 0 0 0\n"
+            )
+    with open(f"{textgt}/bbox.txt", "w") as f:
+        f.write("frame cameraID trackID left right top bottom number_pixels "
+                "truncation_ratio occupancy_ratio isMoving\n")
+        for k in range(n):
+            f.write(f"{k} 0 7 10 30 12 28 200 0.0 0.9 True\n")
+    return root
+
+
+def test_vkitti_object_gt(tmp_path):
+    """pose.txt / bbox.txt decode: world object poses through the aligned
+    extrinsic + world-centric motions (`VirtualKittidataProvider.cc:
+    387-527` semantics)."""
+    from dynosam_tpu.data.vkitti import VirtualKittiDataset
+
+    root = make_fake_vkitti(str(tmp_path / "vk"))
+    ds = VirtualKittiDataset(root)
+    assert len(ds) == 3
+    # camera: first-frame aligned, frame 2 at x=1.0
+    np.testing.assert_allclose(ds.gt_poses[2][0, 3], 1.0, atol=1e-9)
+    gt1 = ds.ground_truth(1)
+    assert 7 in gt1.object_poses
+    # identity rotation; L_world = X_w @ L_cam -> x = 0.5*k + 1.0
+    L = gt1.object_poses[7]
+    np.testing.assert_allclose(L[:3, 3], [1.5, 0.5, 6.0], atol=1e-9)
+    np.testing.assert_allclose(L[:3, :3], np.eye(3), atol=1e-12)
+    # motion: +0.5 x (camera) + 1.0 z (object) per frame
+    H = gt1.object_motions[7]
+    np.testing.assert_allclose(H[:3, 3], [0.5, 0.0, 1.0], atol=1e-9)
+    # bbox metadata parsed
+    assert ds.gt_bboxes[1][7][1] is True
