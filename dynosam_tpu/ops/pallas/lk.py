@@ -66,7 +66,7 @@ def _make_kernel(
     if SX != w and (w - SX) % 128 != 0:
         SX = w
 
-    def kernel(p_ref, g_ref, prev_ref, cur_ref, gout_ref, err_ref):
+    def kernel(p_ref, g_ref, v_ref, prev_ref, cur_ref, gout_ref, err_ref):
         def sample(ref, x0f, y0f, size):
             """(size, size) bilinear patch at float origin (x0f, y0f).
 
@@ -121,6 +121,7 @@ def _make_kernel(
             base = pl.multiple_of(base, 8)
         pv = p_ref[pl.ds(base, feat_block), :]   # (F, 2) value; scalars
         gv = g_ref[pl.ds(base, feat_block), :]   # extracted from the value
+        vv = v_ref[pl.ds(base, feat_block), 0]   # (F,) 1.0 = active slot
 
         # ---- per-feature templates + gradients (unrolled, independent) --
         ts, gxs, gys, coefs = [], [], [], []
@@ -188,10 +189,11 @@ def _make_kernel(
                 dv = jnp.stack(dvs)
                 return (it + 1, gu + du, gv_ + dv, du * du + dv * dv)
 
+            # inactive pool slots start frozen (d2 = 0): an all-inactive
+            # block never enters the loop, a mixed block stops with its
+            # last ACTIVE feature instead of iterating on stale positions
             _, gu, gv_, _ = jax.lax.while_loop(
-                cond, wbody,
-                (jnp.int32(0), gu0, gv0,
-                 jnp.full((feat_block,), 1e9, jnp.float32)),
+                cond, wbody, (jnp.int32(0), gu0, gv0, vv * 1e9),
             )
         else:
             def body(_, c):
@@ -199,8 +201,8 @@ def _make_kernel(
                 dus, dvs = [], []
                 for f in range(feat_block):
                     du_f, dv_f = step(f, gu[f], gv_[f])
-                    dus.append(du_f)
-                    dvs.append(dv_f)
+                    dus.append(du_f * vv[f])
+                    dvs.append(dv_f * vv[f])
                 return (gu + jnp.stack(dus), gv_ + jnp.stack(dvs))
 
             gu, gv_ = jax.lax.fori_loop(0, iters, body, (gu0, gv0))
@@ -224,6 +226,7 @@ def lk_level(
     cur_img: jax.Array,
     p_lvl: jax.Array,        # (N, 2) feature positions at this level's scale
     g0: jax.Array,           # (N, 2) incoming flow estimate (level pixels)
+    valid: jax.Array | None = None,   # (N,) active-slot mask
     win: int = 21,
     iters: int = 30,
     feat_block: int = 8,   # features per program; 8 keeps the per-program
@@ -233,13 +236,20 @@ def lk_level(
     eps: float = 0.0,
     interpret: bool = False,
 ):
-    """One pyramid level of LK for all features.  Returns (g, err)."""
+    """One pyramid level of LK for all features.  Returns (g, err).
+
+    `valid` freezes inactive pool slots: an all-inactive feature block
+    exits the joint loop before its first iteration."""
     h, w = prev_img.shape
     n = p_lvl.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), jnp.float32)
+    vf = valid.astype(jnp.float32)[:, None]
     pad = (-n) % feat_block
     if pad:
         p_lvl = jnp.pad(p_lvl, ((0, pad), (0, 0)))
         g0 = jnp.pad(g0, ((0, pad), (0, 0)))
+        vf = jnp.pad(vf, ((0, pad), (0, 0)))
     np_ = p_lvl.shape[0]
     grid = (np_ // feat_block,)
 
@@ -251,6 +261,8 @@ def lk_level(
             pl.BlockSpec((np_, 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((np_, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -271,7 +283,7 @@ def lk_level(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(p_lvl, g0, prev_img, cur_img)
+    )(p_lvl, g0, vf, prev_img, cur_img)
     return g[:n], err[:n, 0]
 
 
@@ -311,8 +323,8 @@ def klt_track_pallas(
         scale = 2.0 ** lvl
         p_lvl = uv_prev / scale
         g, err = lk_level(
-            pyr_prev[lvl], pyr_cur[lvl], p_lvl, g, win=win, iters=iters,
-            eps=eps, interpret=interpret,
+            pyr_prev[lvl], pyr_cur[lvl], p_lvl, g, valid, win=win,
+            iters=iters, eps=eps, interpret=interpret,
         )
         if lvl > 0:
             g = g * 2.0

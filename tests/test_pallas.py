@@ -164,3 +164,36 @@ def test_point_sample_kernel_under_vmap(rng):
     np.testing.assert_array_equal(
         np.asarray(got).astype(np.int32), np.asarray(want)
     )
+
+
+def test_lk_kernel_invalid_slots_frozen(rng):
+    """Inactive pool slots must come back with their warm-start flow
+    unchanged (the joint loop freezes them from iteration 0) and active
+    features must be unaffected by inactive neighbours in the block."""
+    from dynosam_tpu.ops.klt import flow_at
+    from dynosam_tpu.ops.pallas.lk import klt_track_pallas
+    from dynosam_tpu.testing.render import RenderConfig, RenderedScene
+
+    scene = RenderedScene(RenderConfig(n_frames=2, h=192, w=256))
+    f0, f1 = scene.frames()
+    uv = jnp.asarray(rng.uniform([15, 15], [240, 176], (32, 2)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=32) < 0.5)
+    g0 = flow_at(f0.flow, uv)
+    mixed = klt_track_pallas(
+        f0.gray, f1.gray, uv, valid, levels=1, iters=10, eps=0.01, g0=g0,
+        interpret=True,
+    )
+    allv = klt_track_pallas(
+        f0.gray, f1.gray, uv, jnp.ones(32, bool), levels=1, iters=10,
+        eps=0.01, g0=g0, interpret=True,
+    )
+    v = np.asarray(valid)
+    # frozen: uv = uv_prev + g0 exactly
+    np.testing.assert_allclose(
+        np.asarray(mixed.uv)[~v], np.asarray(uv + g0)[~v], atol=1e-6
+    )
+    # active features track identically to the all-valid run
+    np.testing.assert_allclose(
+        np.asarray(mixed.uv)[v], np.asarray(allv.uv)[v], atol=1e-5
+    )
+    assert not np.asarray(mixed.ok)[~v].any()
