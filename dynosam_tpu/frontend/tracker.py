@@ -216,25 +216,31 @@ def track_frame(
 
     # re-detect into free slots (detector input optionally CLAHE-equalized,
     # `FeatureDetector.cc:95-109`; tracking always uses the raw image)
-    if cfg.use_clahe_filter:
-        from ..ops.clahe import clahe
+    def _det_inputs():
+        if cfg.use_clahe_filter:
+            from ..ops.clahe import clahe
 
-        det_gray = clahe(cur_gray)
-    else:
-        det_gray = cur_gray
-    occupied = occupancy_mask(
-        (h, w), s_uv, s_ok,
-        int(cfg.min_distance_btw_tracked_and_detected_features),
-    )
-    forbid = (
-        occupied
-        | (mask_cur != 0)
-        | border_mask((h, w), max(cfg.shrink_row, 4), max(cfg.shrink_col, 4))
-    )
+            det_gray = clahe(cur_gray)
+        else:
+            det_gray = cur_gray
+        occupied = occupancy_mask(
+            (h, w), s_uv, s_ok,
+            int(cfg.min_distance_btw_tracked_and_detected_features),
+        )
+        forbid = (
+            occupied
+            | (mask_cur != 0)
+            | border_mask(
+                (h, w), max(cfg.shrink_row, 4), max(cfg.shrink_col, 4)
+            )
+        )
+        return det_gray, forbid
+
     s_desc = state.s_desc
     n_reassoc = jnp.asarray(0, jnp.int32)
     cand_desc = None
     if cfg.feature_detector_type == "orb":
+        det_gray, forbid = _det_inputs()
         # pyramid FAST + octree-analog distribution (`frontend/orb.py`,
         # reference mode ORB_SLAM_ORB, `FeatureDetector.cc:55-83`); the
         # forbid mask is applied by sampling at the candidate positions
@@ -305,39 +311,71 @@ def track_frame(
             uv=cand_uv, score=cand_score,
             valid=cand_valid & allowed & ~revive_mask,
         )
-    else:
-        if cfg.feature_detector_type == "harris":
-            from .detect import harris_response
-
-            resp = harris_response(det_gray)
-        elif cfg.feature_detector_type == "fast":
-            from .detect import fast_response
-
-            resp = fast_response(
-                det_gray, float(cfg.orb_init_threshold_fast)
-            )
-        else:
-            resp = shi_tomasi_response_fast(det_gray)
-        dets = detect_grid_nms(
-            resp,
-            forbid,
-            max_corners=cfg.max_features_per_frame,
-            cell_size=max(8, cfg.cell_size // 2),
+        budget = cfg.max_features_per_frame - n_tracked
+        want = dets.valid & (jnp.cumsum(dets.valid) <= budget)
+        slot_i, cand_i, pair_ok = assign_slots(
+            ~s_ok & (s_cooldown == 0), want
         )
-    budget = cfg.max_features_per_frame - n_tracked
-    want = dets.valid & (jnp.cumsum(dets.valid) <= budget)
-    slot_i, cand_i, pair_ok = assign_slots(~s_ok & (s_cooldown == 0), want)
-    new_uv = dets.uv[cand_i]
-    s_uv = s_uv.at[slot_i].set(
-        jnp.where(pair_ok[:, None], new_uv, s_uv[slot_i])
-    )
-    s_active_new = s_ok.at[slot_i].set(s_ok[slot_i] | pair_ok)
-    s_age = s_age.at[slot_i].set(jnp.where(pair_ok, 0, s_age[slot_i]))
-    n_new_static = jnp.sum(pair_ok)
-    if cand_desc is not None:
+        new_uv = dets.uv[cand_i]
+        s_uv = s_uv.at[slot_i].set(
+            jnp.where(pair_ok[:, None], new_uv, s_uv[slot_i])
+        )
+        s_active_new = s_ok.at[slot_i].set(s_ok[slot_i] | pair_ok)
+        s_age = s_age.at[slot_i].set(jnp.where(pair_ok, 0, s_age[slot_i]))
+        n_new_static = jnp.sum(pair_ok)
         s_desc = s_desc.at[slot_i].set(
             jnp.where(pair_ok[:, None], cand_desc[cand_i], s_desc[slot_i])
         )
+    else:
+        def run_detection(_):
+            det_gray, forbid = _det_inputs()
+            if cfg.feature_detector_type == "harris":
+                from .detect import harris_response
+
+                resp = harris_response(det_gray)
+            elif cfg.feature_detector_type == "fast":
+                from .detect import fast_response
+
+                resp = fast_response(
+                    det_gray, float(cfg.orb_init_threshold_fast)
+                )
+            else:
+                resp = shi_tomasi_response_fast(det_gray)
+            dets = detect_grid_nms(
+                resp,
+                forbid,
+                max_corners=cfg.max_features_per_frame,
+                cell_size=max(8, cfg.cell_size // 2),
+            )
+            budget = cfg.max_features_per_frame - n_tracked
+            want = dets.valid & (jnp.cumsum(dets.valid) <= budget)
+            slot_i, cand_i, pair_ok = assign_slots(
+                ~s_ok & (s_cooldown == 0), want
+            )
+            new_uv = dets.uv[cand_i]
+            s_uv_n = s_uv.at[slot_i].set(
+                jnp.where(pair_ok[:, None], new_uv, s_uv[slot_i])
+            )
+            s_act_n = s_ok.at[slot_i].set(s_ok[slot_i] | pair_ok)
+            s_age_n = s_age.at[slot_i].set(
+                jnp.where(pair_ok, 0, s_age[slot_i])
+            )
+            return s_uv_n, s_act_n, s_age_n, jnp.sum(pair_ok)
+
+        def skip_detection(_):
+            return s_uv, s_ok, s_age, jnp.asarray(0, jnp.int32)
+
+        frac = cfg.redetect_min_free_fraction
+        if frac > 0.0 and not first_frame:
+            # detection-on-demand: run the whole detect stage only when
+            # the pool has drained below (1 - frac) of the target (the
+            # reference tops up on ANY deficit; frac bounds the deviation)
+            floor_n = int(round((1.0 - frac) * cfg.max_features_per_frame))
+            s_uv, s_active_new, s_age, n_new_static = jax.lax.cond(
+                n_tracked < floor_n, run_detection, skip_detection, 0
+            )
+        else:
+            s_uv, s_active_new, s_age, n_new_static = run_detection(0)
 
     # ------------------------------------------------------------ objects
     # label census of the current mask (labels capped to the config limit)

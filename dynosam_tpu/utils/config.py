@@ -82,6 +82,13 @@ class TrackerConfig:
     klt_flow_warm_start: bool = True
     klt_warm_levels: int = 1
     klt_warm_iterations: int = 10
+    # Skip the detection stage (CLAHE + response + NMS + slot fill) while
+    # more than (1 - frac) * max_features_per_frame tracks survive.  0.0
+    # (default) = always top up, the reference's behaviour
+    # (`KltFeatureTracker::trackStatic` detects whenever tracked < max);
+    # e.g. 0.05 tolerates a 5% feature deficit and runs detection as a
+    # `lax.cond` branch only when the pool drains below it.
+    redetect_min_free_fraction: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -316,3 +316,32 @@ def test_homography_solve_matches_eigh(rng):
     me, ms = np.median(ee, axis=1), np.median(es, axis=1)
     assert np.median(ms) <= np.median(me) * 2.0 + 0.05
     assert np.percentile(ms, 75) <= np.percentile(me, 75) * 2.0 + 0.5
+
+
+def test_redetect_on_demand_skips_when_healthy(rng):
+    """With `redetect_min_free_fraction`, a healthy pool skips the whole
+    detection stage (lax.cond) and no new statics appear; the default 0.0
+    keeps the reference's always-top-up behaviour."""
+    h, w = 96, 128
+    base, img2, mask1, mask2, flow = make_scene(rng)
+    cfg = TrackerConfig(
+        max_features_per_frame=60,
+        semantic_mask_step_size=4,
+        klt_window=11,
+        klt_levels=2,
+        redetect_min_free_fraction=0.5,
+    )
+    st = TrackerState.create(ns=200, nd=512, no=8)
+    zero_flow = jnp.zeros((h, w, 2), jnp.float32)
+    st, rep0 = track_frame(
+        st, jnp.asarray(base), jnp.asarray(base), zero_flow,
+        jnp.asarray(mask1), cfg, use_klt=True, first_frame=True,
+    )
+    assert int(rep0.n_static_new) > 30   # first frame always detects
+    st1, rep1 = track_frame(
+        st, jnp.asarray(base), jnp.asarray(img2), jnp.asarray(flow),
+        jnp.asarray(mask2), cfg, use_klt=True, first_frame=False,
+    )
+    # healthy tracking (>50% of 60 target) -> detection skipped entirely
+    assert int(rep1.n_static_tracked) > 30
+    assert int(rep1.n_static_new) == 0
