@@ -76,6 +76,14 @@ def main():
                 tracker=dataclasses.replace(tcfg, use_clahe_filter=False),
             ),
         ),
+        (
+            "redetect on demand (5%)",
+            FrontendConfig(
+                tracker=dataclasses.replace(
+                    tcfg, redetect_min_free_fraction=0.05
+                ),
+            ),
+        ),
     ]
 
     for label, cfg in variants:
