@@ -141,6 +141,16 @@ class FrontendConfig:
     # refinement stages (the reference hardcodes 4,
     # `MotionSolver-inl.hpp:194-232` / :406)
     refinement_outlier_rounds: int = 4
+    # LM iteration cap per refinement round.  The refiners solve their
+    # normal equations exactly per iteration (`backend/small_schur.py`), so
+    # convergence is quadratic near the optimum and the while_loop's
+    # early-exit does the real work; the cap bounds the SEQUENTIAL depth of
+    # the fused frontend program on TPU (each iteration is a full
+    # linearize+solve chain).  gtsam's LM on these tiny well-conditioned
+    # problems converges in <= ~5 iterations; the rendered-sequence A/B
+    # (scripts/ab_accuracy.py, BENCH_NOTES) shows cap 5 == cap 10 ATE while
+    # saving ~7 ms/frame on TPU.
+    refinement_max_lm_iterations: int = 5
     min_dynamic_features_per_object: int = 30  # VisionTools.cc demotion rule
     # per-frame cap on object slots that run the full motion solve
     # (RANSAC + refinements); slots are picked by point support.  The
@@ -254,6 +264,21 @@ class DynoConfig:
     pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
 
 
+def _coerce_to(cur, v):
+    """Coerce a string override to the field's current type (CLI `--set`
+    values and YAML scalars arrive as strings; a truthy "false" or a "5"
+    that fails `<` against a traced int are classic silent-config bugs)."""
+    if not isinstance(v, str) or isinstance(cur, str) or cur is None:
+        return v
+    if isinstance(cur, bool):
+        return v.strip().lower() in ("1", "true", "yes", "on")
+    if isinstance(cur, int):
+        return int(v)
+    if isinstance(cur, float):
+        return float(v)
+    return v
+
+
 def _update_dataclass(obj, data: dict):
     import dataclasses as _dc
 
@@ -266,7 +291,7 @@ def _update_dataclass(obj, data: dict):
         if _dc.is_dataclass(cur) and isinstance(v, dict):
             kwargs[f.name] = _update_dataclass(cur, v)
         else:
-            kwargs[f.name] = v
+            kwargs[f.name] = _coerce_to(cur, v)
     return dataclasses.replace(obj, **kwargs)
 
 
