@@ -67,6 +67,7 @@ def lm_optimize_eliminated(
     cfg: LMConfig,
     block_keys: Sequence[str],
     glob_keys: Sequence[str],
+    jacobian_fn: Callable | None = None,
 ) -> LMResult:
     """Drop-in for `solver.lm_optimize` on block-plus-global problems.
 
@@ -77,6 +78,15 @@ def lm_optimize_eliminated(
     `lm_optimize` / `schur.lm_optimize_schur` (IRLS weights frozen per
     linearization, accept/reject on the true robust cost, linearization
     cached across rejected steps, NaN-step rejection).
+
+    `jacobian_fn(values) -> (B_list, G_list)` optionally supplies analytic
+    Jacobians of `residual_fn`'s outputs (UNwhitened, but with the same
+    masks/sigmas the residuals bake in): B_list[r] of shape (N, d_r, b)
+    w.r.t. the concatenated block tangent (block_keys order) and G_list[r]
+    of shape (N, d_r, g) w.r.t. the raveled global tangent.  Without it
+    the Jacobians come from `jax.linearize` probed with the b + g tangent
+    basis — b + g extra residual sweeps per linearization that dominate
+    the frontend refiners' TPU latency.
     """
     specs = tuple(specs)
     block_keys = tuple(block_keys)
@@ -109,27 +119,43 @@ def lm_optimize_eliminated(
             for r, s in zip(res0, specs)
         ]
 
-        def f(db, dgf):
-            nb = {k: blocks[k] + v for k, v in split_db(db).items()}
-            ng = retract_tree(glob, unravel_g(dgf))
-            rs = res_of(nb, ng)
-            return jnp.concatenate(
-                [w[..., None] * r for w, r in zip(sqrt_w, rs)], axis=-1
+        if jacobian_fn is not None:
+            # analytic path: one residual sweep + closed-form blocks
+            B_list, G_list = jacobian_fn({**blocks, **glob})
+            wr0 = jnp.concatenate(
+                [w[..., None] * r for w, r in zip(sqrt_w, res0)], axis=-1
             )
+            B = jnp.concatenate(
+                [w[..., None, None] * jb
+                 for w, jb in zip(sqrt_w, B_list)], axis=1
+            )                                            # (N, D, b)
+            G = jnp.concatenate(
+                [w[..., None, None] * jg
+                 for w, jg in zip(sqrt_w, G_list)], axis=1
+            )                                            # (N, D, g)
+        else:
+            def f(db, dgf):
+                nb = {k: blocks[k] + v for k, v in split_db(db).items()}
+                ng = retract_tree(glob, unravel_g(dgf))
+                rs = res_of(nb, ng)
+                return jnp.concatenate(
+                    [w[..., None] * r for w, r in zip(sqrt_w, rs)], axis=-1
+                )
 
-        wr0, jvp = jax.linearize(
-            f, jnp.zeros((n, b), dtype), jnp.zeros((g,), dtype)
-        )
-        # Jacobian columns by basis probing: one JVP per tangent direction,
-        # vmapped into a single batched program (see module docstring).
-        zb = jnp.zeros((n, b), dtype)
-        zg = jnp.zeros((g,), dtype)
-        Bc = jax.vmap(
-            lambda e: jvp(jnp.broadcast_to(e, (n, b)), zg)
-        )(jnp.eye(b, dtype=dtype))                       # (b, N, D)
-        Gc = jax.vmap(lambda e: jvp(zb, e))(jnp.eye(g, dtype=dtype))
-        B = jnp.transpose(Bc, (1, 2, 0))                 # (N, D, b)
-        G = jnp.transpose(Gc, (1, 2, 0))                 # (N, D, g)
+            wr0, jvp = jax.linearize(
+                f, jnp.zeros((n, b), dtype), jnp.zeros((g,), dtype)
+            )
+            # Jacobian columns by basis probing: one JVP per tangent
+            # direction, vmapped into a single batched program (see module
+            # docstring).
+            zb = jnp.zeros((n, b), dtype)
+            zg = jnp.zeros((g,), dtype)
+            Bc = jax.vmap(
+                lambda e: jvp(jnp.broadcast_to(e, (n, b)), zg)
+            )(jnp.eye(b, dtype=dtype))                   # (b, N, D)
+            Gc = jax.vmap(lambda e: jvp(zb, e))(jnp.eye(g, dtype=dtype))
+            B = jnp.transpose(Bc, (1, 2, 0))             # (N, D, b)
+            G = jnp.transpose(Gc, (1, 2, 0))             # (N, D, g)
         U = _hp("ndb,ndc->nbc", B, B)
         Wm = _hp("ndb,ndg->nbg", B, G)
         V = _hp("ndg,ndh->gh", G, G)

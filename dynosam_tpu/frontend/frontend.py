@@ -286,6 +286,7 @@ def frontend_step(
             prev_d,
             trk.s_uv - prev_uv_s,
             participated,
+            max_iterations=cfg.refinement_max_lm_iterations,
             outlier_rounds=(
                 cfg.refinement_outlier_rounds
                 if cfg.joint_of_outlier_reject else 0
@@ -400,6 +401,7 @@ def frontend_step(
             fp = refine.optimize_flow_and_pose(
                 cam, G, state.X_world, uv_prev, dprev,
                 uv_cur - uv_prev, part,
+                max_iterations=cfg.refinement_max_lm_iterations,
                 outlier_rounds=(
                     cfg.refinement_outlier_rounds
                     if cfg.joint_of_outlier_reject else 0
@@ -428,6 +430,7 @@ def frontend_step(
             mr = refine.optimize_motion_only(
                 cam, H, state.X_world, X_k, p_prev_w, uv_prev, uv_cur,
                 inl,
+                max_iterations=cfg.refinement_max_lm_iterations,
                 outlier_rounds=(
                     cfg.refinement_outlier_rounds
                     if cfg.refinement_3d_outlier_reject else 0

@@ -57,6 +57,23 @@ def propagate_mask(
     return out
 
 
+def label_counts(mask: jax.Array, label_cap: int) -> jax.Array:
+    """Pixel count per instance label, (label_cap,) int32.
+
+    On TPU a scatter-add indexed by every pixel (H*W ~ 500k indices)
+    serializes at ~40 cycles/element; the compare-and-reduce histogram
+    (`sum(labels == l)`, the `ops/clahe.py` trick) is a dense VPU reduction
+    instead.  Other backends keep the scatter (cheaper there).
+    """
+    lab = jnp.clip(mask.reshape(-1), 0, label_cap - 1)
+    if jax.default_backend() == "tpu":
+        ids = jnp.arange(label_cap, dtype=lab.dtype)
+        return jnp.sum(
+            (lab[None, :] == ids[:, None]).astype(jnp.int32), axis=1
+        )
+    return jnp.zeros((label_cap,), jnp.int32).at[lab].add(1)
+
+
 def mask_boundary(mask: jax.Array, thickness: int = 1) -> jax.Array:
     """(H, W) bool mask of object boundary pixels (label transitions)."""
     m = mask

@@ -36,8 +36,14 @@ import jax.numpy as jnp
 
 from ..backend.small_schur import lm_optimize_eliminated
 from ..backend.solver import LMConfig, LMResult, RobustSpec
-from ..core.camera import CameraParams
-from ..core.lie import SE3, se3_apply, se3_inverse
+from ..core.camera import (
+    CameraParams,
+    backproject,
+    project_jacobian_point,
+    project_jacobian_pose,
+    project_local,
+)
+from ..core.lie import SE3, se3_apply, se3_inverse, so3_hat
 from ..ops import factors
 
 
@@ -80,6 +86,40 @@ def optimize_flow_and_pose(
 
         return resid
 
+    p_world = se3_apply(X_prev, backproject(cam, kp_prev, depth_prev))
+
+    def jac_with(active):
+        # closed-form Jacobians of resid_with's outputs (same masks/sigmas).
+        # r_proj = m * ((kp+flow) - pi(Exp(-xi) X^-1 p_w)) / sigma:
+        #   d/dflow = m I_2 / sigma,  d/dxi = -m Jpose(p_cam) / sigma
+        # (right retraction X Exp(xi) => the camera-frame point perturbs as
+        # Exp(-xi) p_cam, which is exactly `project_jacobian_pose`'s form).
+        # Masked rows are zeroed exactly like the residuals (the probing
+        # path's JVP-through-where does the same), and p_cam is sanitized
+        # before the 1/z so masked rows never produce inf*0.
+        def jac(values):
+            X = values["X"]
+            n = kp_prev.shape[0]
+            dt = kp_prev.dtype
+            p_cam = se3_apply(se3_inverse(X), p_world)
+            z = p_cam[..., 2]
+            gate = (active & (z > 0.01))[:, None, None]
+            z_safe = jnp.where(z > 0.01, z, 1.0)
+            p_safe = jnp.concatenate(
+                [p_cam[..., :2], z_safe[..., None]], axis=-1
+            )
+            Jpose = project_jacobian_pose(cam, p_safe)      # (N, 2, 6)
+            I2 = jnp.broadcast_to(jnp.eye(2, dtype=dt), (n, 2, 2))
+            B_proj = jnp.where(gate, I2 / flow_sigma, 0.0)
+            G_proj = jnp.where(gate, -Jpose / flow_sigma, 0.0)
+            B_prior = jnp.where(
+                active[:, None, None], I2 / flow_prior_sigma, 0.0
+            )
+            G_prior = jnp.zeros((n, 2, 6), dt)
+            return [B_proj, B_prior], [G_proj, G_prior]
+
+        return jac
+
     specs = [RobustSpec("huber", k_huber), RobustSpec()]
     cfg = LMConfig(max_iterations=max_iterations)
 
@@ -96,6 +136,7 @@ def optimize_flow_and_pose(
         res = lm_optimize_eliminated(
             resid, specs, {"flow": flow_start, "X": X_init}, cfg,
             block_keys=("flow",), glob_keys=("X",),
+            jacobian_fn=jac_with(active),
         )
         r_final = resid(res.values)[0]
         outliers = active & (jnp.sum(r_final * r_final, axis=-1) > chi2_gate)
@@ -183,6 +224,61 @@ def optimize_motion_only(
 
         return resid
 
+    def jac_with(active):
+        # closed-form Jacobians (block tangent = [d mp (3) | d mc (3)],
+        # global tangent = H's right-retraction xi):
+        #   rp_prev: d/dmp = Jpt(p_prev_cam) R_prev^T / sigma  (others 0)
+        #   rp_cur:  d/dmc = Jpt(p_cur_cam)  R_cur^T  / sigma
+        #   r_tern = m (mp - Exp(-xi) H^-1 mc) / sigma:
+        #     d/dmp = m I / sigma, d/dmc = -m H.R^T / sigma,
+        #     d/dxi = m [-hat(q) | I] / sigma with q = H^-1 mc
+        def jac(values):
+            mp, mc, H = values["mp"], values["mc"], values["H"]
+            n = mp.shape[0]
+            dt = mp.dtype
+
+            def proj_block(X, m):
+                p_cam = se3_apply(se3_inverse(X), m)
+                z = p_cam[..., 2]
+                gate = (active & (z > 0.01))[:, None, None]
+                z_safe = jnp.where(z > 0.01, z, 1.0)
+                p_safe = jnp.concatenate(
+                    [p_cam[..., :2], z_safe[..., None]], axis=-1
+                )
+                Jp = project_jacobian_point(cam, p_safe)    # (N, 2, 3)
+                JR = jnp.einsum(
+                    "nij,kj->nik", Jp, X.R,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                           # Jp @ R^T
+                return jnp.where(gate, JR / projection_sigma, 0.0)
+
+            Zp23 = jnp.zeros((n, 2, 3), dt)
+            B_prev = jnp.concatenate([proj_block(X_prev, mp), Zp23], axis=-1)
+            B_cur = jnp.concatenate([Zp23, proj_block(X_cur, mc)], axis=-1)
+            G_26 = jnp.zeros((n, 2, 6), dt)
+
+            amask = active[:, None, None]
+            I3 = jnp.broadcast_to(jnp.eye(3, dtype=dt), (n, 3, 3))
+            Rt = jnp.broadcast_to(jnp.swapaxes(H.R, -1, -2), (n, 3, 3))
+            B_tern = jnp.where(
+                amask,
+                jnp.concatenate(
+                    [I3, -Rt], axis=-1
+                ) / landmark_motion_sigma,
+                0.0,
+            )
+            q = se3_apply(se3_inverse(H), mc)
+            G_tern = jnp.where(
+                amask,
+                jnp.concatenate(
+                    [-so3_hat(q), I3], axis=-1
+                ) / landmark_motion_sigma,
+                0.0,
+            )
+            return [B_prev, B_cur, B_tern], [G_26, G_26, G_tern]
+
+        return jac
+
     specs = [
         RobustSpec("huber", k_huber),
         RobustSpec("huber", k_huber),
@@ -202,6 +298,7 @@ def optimize_motion_only(
         res = lm_optimize_eliminated(
             resid, specs, {"mp": mp_start, "mc": mc_start, "H": H_init}, cfg,
             block_keys=("mp", "mc"), glob_keys=("H",),
+            jacobian_fn=jac_with(active),
         )
         r_final = resid(res.values)[2]
         outliers = active & (jnp.sum(r_final * r_final, axis=-1) > chi2_gate)

@@ -380,8 +380,9 @@ def track_frame(
     # ------------------------------------------------------------ objects
     # label census of the current mask (labels capped to the config limit)
     label_cap = cfg.max_instance_labels
-    labels_flat = jnp.clip(mask_cur.reshape(-1), 0, label_cap - 1)
-    counts = jnp.zeros((label_cap,), jnp.int32).at[labels_flat].add(1)
+    from .mask_ops import label_counts
+
+    counts = label_counts(mask_cur, label_cap)
     counts = counts.at[0].set(0)  # background
     present = counts >= cfg.min_object_pixels
     # match present labels to existing table
@@ -427,7 +428,10 @@ def track_frame(
     d_cooldown = jnp.maximum(state.d_cooldown - 1, 0)
     d_cooldown = jnp.where(d_died, cfg.slot_cooldown_frames, d_cooldown)
 
-    # dense grid sampling of uncovered object pixels
+    # dense grid sampling of uncovered object pixels.  The candidates ARE a
+    # regular integer grid, so their mask/occupancy "samples" are static
+    # strided slices — never point lookups (a 30k-query point-sample kernel
+    # cost ~5 ms/frame on TPU for what is a free re-indexing)
     step = cfg.semantic_mask_step_size
     gy = jnp.arange(step // 2, h, step)
     gx = jnp.arange(step // 2, w, step)
@@ -435,9 +439,9 @@ def track_frame(
     cand_uv = jnp.stack(
         [gxx.reshape(-1), gyy.reshape(-1)], axis=-1
     ).astype(dtype)                                        # (C, 2)
-    cand_label = nearest_at(mask_cur, cand_uv)
+    cand_label = mask_cur[step // 2 :: step, step // 2 :: step].reshape(-1)
     occupied_d = occupancy_mask((h, w), d_uv, d_ok, step // 2)
-    cand_free = ~nearest_at(occupied_d.astype(jnp.int32), cand_uv).astype(bool)
+    cand_free = ~occupied_d[step // 2 :: step, step // 2 :: step].reshape(-1)
     # object slot for each candidate label
     eq = cand_label[:, None] == table[None, :]             # (C, O)
     cand_slot = jnp.argmax(eq, axis=1).astype(jnp.int32)

@@ -140,3 +140,138 @@ def test_inv_spd_blocks(rng):
         np.testing.assert_allclose(
             prod, np.broadcast_to(np.eye(b), prod.shape), atol=2e-3
         )
+
+
+def _refine_problem(rng, n=64):
+    """A realistic joint flow+pose instance for the analytic-Jacobian A/B."""
+    from dynosam_tpu.core.camera import CameraParams
+    from dynosam_tpu.core.lie import SE3, se3_exp
+
+    cam = CameraParams(
+        fx=500.0, fy=500.0, cx=320.0, cy=240.0, width=640, height=480
+    )
+    kp = jnp.asarray(
+        rng.uniform([40, 40], [600, 440], (n, 2)), jnp.float32
+    )
+    depth = jnp.asarray(rng.uniform(4.0, 20.0, (n,)), jnp.float32)
+    X_prev = se3_exp(jnp.asarray(rng.normal(0, 0.05, (6,)), jnp.float32))
+    X_true = se3_exp(jnp.asarray(rng.normal(0, 0.05, (6,)), jnp.float32))
+    X_init = se3_exp(jnp.asarray(rng.normal(0, 0.02, (6,)), jnp.float32))
+    valid = jnp.asarray(rng.uniform(size=n) > 0.2)
+    return cam, kp, depth, X_prev, X_true, X_init, valid
+
+
+def test_flow_pose_analytic_jacobians_match_probing(rng):
+    """refine.optimize_flow_and_pose with analytic Jacobians must follow the
+    same LM trajectory as the jax.linearize probing path (identical normal
+    systems => identical accepted steps)."""
+    from dynosam_tpu.backend import small_schur as ss
+    from dynosam_tpu.frontend import refine
+    from dynosam_tpu.core.camera import backproject
+    from dynosam_tpu.core.lie import se3_apply
+
+    r = np.random.default_rng(3)
+    cam, kp, depth, X_prev, X_true, X_init, valid = _refine_problem(r)
+    p_w = se3_apply(X_prev, backproject(cam, kp, depth))
+    from dynosam_tpu.core.camera import project
+
+    uv_true, _ = project(cam, X_true, p_w)
+    flow = uv_true - kp + jnp.asarray(
+        r.normal(0, 0.3, kp.shape), jnp.float32
+    )
+
+    out_analytic = refine.optimize_flow_and_pose(
+        cam, X_init, X_prev, kp, depth, flow, valid
+    )
+
+    orig = ss.lm_optimize_eliminated
+
+    def no_jac(*args, **kwargs):
+        kwargs.pop("jacobian_fn", None)
+        return orig(*args, **kwargs)
+
+    ss_mod = refine.lm_optimize_eliminated
+    try:
+        refine.lm_optimize_eliminated = no_jac
+        out_probed = refine.optimize_flow_and_pose(
+            cam, X_init, X_prev, kp, depth, flow, valid
+        )
+    finally:
+        refine.lm_optimize_eliminated = ss_mod
+
+    np.testing.assert_allclose(
+        np.asarray(out_analytic.pose.t), np.asarray(out_probed.pose.t),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_analytic.pose.R), np.asarray(out_probed.pose.R),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_analytic.flow), np.asarray(out_probed.flow),
+        atol=2e-3,
+    )
+    assert (
+        np.asarray(out_analytic.inliers) == np.asarray(out_probed.inliers)
+    ).all()
+
+
+def test_motion_only_analytic_jacobians_match_probing(rng):
+    from dynosam_tpu.frontend import refine
+    from dynosam_tpu.core.lie import SE3, se3_apply, se3_exp
+    from dynosam_tpu.core.camera import project
+
+    r = np.random.default_rng(5)
+    cam, kp, depth, X_prev, X_cur, _, valid = _refine_problem(r)
+    n = kp.shape[0]
+    m_prev = jnp.asarray(
+        np.stack(
+            [
+                r.uniform(-4, 4, n),
+                r.uniform(-2, 2, n),
+                r.uniform(6, 18, n),
+            ],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
+    H_true = se3_exp(jnp.asarray(r.normal(0, 0.05, (6,)), jnp.float32))
+    H_init = se3_exp(jnp.asarray(r.normal(0, 0.04, (6,)), jnp.float32))
+    m_cur = se3_apply(H_true, m_prev)
+    uv_prev, _ = project(cam, X_prev, m_prev)
+    uv_cur, _ = project(cam, X_cur, m_cur)
+    uv_prev = uv_prev + jnp.asarray(r.normal(0, 0.3, (n, 2)), jnp.float32)
+    uv_cur = uv_cur + jnp.asarray(r.normal(0, 0.3, (n, 2)), jnp.float32)
+
+    out_analytic = refine.optimize_motion_only(
+        cam, H_init, X_prev, X_cur, m_prev, uv_prev, uv_cur, valid
+    )
+
+    from dynosam_tpu.backend import small_schur as ss
+
+    orig = ss.lm_optimize_eliminated
+
+    def no_jac(*args, **kwargs):
+        kwargs.pop("jacobian_fn", None)
+        return orig(*args, **kwargs)
+
+    saved = refine.lm_optimize_eliminated
+    try:
+        refine.lm_optimize_eliminated = no_jac
+        out_probed = refine.optimize_motion_only(
+            cam, H_init, X_prev, X_cur, m_prev, uv_prev, uv_cur, valid
+        )
+    finally:
+        refine.lm_optimize_eliminated = saved
+
+    np.testing.assert_allclose(
+        np.asarray(out_analytic.motion.t), np.asarray(out_probed.motion.t),
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_analytic.motion.R), np.asarray(out_probed.motion.R),
+        atol=5e-4,
+    )
+    assert (
+        np.asarray(out_analytic.inliers) == np.asarray(out_probed.inliers)
+    ).all()
