@@ -27,17 +27,24 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# 3x3/3-vec geometry products are tiny; run them at full f32 precision on
-# TPU (default matmul precision is bf16-class and visibly corrupts poses).
-_PREC = lax.Precision.HIGHEST
+# 3x3/3-vec geometry products are tiny; DON'T run them as matmuls on TPU.
+# A K=3 dot_general maps onto the 128-deep MXU at ~2% utilization, and the
+# HIGHEST-precision rule (default matmul precision is bf16-class and
+# visibly corrupts poses) sextuples that with 6 bf16 passes — measured
+# ~0.9 ms for ONE fused residual sweep over 2048 points.  Explicit
+# broadcast-multiply-reduce stays on the VPU in EXACT f32 (better than
+# HIGHEST, which only approximates f32) and is ~100x cheaper.
+_PREC = lax.Precision.HIGHEST  # kept for reference/external use
 
 
 def _mm(a, b):
-    return jnp.matmul(a, b, precision=_PREC)
+    """(..., 3, 3) @ (..., 3, 3) as broadcast mul + reduce (VPU, exact f32)."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
 
 
 def _mv(A, x):
-    return jnp.einsum("...ij,...j->...i", A, x, precision=_PREC)
+    """(..., 3, 3) @ (..., 3) as broadcast mul + reduce (VPU, exact f32)."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
 
 __all__ = [
     "SE3",

@@ -310,16 +310,22 @@ def frontend_step(
             (refined_uv[:, 0] >= 0.0) & (refined_uv[:, 0] <= wid - 1.0)
             & (refined_uv[:, 1] >= 0.0) & (refined_uv[:, 1] <= hgt - 1.0)
         )
-        lab = _mask_label_at(images.mask, refined_uv)
+        # one shared-position sample for (depth, label) at the refined
+        # keypoints; non-written rows keep the depth already sampled at
+        # their (unchanged) position — no full-pool resample
+        from ..ops.klt import sample_channels
+
+        d_ref, lab = sample_channels(
+            (images.depth, images.mask), ("bilinear", "nearest"), refined_uv
+        )
         wb = participated & fp.inliers & inb & (lab == 0) & ego_ok
         new_outlier = participated & ~wb & ego_ok
         s_uv_new = jnp.where(wb[:, None], refined_uv, trk.s_uv)
         trk = trk._replace(
             s_uv=s_uv_new, s_active=trk.s_active & ~new_outlier
         )
-        s_depth, s_dok = _depth_at(
-            images.depth, trk.s_uv, cfg.max_background_depth
-        )
+        s_depth = jnp.where(wb, d_ref, s_depth)
+        s_dok = (s_depth > 0.0) & (s_depth < cfg.max_background_depth)
         s_xyz = backproject(cam, trk.s_uv, s_depth)
         s_obs_ok = trk.s_active & s_dok
 
@@ -392,6 +398,7 @@ def frontend_step(
         uv_prev = prev_uv_d[idx]
         ref_uv = uv_cur
         wb = jnp.zeros_like(ok)
+        d_ref = jnp.zeros((idx.shape[0],), d_xyz.dtype)
         if cfg.refine_motion_with_joint_of and not first_frame:
             # joint optical-flow + pose refinement of G, treating the
             # object's points as static under the "virtual camera" G
@@ -414,14 +421,20 @@ def frontend_step(
             if cfg.joint_of_outlier_reject:
                 inl = jnp.where(ok_solved, fp.inliers, inl)
             # refined-keypoint write-back candidates (bounds + same-object
-            # mask label checked like `updateFrameOutliersWithResult`)
+            # mask label checked like `updateFrameOutliersWithResult`);
+            # depth is sampled in the SAME point-kernel call as the label
+            from ..ops.klt import sample_channels
+
             ref_uv = uv_prev + fp.flow
             hgt, wid = images.gray.shape
             inb = (
                 (ref_uv[:, 0] >= 0.0) & (ref_uv[:, 0] <= wid - 1.0)
                 & (ref_uv[:, 1] >= 0.0) & (ref_uv[:, 1] <= hgt - 1.0)
             )
-            lab_ok = _mask_label_at(images.mask, ref_uv) == trk.obj_labels[j]
+            d_ref, lab_o = sample_channels(
+                (images.depth, images.mask), ("bilinear", "nearest"), ref_uv
+            )
+            lab_ok = lab_o == trk.obj_labels[j]
             wb = part & fp.inliers & inb & lab_ok & ok_solved
             ref_uv = jnp.where(wb[:, None], ref_uv, uv_cur)
         # H_w = X_k ∘ G^-1 (ref: `ObjectMotionSovler`, MotionSolver.cc:492-511)
@@ -442,7 +455,7 @@ def frontend_step(
             )
             if cfg.refinement_3d_outlier_reject:
                 inl = jnp.where(ok_solved, mr.inliers, inl)
-        return H, inl, ok_solved, ref_uv, wb
+        return H, inl, ok_solved, ref_uv, wb, d_ref
 
     # Only the top-`max_active_objects` slots by point support actually run
     # the (expensive: RANSAC + two refinements, ~3 ms each) solve — the
@@ -460,7 +473,7 @@ def frontend_step(
         act = obj_ids
     idxs, oks = jax.vmap(gather_obj)(act)
     keys_o = jax.random.split(key_o, k_act)
-    H_act, obj_inl, solved_act, ref_uvs, wbs = jax.vmap(solve_obj)(
+    H_act, obj_inl, solved_act, ref_uvs, wbs, d_refs = jax.vmap(solve_obj)(
         act, idxs, oks, keys_o
     )
     if k_act < no:
@@ -499,7 +512,13 @@ def frontend_step(
     )
     d_uv_new = trk.d_uv.at[idx_flat].add(delta_uv)
     trk = trk._replace(d_uv=d_uv_new)
-    d_depth, d_dok = _depth_at(images.depth, trk.d_uv, cfg.max_object_depth)
+    # only written slots moved, and their depth was sampled alongside the
+    # label inside solve_obj — scatter it instead of resampling the pool
+    delta_d = jnp.where(
+        wb_flat, d_refs.reshape(-1) - d_depth[idx_flat], 0.0
+    )
+    d_depth = d_depth.at[idx_flat].add(delta_d)
+    d_dok = (d_depth > 0.0) & (d_depth < cfg.max_object_depth)
     d_xyz = backproject(cam, trk.d_uv, d_depth)
     d_obs_ok = trk.d_active & d_dok
     m_cur_w = se3_apply(X_k, d_xyz)

@@ -199,6 +199,30 @@ def flow_at(flow: jax.Array, uv: jax.Array) -> jax.Array:
     return jnp.stack([fx, fy], axis=-1)
 
 
+def sample_channels(imgs, modes, uv: jax.Array):
+    """Sample several (H, W) channels at SHARED positions in one call.
+
+    On TPU this is one point-kernel invocation (the per-query window/weight
+    build amortizes over channels — merging call sites that share `uv` is
+    the cheapest point-sampling optimization there is); elsewhere it
+    falls back to per-channel gathers.  Returns a list aligned with
+    `imgs`, dtypes preserved.
+    """
+    imgs = list(imgs)
+    if _tpu_point_query(imgs[0], uv):
+        from .pallas.point_sample import point_sample
+
+        out = point_sample(
+            jnp.stack([im.astype(jnp.float32) for im in imgs]),
+            uv, tuple(modes),
+        )
+        return [out[:, i].astype(im.dtype) for i, im in enumerate(imgs)]
+    return [
+        bilinear_sample(im, uv) if m == "bilinear" else nearest_at(im, uv)
+        for im, m in zip(imgs, modes)
+    ]
+
+
 def nearest_at(img: jax.Array, uv: jax.Array) -> jax.Array:
     """Nearest-neighbour sample (for label/mask images)."""
     if _tpu_point_query(img, uv):
