@@ -827,8 +827,10 @@ def lm_optimize_schur(
         pose_key = "L"
     specs = spec.robust
 
-    def build(vals):
-        res0 = residual_fn(vals)
+    def build(vals, res0):
+        # res0 = residual_fn(vals), carried by the LM loop: an accepted
+        # step's trial sweep doubles as the next linearization's residual
+        # evaluation (1 residual sweep per iteration instead of 2)
         sqrt_w = [
             robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
             else jnp.ones(r.shape[:-1], r.dtype)
@@ -839,23 +841,24 @@ def lm_optimize_schur(
     res_init = residual_fn(values)
     err_init = total_error(res_init, specs)
 
-    sys_shapes = jax.eval_shape(build, values)
+    sys_shapes = jax.eval_shape(build, values, res_init)
     sys0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), sys_shapes)
 
     def cond(state):
-        vals, sys_c, rebuild, lam, err, prev_err, it, done = state
+        vals, res_c, sys_c, rebuild, lam, err, prev_err, it, done = state
         return (it < lm_cfg.max_iterations) & (~done)
 
     def body(state):
-        vals, sys_c, rebuild, lam, err, prev_err, it, done = state
-        sys = jax.lax.cond(rebuild, lambda: build(vals), lambda: sys_c)
+        vals, res_c, sys_c, rebuild, lam, err, prev_err, it, done = state
+        sys = jax.lax.cond(rebuild, lambda: build(vals, res_c), lambda: sys_c)
         delta = schur_step(sys, lam, lm_cfg.diag_floor, chain_solver)
         delta = {
             "X": delta["X"], pose_key: delta["P"],
             "sp": delta["sp"], "dp": delta["dp"],
         }
         new_vals = retract_tree(vals, delta)
-        new_err = total_error(residual_fn(new_vals), specs)
+        new_res = residual_fn(new_vals)
+        new_err = total_error(new_res, specs)
         # a failed Cholesky (NaN step) must reject, not poison the state
         new_err = jnp.where(jnp.isfinite(new_err), new_err, jnp.inf)
         accept = new_err < err
@@ -863,6 +866,9 @@ def lm_optimize_schur(
         vals_out = jax.tree.map(
             lambda a, b_: jnp.where(accept, a, b_), new_vals, vals
         )
+        res_out = [
+            jnp.where(accept, a, b_) for a, b_ in zip(new_res, res_c)
+        ]
         err_out = jnp.where(accept, new_err, err)
         lam_out = jnp.where(
             accept,
@@ -874,14 +880,17 @@ def lm_optimize_schur(
         )
         abs_ok = jnp.abs(err - err_out) < lm_cfg.abs_error_tol
         done_out = (accept & (rel_ok | abs_ok)) | (lam_out >= lm_cfg.max_lambda)
-        return (vals_out, sys, accept, lam_out, err_out, err, it + 1, done_out)
+        return (
+            vals_out, res_out, sys, accept, lam_out, err_out, err, it + 1,
+            done_out,
+        )
 
     lam0 = jnp.asarray(lm_cfg.initial_lambda, jnp.float32)
     state = (
-        values, sys0, jnp.asarray(True), lam0, err_init, err_init,
-        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        values, list(res_init), sys0, jnp.asarray(True), lam0, err_init,
+        err_init, jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
-    vals, _, _, lam, err, _, iters, done = jax.lax.while_loop(
+    vals, _, _, _, lam, err, _, iters, done = jax.lax.while_loop(
         cond, body, state
     )
     return LMResult(

@@ -32,6 +32,16 @@ b + g batched JVPs, all vmapped into one program.
 Per-track inverses use closed-form adjugates (batched LU `linalg.inv` is
 serialization-bound on TPU — see `schur._inv3`); 6x6 blocks go through a
 3x3 block-Schur of adjugates.
+
+All contractions here are TINY (block dims b <= 6, global dim g <= 12,
+residual dim D <= 7): they run as broadcast multiply+reduce on the VPU in
+exact f32, NOT as einsums — a K<=7 dot_general occupies the 128-deep MXU
+at ~5% utilization and the HIGHEST-precision rule sextuples it with 6
+bf16 passes (see `core/lie.py`'s header note; the refiner while loops are
+iteration-latency-bound, so per-op fixed costs dominate).  The g x g
+Schur solve likewise uses the closed-form `ops.linalg.inv_spd` instead of
+`cho_factor` — under `vmap` (the per-object refiners) a batched Cholesky
+is a serialized LAPACK-style TPU kernel.
 """
 
 from __future__ import annotations
@@ -53,11 +63,31 @@ from .solver import (
     zero_delta,
 )
 
-_HP = jax.lax.Precision.HIGHEST
+# Broadcast mul+reduce forms of the solver's contractions (VPU, exact f32;
+# see module docstring).  Shapes are written with negative axes so the same
+# code traces unbatched (ego refiner) and under vmap (per-object refiners).
 
 
-def _hp(eq, *ops):
-    return jnp.einsum(eq, *ops, precision=_HP)
+def _gram(A, B):
+    """einsum("...ndb,...ndc->...nbc"): per-track Gram blocks."""
+    return jnp.sum(A[..., :, :, None] * B[..., :, None, :], axis=-3)
+
+
+def _gram_all(A, B):
+    """einsum("...ndg,...ndh->...gh"): Gram reduced over tracks too."""
+    return jnp.sum(
+        A[..., :, :, None] * B[..., :, None, :], axis=(-4, -3)
+    )
+
+
+def _jtr(A, r):
+    """einsum("...ndb,...nd->...nb"): per-track J^T r."""
+    return jnp.sum(A * r[..., None], axis=-2)
+
+
+def _mv(A, x):
+    """einsum("...bc,...c->...b")."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
 
 
 def lm_optimize_eliminated(
@@ -111,8 +141,10 @@ def lm_optimize_eliminated(
     def res_of(blocks, glob):
         return residual_fn({**blocks, **glob})
 
-    def linearize(blocks, glob):
-        res0 = res_of(blocks, glob)
+    def linearize(blocks, glob, res0):
+        # res0 = residual_fn at (blocks, glob), carried by the LM loop so an
+        # accepted step's trial sweep doubles as the next linearization's
+        # residual evaluation (1 sweep per iteration instead of 2)
         sqrt_w = [
             robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
             else jnp.ones(r.shape[:-1], r.dtype)
@@ -156,11 +188,11 @@ def lm_optimize_eliminated(
             Gc = jax.vmap(lambda e: jvp(zb, e))(jnp.eye(g, dtype=dtype))
             B = jnp.transpose(Bc, (1, 2, 0))             # (N, D, b)
             G = jnp.transpose(Gc, (1, 2, 0))             # (N, D, g)
-        U = _hp("ndb,ndc->nbc", B, B)
-        Wm = _hp("ndb,ndg->nbg", B, G)
-        V = _hp("ndg,ndh->gh", G, G)
-        gb = _hp("ndb,nd->nb", B, wr0)
-        gg = _hp("ndg,nd->g", G, wr0)
+        U = _gram(B, B)
+        Wm = _gram(B, G)
+        V = _gram_all(G, G)
+        gb = _jtr(B, wr0)
+        gg = jnp.sum(G * wr0[..., None], axis=(-3, -2))
         return U, Wm, V, gb, gg
 
     def step(lin, lam, floor):
@@ -175,42 +207,44 @@ def lm_optimize_eliminated(
         dv = jnp.diagonal(V)
         V_d = V + jnp.diag(lam * jnp.maximum(dv, floor) + 1e-8)
         Ui = _inv_spd(U_d)
-        WtUi = _hp("nbg,nbc->ngc", Wm, Ui)               # (N, g, b)
-        S = V_d - _hp("ngb,nbh->gh", WtUi, Wm)
-        rhs = gg - _hp("ngb,nb->g", WtUi, gb)
-        cho = jax.scipy.linalg.cho_factor(S)
-        dg = -jax.scipy.linalg.cho_solve(cho, rhs)
-        db = -_hp(
-            "nbc,nc->nb", Ui, gb + _hp("nbg,g->nb", Wm, dg)
+        WtUi = _gram(Wm, Ui)                             # (N, g, b)
+        S = V_d - jnp.sum(
+            WtUi[..., :, :, :, None] * Wm[..., :, None, :, :],
+            axis=(-4, -2),
         )
+        rhs = gg - jnp.sum(WtUi * gb[..., :, None, :], axis=(-3, -1))
+        dg = -_mv(_inv_spd(S), rhs)
+        db = -_mv(Ui, gb + jnp.sum(Wm * dg[..., None, None, :], axis=-1))
         return db, dg
 
     res_init = res_of(blocks0, glob0)
     err_init = total_error(res_init, specs)
     lin0 = jax.tree.map(
         lambda s: jnp.zeros(s.shape, s.dtype),
-        jax.eval_shape(linearize, blocks0, glob0),
+        jax.eval_shape(linearize, blocks0, glob0, res_init),
     )
 
     def cond(state):
-        _, _, _, _, lam, err, it, done = state
+        _, _, _, _, _, lam, err, it, done = state
         return (it < cfg.max_iterations) & (~done)
 
     def body(state):
-        blocks, glob, lin_c, rebuild, lam, err, it, done = state
+        blocks, glob, res_c, lin_c, rebuild, lam, err, it, done = state
         lin = jax.lax.cond(
-            rebuild, lambda: linearize(blocks, glob), lambda: lin_c
+            rebuild, lambda: linearize(blocks, glob, res_c), lambda: lin_c
         )
         db, dg = step(lin, lam, cfg.diag_floor)
         new_blocks = {k: blocks[k] + v for k, v in split_db(db).items()}
         new_glob = retract_tree(glob, unravel_g(dg))
-        new_err = total_error(res_of(new_blocks, new_glob), specs)
+        new_res = res_of(new_blocks, new_glob)
+        new_err = total_error(new_res, specs)
         new_err = jnp.where(jnp.isfinite(new_err), new_err, jnp.inf)
         accept = new_err < err
 
         sel = lambda a, b_: jnp.where(accept, a, b_)
         blocks_out = jax.tree.map(sel, new_blocks, blocks)
         glob_out = jax.tree.map(sel, new_glob, glob)
+        res_out = [sel(a, b_) for a, b_ in zip(new_res, res_c)]
         err_out = jnp.where(accept, new_err, err)
         lam_out = jnp.where(
             accept,
@@ -223,16 +257,16 @@ def lm_optimize_eliminated(
         abs_ok = jnp.abs(err - err_out) < cfg.abs_error_tol
         done_out = (accept & (rel_ok | abs_ok)) | (lam_out >= cfg.max_lambda)
         return (
-            blocks_out, glob_out, lin, accept, lam_out, err_out, it + 1,
-            done_out,
+            blocks_out, glob_out, res_out, lin, accept, lam_out, err_out,
+            it + 1, done_out,
         )
 
     lam0 = jnp.asarray(cfg.initial_lambda, jnp.float32)
     state = (
-        blocks0, glob0, lin0, jnp.asarray(True), lam0, err_init,
-        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        blocks0, glob0, list(res_init), lin0, jnp.asarray(True), lam0,
+        err_init, jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
-    blocks, glob, _, _, lam, err, iters, done = jax.lax.while_loop(
+    blocks, glob, _, _, _, lam, err, iters, done = jax.lax.while_loop(
         cond, body, state
     )
     return LMResult(

@@ -246,10 +246,9 @@ def optimize_motion_only(
                     [p_cam[..., :2], z_safe[..., None]], axis=-1
                 )
                 Jp = project_jacobian_point(cam, p_safe)    # (N, 2, 3)
-                JR = jnp.einsum(
-                    "nij,kj->nik", Jp, X.R,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                           # Jp @ R^T
+                # Jp @ R^T as broadcast mul+reduce (K=3 — VPU, exact f32;
+                # see core/lie.py header note)
+                JR = jnp.sum(Jp[..., :, None, :] * X.R, axis=-1)
                 return jnp.where(gate, JR / projection_sigma, 0.0)
 
             Zp23 = jnp.zeros((n, 2, 3), dt)
