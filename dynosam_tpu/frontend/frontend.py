@@ -85,8 +85,8 @@ class FrontendState(NamedTuple):
         )
 
 
-def _depth_at(depth: jax.Array, uv: jax.Array, max_depth: float):
-    d = bilinear_sample(depth, uv)
+def _depth_at(depth: jax.Array, uv: jax.Array, max_depth: float, valid=None):
+    d = bilinear_sample(depth, uv, valid)
     return d, (d > 0.0) & (d < max_depth)
 
 
@@ -137,8 +137,12 @@ def frontend_step(
     )
 
     # ---------------- depth association (`Frame::updateDepths`)
-    s_depth, s_dok = _depth_at(images.depth, trk.s_uv, cfg.max_background_depth)
-    d_depth, d_dok = _depth_at(images.depth, trk.d_uv, cfg.max_object_depth)
+    s_depth, s_dok = _depth_at(
+        images.depth, trk.s_uv, cfg.max_background_depth, trk.s_active
+    )
+    d_depth, d_dok = _depth_at(
+        images.depth, trk.d_uv, cfg.max_object_depth, trk.d_active
+    )
     s_xyz = backproject(cam, trk.s_uv, s_depth)
     d_xyz = backproject(cam, trk.d_uv, d_depth)
     s_obs_ok = trk.s_active & s_dok
@@ -240,7 +244,7 @@ def frontend_step(
             )
             ep_rel, ep_inl, ep_n = ep.rel_pose, ep.inliers, ep.n_inliers
         prev_d2, prev_d2ok = _depth_at(
-            prev_images.depth, prev_uv_s, cfg.max_background_depth
+            prev_images.depth, prev_uv_s, cfg.max_background_depth, corr2d
         )
         scale, _ = scale_from_depth(
             ep_rel,
@@ -275,7 +279,8 @@ def frontend_step(
 
     if cfg.refine_camera_pose_with_joint_of and not first_frame:
         prev_d, prev_dok = _depth_at(
-            prev_images.depth, prev_uv_s, cfg.max_background_depth
+            prev_images.depth, prev_uv_s, cfg.max_background_depth,
+            ego.inliers[:ns_pool],
         )
         participated = ego.inliers[:ns_pool] & prev_dok
         fp = refine.optimize_flow_and_pose(
@@ -316,7 +321,8 @@ def frontend_step(
         from ..ops.klt import sample_channels
 
         d_ref, lab = sample_channels(
-            (images.depth, images.mask), ("bilinear", "nearest"), refined_uv
+            (images.depth, images.mask), ("bilinear", "nearest"), refined_uv,
+            valid=participated & fp.inliers & ego_ok,
         )
         wb = participated & fp.inliers & inb & (lab == 0) & ego_ok
         new_outlier = participated & ~wb & ego_ok
@@ -369,7 +375,7 @@ def frontend_step(
 
     obj_ids = jnp.arange(no)
     d_depth_prev, _ = _depth_at(
-        prev_images.depth, prev_uv_d, cfg.max_object_depth
+        prev_images.depth, prev_uv_d, cfg.max_object_depth, prop
     )
 
     def solve_obj(j, idx, ok, k_obj):
@@ -432,7 +438,8 @@ def frontend_step(
                 & (ref_uv[:, 1] >= 0.0) & (ref_uv[:, 1] <= hgt - 1.0)
             )
             d_ref, lab_o = sample_channels(
-                (images.depth, images.mask), ("bilinear", "nearest"), ref_uv
+                (images.depth, images.mask), ("bilinear", "nearest"), ref_uv,
+                valid=part & fp.inliers & ok_solved,
             )
             lab_ok = lab_o == trk.obj_labels[j]
             wb = part & fp.inliers & inb & lab_ok & ok_solved

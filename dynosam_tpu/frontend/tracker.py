@@ -148,7 +148,7 @@ def track_frame(
             # dense-flow warm start: LK only polishes sub-pixel error, so
             # the pyramid/iteration budget shrinks (see TrackerConfig)
             if cfg.klt_flow_warm_start:
-                g0 = flow_at(flow_prev, state.s_uv)
+                g0 = flow_at(flow_prev, state.s_uv, state.s_active)
                 levels, iters = cfg.klt_warm_levels, cfg.klt_warm_iterations
             else:
                 g0 = None
@@ -183,7 +183,7 @@ def track_frame(
                 )
             s_uv, s_ok = res.uv, res.ok
         else:
-            s_uv = state.s_uv + flow_at(flow_prev, state.s_uv)
+            s_uv = state.s_uv + flow_at(flow_prev, state.s_uv, state.s_active)
             s_ok = state.s_active
         inb = (
             (s_uv[:, 0] >= cfg.shrink_col)
@@ -191,7 +191,7 @@ def track_frame(
             & (s_uv[:, 1] >= cfg.shrink_row)
             & (s_uv[:, 1] < h - cfg.shrink_row)
         )
-        on_bg = nearest_at(mask_cur, s_uv) == 0
+        on_bg = nearest_at(mask_cur, s_uv, state.s_active) == 0
         s_ok = s_ok & inb & on_bg & state.s_active
         # geometric verification (findHomography RANSAC analog)
         hkey = key if key is not None else jax.random.PRNGKey(0)
@@ -403,14 +403,14 @@ def track_frame(
     if first_frame:
         d_uv, d_ok = state.d_uv, jnp.zeros_like(state.d_active)
     else:
-        d_uv = state.d_uv + flow_at(flow_prev, state.d_uv)
+        d_uv = state.d_uv + flow_at(flow_prev, state.d_uv, state.d_active)
         inb_d = (
             (d_uv[:, 0] >= cfg.shrink_col)
             & (d_uv[:, 0] < w - cfg.shrink_col)
             & (d_uv[:, 1] >= cfg.shrink_row)
             & (d_uv[:, 1] < h - cfg.shrink_row)
         )
-        cur_label_at = nearest_at(mask_cur, d_uv)
+        cur_label_at = nearest_at(mask_cur, d_uv, state.d_active)
         my_label = jnp.where(
             state.d_obj >= 0, table[jnp.clip(state.d_obj, 0, table.shape[0] - 1)], -2
         )

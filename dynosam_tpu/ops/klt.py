@@ -60,13 +60,19 @@ def _tpu_point_query(img: jax.Array, xy: jax.Array) -> bool:
     )
 
 
-def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
-    """Sample (..., 2) float (x, y) locations from (H, W) image, clamped."""
+def bilinear_sample(
+    img: jax.Array, xy: jax.Array, valid: jax.Array | None = None
+) -> jax.Array:
+    """Sample (..., 2) float (x, y) locations from (H, W) image, clamped.
+
+    `valid` (same leading shape as xy[..., 0]) zeroes masked rows — on TPU
+    the point kernel SKIPS their window work entirely, so callers with
+    slot-pool masks should pass them."""
     if _tpu_point_query(img, xy):
         from .pallas.point_sample import point_sample
 
         return point_sample(
-            img[None], xy, ("bilinear",)
+            img[None], xy, ("bilinear",), valid=valid
         )[:, 0].astype(img.dtype)
     h, w = img.shape
     x = jnp.clip(xy[..., 0], 0.0, w - 1.0)
@@ -81,12 +87,15 @@ def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
     v01 = img[y0, x1]
     v10 = img[y1, x0]
     v11 = img[y1, x1]
-    return (
+    out = (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
         + v10 * (1 - fx) * fy
         + v11 * fx * fy
     )
+    if valid is not None:
+        out = jnp.where(valid, out, 0)   # match the kernel's skipped rows
+    return out
 
 
 class KLTResult(NamedTuple):
@@ -186,27 +195,30 @@ def klt_track(
     return KLTResult(uv=uv_cur, ok=ok, error=err)
 
 
-def flow_at(flow: jax.Array, uv: jax.Array) -> jax.Array:
+def flow_at(
+    flow: jax.Array, uv: jax.Array, valid: jax.Array | None = None
+) -> jax.Array:
     """Sample a dense flow field (H, W, 2) at feature locations (N, 2)."""
     if _tpu_point_query(flow[..., 0], uv):
         from .pallas.point_sample import point_sample
 
         return point_sample(
-            jnp.moveaxis(flow, -1, 0), uv, ("bilinear", "bilinear")
+            jnp.moveaxis(flow, -1, 0), uv, ("bilinear", "bilinear"),
+            valid=valid,
         ).astype(flow.dtype)
-    fx = bilinear_sample(flow[..., 0], uv)
-    fy = bilinear_sample(flow[..., 1], uv)
+    fx = bilinear_sample(flow[..., 0], uv, valid)
+    fy = bilinear_sample(flow[..., 1], uv, valid)
     return jnp.stack([fx, fy], axis=-1)
 
 
-def sample_channels(imgs, modes, uv: jax.Array):
+def sample_channels(imgs, modes, uv: jax.Array, valid: jax.Array | None = None):
     """Sample several (H, W) channels at SHARED positions in one call.
 
     On TPU this is one point-kernel invocation (the per-query window/weight
     build amortizes over channels — merging call sites that share `uv` is
     the cheapest point-sampling optimization there is); elsewhere it
     falls back to per-channel gathers.  Returns a list aligned with
-    `imgs`, dtypes preserved.
+    `imgs`, dtypes preserved.  Rows masked off by `valid` come back 0.
     """
     imgs = list(imgs)
     if _tpu_point_query(imgs[0], uv):
@@ -214,25 +226,31 @@ def sample_channels(imgs, modes, uv: jax.Array):
 
         out = point_sample(
             jnp.stack([im.astype(jnp.float32) for im in imgs]),
-            uv, tuple(modes),
+            uv, tuple(modes), valid=valid,
         )
         return [out[:, i].astype(im.dtype) for i, im in enumerate(imgs)]
     return [
-        bilinear_sample(im, uv) if m == "bilinear" else nearest_at(im, uv)
+        bilinear_sample(im, uv, valid) if m == "bilinear"
+        else nearest_at(im, uv, valid)
         for im, m in zip(imgs, modes)
     ]
 
 
-def nearest_at(img: jax.Array, uv: jax.Array) -> jax.Array:
+def nearest_at(
+    img: jax.Array, uv: jax.Array, valid: jax.Array | None = None
+) -> jax.Array:
     """Nearest-neighbour sample (for label/mask images)."""
     if _tpu_point_query(img, uv):
         from .pallas.point_sample import point_sample
 
         # int labels round-trip exactly through f32 below 2^24
         return point_sample(
-            img[None], uv, ("nearest",)
+            img[None], uv, ("nearest",), valid=valid
         )[:, 0].astype(img.dtype)
     h, w = img.shape
     x = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, w - 1)
     y = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, h - 1)
-    return img[y, x]
+    out = img[y, x]
+    if valid is not None:
+        out = jnp.where(valid, out, 0)
+    return out

@@ -70,7 +70,10 @@ def parse(out_dir, n_frames_per_rep):
     try:
         from xprof.protobuf import xplane_pb2
     except ImportError:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
+        try:
+            from tensorboard_plugin_profile.protobuf import xplane_pb2
+        except ImportError:
+            from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     pbs = sorted(glob.glob(
         os.path.join(out_dir, "**", "*.xplane.pb"), recursive=True
