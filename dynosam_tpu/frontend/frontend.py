@@ -277,66 +277,13 @@ def frontend_step(
         jnp.where(accept_ego, ego.pose.t, state.X_world.t),
     )
 
-    if cfg.refine_camera_pose_with_joint_of and not first_frame:
-        prev_d, prev_dok = _depth_at(
-            prev_images.depth, prev_uv_s, cfg.max_background_depth,
-            ego.inliers[:ns_pool],
-        )
-        participated = ego.inliers[:ns_pool] & prev_dok
-        fp = refine.optimize_flow_and_pose(
-            cam,
-            X_k,
-            state.X_world,
-            prev_uv_s,
-            prev_d,
-            trk.s_uv - prev_uv_s,
-            participated,
-            max_iterations=cfg.refinement_max_lm_iterations,
-            outlier_rounds=(
-                cfg.refinement_outlier_rounds
-                if cfg.joint_of_outlier_reject else 0
-            ),
-        )
-        X_k = SE3(
-            jnp.where(ego_ok, fp.pose.R, X_k.R),
-            jnp.where(ego_ok, fp.pose.t, X_k.t),
-        )
-        # ---- write the refined flow back into the frame/tracker state
-        # (`OpticalFlowAndPoseOptimizer::updateFrameOutliersWithResult`,
-        # MotionSolver.cc:289-362): inlier keypoints move to
-        # kp_{k-1} + refined_flow if they stay in-bounds and on the
-        # background mask; rejected tracks are marked outliers so the
-        # tracker replaces them.  Unlike the reference (which leaves the
-        # old depth attached to the moved keypoint) we re-sample depth at
-        # the refined keypoint — xyz and uv stay consistent.
-        refined_uv = prev_uv_s + fp.flow
-        hgt, wid = images.gray.shape
-        inb = (
-            (refined_uv[:, 0] >= 0.0) & (refined_uv[:, 0] <= wid - 1.0)
-            & (refined_uv[:, 1] >= 0.0) & (refined_uv[:, 1] <= hgt - 1.0)
-        )
-        # one shared-position sample for (depth, label) at the refined
-        # keypoints; non-written rows keep the depth already sampled at
-        # their (unchanged) position — no full-pool resample
-        from ..ops.klt import sample_channels
-
-        d_ref, lab = sample_channels(
-            (images.depth, images.mask), ("bilinear", "nearest"), refined_uv,
-            valid=participated & fp.inliers & ego_ok,
-        )
-        wb = participated & fp.inliers & inb & (lab == 0) & ego_ok
-        new_outlier = participated & ~wb & ego_ok
-        s_uv_new = jnp.where(wb[:, None], refined_uv, trk.s_uv)
-        trk = trk._replace(
-            s_uv=s_uv_new, s_active=trk.s_active & ~new_outlier
-        )
-        s_depth = jnp.where(wb, d_ref, s_depth)
-        s_dok = (s_depth > 0.0) & (s_depth < cfg.max_background_depth)
-        s_xyz = backproject(cam, trk.s_uv, s_depth)
-        s_obs_ok = trk.s_active & s_dok
-
     # ---------------- scene-flow dynamicity (`vision_tools::trackDynamic`)
-    # world scene flow of dynamic tracks seen at k-1 and k
+    # world scene flow of dynamic tracks seen at k-1 and k.  Runs BEFORE
+    # the joint-OF pose refinement (deviation from the reference's order:
+    # the classification/gating thresholds are meters/pixels-scale while
+    # the refinement moves X by sub-centimeter, and classifying first lets
+    # the ego and per-object flow+pose refiners run as ONE batched LM
+    # problem — see the fused-refine block below).
     prop = d_obs_ok & (trk.d_age > 0) & state.d_lmk_valid
     m_cur_w = se3_apply(X_k, d_xyz)
     sf = jnp.linalg.norm(m_cur_w - state.d_lmk, axis=-1)
@@ -378,14 +325,16 @@ def frontend_step(
         prev_images.depth, prev_uv_d, cfg.max_object_depth, prop
     )
 
-    def solve_obj(j, idx, ok, k_obj):
+    def ransac_obj(j, idx, ok, k_obj):
         p_prev_w = state.d_lmk[idx]
         uv_cur = trk.d_uv[idx]
         xyz_cur = d_xyz[idx]
         if cfg.use_motion_model_gating:
             # constant-velocity gating (`motionModelOutlierRejection3d2d`,
             # MotionSolver.cc:564-633): predict with last frame's motion and
-            # drop correspondences whose reprojection disagrees wildly
+            # drop correspondences whose reprojection disagrees wildly.
+            # Projects through the pre-refinement X_k (px-scale threshold;
+            # see the fused-refine note above).
             Hj_prev = SE3(state.obj_H_prev.R[j], state.obj_H_prev.t[j])
             pred_w = se3_apply(Hj_prev, p_prev_w)
             pred_uv, zpred = _project_world(cam, X_k, pred_w)
@@ -398,40 +347,158 @@ def frontend_step(
             threshold_px=cfg.object_solver.ransac_threshold_px,
             min_inliers=cfg.object_solver.min_inliers,
         )
-        ok_solved = res.status == STATUS_VALID
-        G = res.pose
-        inl = res.inliers
-        uv_prev = prev_uv_d[idx]
-        ref_uv = uv_cur
-        wb = jnp.zeros_like(ok)
-        d_ref = jnp.zeros((idx.shape[0],), d_xyz.dtype)
-        if cfg.refine_motion_with_joint_of and not first_frame:
-            # joint optical-flow + pose refinement of G, treating the
-            # object's points as static under the "virtual camera" G
-            # (`ObjectMotionSovler` joint OF stage, MotionSolver.cc:493-509)
-            dprev = d_depth_prev[idx]
-            part = inl & (dprev > 0.0)
-            fp = refine.optimize_flow_and_pose(
-                cam, G, state.X_world, uv_prev, dprev,
-                uv_cur - uv_prev, part,
+        return res.pose, res.inliers, res.status == STATUS_VALID
+
+    # Only the top-`max_active_objects` slots by point support actually run
+    # the (expensive: RANSAC + two refinements) solve — the analog of the
+    # reference solving only OBSERVED objects
+    # (`RGBDInstanceFrontendModule.cc:297-315` iterates the frame's
+    # object-observation map, not an id range).  Non-selected slots fall
+    # through to the existing hold/reinit pose logic.
+    k_act = min(cfg.max_active_objects, no)
+    if k_act < no:
+        score = jnp.where(
+            trk.obj_active & obj_is_dynamic, n_per_obj, -1
+        )
+        _, act = jax.lax.top_k(score, k_act)               # distinct slots
+    else:
+        act = obj_ids
+    idxs, oks = jax.vmap(gather_obj)(act)
+    keys_o = jax.random.split(key_o, k_act)
+    G_act, inl_act, solved_act = jax.vmap(ransac_obj)(act, idxs, oks, keys_o)
+
+    # ---------------- fused joint flow+pose refinement (ego + objects).
+    # The reference refines the camera pose and each object's "virtual
+    # camera" G with the SAME optimizer (`OpticalFlowAndPoseOptimizer`,
+    # MotionSolver.cc:289-362 / :493-509) one problem at a time.  The
+    # refiner while-loops are iteration-LATENCY bound on TPU, not
+    # FLOP-bound, so all (1 + k_act) problems run as ONE vmapped LM batch
+    # (track axes padded to a common width) at the latency of one.
+    run_ego_ref = cfg.refine_camera_pose_with_joint_of and not first_frame
+    run_obj_ref = cfg.refine_motion_with_joint_of and not first_frame
+    part_obj = inl_act & (d_depth_prev[idxs] > 0.0)
+    if run_ego_ref or run_obj_ref:
+        width = max(ns_pool if run_ego_ref else 0, dpo if run_obj_ref else 0)
+
+        def _padw(a, fill):
+            pad = [(0, 0), (0, width - a.shape[1])]
+            pad += [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, pad, constant_values=fill)
+
+        Rs, ts, kps, dps, fls, vas = [], [], [], [], [], []
+        if run_ego_ref:
+            prev_d, prev_dok = _depth_at(
+                prev_images.depth, prev_uv_s, cfg.max_background_depth,
+                ego.inliers[:ns_pool],
+            )
+            participated = ego.inliers[:ns_pool] & prev_dok
+            Rs.append(X_k.R[None])
+            ts.append(X_k.t[None])
+            kps.append(_padw(prev_uv_s[None], 0.0))
+            dps.append(_padw(prev_d[None], 0.0))
+            fls.append(_padw((trk.s_uv - prev_uv_s)[None], 0.0))
+            vas.append(_padw(participated[None], False))
+        if run_obj_ref:
+            uv_prev_o = prev_uv_d[idxs]                    # (k_act, dpo, 2)
+            Rs.append(G_act.R)
+            ts.append(G_act.t)
+            kps.append(_padw(uv_prev_o, 0.0))
+            dps.append(_padw(d_depth_prev[idxs], 0.0))
+            fls.append(_padw(trk.d_uv[idxs] - uv_prev_o, 0.0))
+            vas.append(_padw(part_obj, False))
+
+        def _one(Xi_R, Xi_t, kp, dp, fl, va):
+            return refine.optimize_flow_and_pose(
+                cam, SE3(Xi_R, Xi_t), state.X_world, kp, dp, fl, va,
                 max_iterations=cfg.refinement_max_lm_iterations,
                 outlier_rounds=(
                     cfg.refinement_outlier_rounds
                     if cfg.joint_of_outlier_reject else 0
                 ),
             )
+
+        fp_all = jax.vmap(_one)(
+            jnp.concatenate(Rs), jnp.concatenate(ts),
+            jnp.concatenate(kps), jnp.concatenate(dps),
+            jnp.concatenate(fls), jnp.concatenate(vas),
+        )
+    o0 = 1 if run_ego_ref else 0
+
+    if run_ego_ref:
+        fp_pose = SE3(fp_all.pose.R[0], fp_all.pose.t[0])
+        fp_flow = fp_all.flow[0, :ns_pool]
+        fp_inl = fp_all.inliers[0, :ns_pool]
+        X_k = SE3(
+            jnp.where(ego_ok, fp_pose.R, X_k.R),
+            jnp.where(ego_ok, fp_pose.t, X_k.t),
+        )
+        # ---- write the refined flow back into the frame/tracker state
+        # (`OpticalFlowAndPoseOptimizer::updateFrameOutliersWithResult`,
+        # MotionSolver.cc:289-362): inlier keypoints move to
+        # kp_{k-1} + refined_flow if they stay in-bounds and on the
+        # background mask; rejected tracks are marked outliers so the
+        # tracker replaces them.  Unlike the reference (which leaves the
+        # old depth attached to the moved keypoint) we re-sample depth at
+        # the refined keypoint — xyz and uv stay consistent.
+        refined_uv = prev_uv_s + fp_flow
+        hgt, wid = images.gray.shape
+        inb = (
+            (refined_uv[:, 0] >= 0.0) & (refined_uv[:, 0] <= wid - 1.0)
+            & (refined_uv[:, 1] >= 0.0) & (refined_uv[:, 1] <= hgt - 1.0)
+        )
+        # one shared-position sample for (depth, label) at the refined
+        # keypoints; non-written rows keep the depth already sampled at
+        # their (unchanged) position — no full-pool resample
+        from ..ops.klt import sample_channels
+
+        d_ref, lab = sample_channels(
+            (images.depth, images.mask), ("bilinear", "nearest"), refined_uv,
+            valid=participated & fp_inl & ego_ok,
+        )
+        wb = participated & fp_inl & inb & (lab == 0) & ego_ok
+        new_outlier = participated & ~wb & ego_ok
+        s_uv_new = jnp.where(wb[:, None], refined_uv, trk.s_uv)
+        trk = trk._replace(
+            s_uv=s_uv_new, s_active=trk.s_active & ~new_outlier
+        )
+        s_depth = jnp.where(wb, d_ref, s_depth)
+        s_dok = (s_depth > 0.0) & (s_depth < cfg.max_background_depth)
+        s_xyz = backproject(cam, trk.s_uv, s_depth)
+        s_obs_ok = trk.s_active & s_dok
+
+    if run_obj_ref:
+        fpo_R = fp_all.pose.R[o0:]
+        fpo_t = fp_all.pose.t[o0:]
+        fpo_flow = fp_all.flow[o0:, :dpo]
+        fpo_inl = fp_all.inliers[o0:, :dpo]
+    else:
+        fpo_R = jnp.broadcast_to(
+            jnp.eye(3, dtype=X_k.R.dtype), (k_act, 3, 3)
+        )
+        fpo_t = jnp.zeros((k_act, 3), X_k.t.dtype)
+        fpo_flow = jnp.zeros((k_act, dpo, 2), trk.d_uv.dtype)
+        fpo_inl = jnp.zeros((k_act, dpo), bool)
+
+    def post_obj(j, idx, ok, G, inl, ok_solved, part, fR, ft, fflow, finl):
+        p_prev_w = state.d_lmk[idx]
+        uv_cur = trk.d_uv[idx]
+        uv_prev = prev_uv_d[idx]
+        ref_uv = uv_cur
+        wb = jnp.zeros_like(ok)
+        d_ref = jnp.zeros((idx.shape[0],), d_xyz.dtype)
+        if run_obj_ref:
             G = SE3(
-                jnp.where(ok_solved, fp.pose.R, G.R),
-                jnp.where(ok_solved, fp.pose.t, G.t),
+                jnp.where(ok_solved, fR, G.R),
+                jnp.where(ok_solved, ft, G.t),
             )
             if cfg.joint_of_outlier_reject:
-                inl = jnp.where(ok_solved, fp.inliers, inl)
+                inl = jnp.where(ok_solved, finl, inl)
             # refined-keypoint write-back candidates (bounds + same-object
             # mask label checked like `updateFrameOutliersWithResult`);
             # depth is sampled in the SAME point-kernel call as the label
             from ..ops.klt import sample_channels
 
-            ref_uv = uv_prev + fp.flow
+            ref_uv = uv_prev + fflow
             hgt, wid = images.gray.shape
             inb = (
                 (ref_uv[:, 0] >= 0.0) & (ref_uv[:, 0] <= wid - 1.0)
@@ -439,10 +506,10 @@ def frontend_step(
             )
             d_ref, lab_o = sample_channels(
                 (images.depth, images.mask), ("bilinear", "nearest"), ref_uv,
-                valid=part & fp.inliers & ok_solved,
+                valid=part & finl & ok_solved,
             )
             lab_ok = lab_o == trk.obj_labels[j]
-            wb = part & fp.inliers & inb & lab_ok & ok_solved
+            wb = part & finl & inb & lab_ok & ok_solved
             ref_uv = jnp.where(wb[:, None], ref_uv, uv_cur)
         # H_w = X_k ∘ G^-1 (ref: `ObjectMotionSovler`, MotionSolver.cc:492-511)
         H = se3_compose(X_k, se3_inverse(G))
@@ -462,26 +529,11 @@ def frontend_step(
             )
             if cfg.refinement_3d_outlier_reject:
                 inl = jnp.where(ok_solved, mr.inliers, inl)
-        return H, inl, ok_solved, ref_uv, wb, d_ref
+        return H, inl, ref_uv, wb, d_ref
 
-    # Only the top-`max_active_objects` slots by point support actually run
-    # the (expensive: RANSAC + two refinements, ~3 ms each) solve — the
-    # analog of the reference solving only OBSERVED objects
-    # (`RGBDInstanceFrontendModule.cc:297-315` iterates the frame's
-    # object-observation map, not an id range).  Non-selected slots fall
-    # through to the existing hold/reinit pose logic.
-    k_act = min(cfg.max_active_objects, no)
-    if k_act < no:
-        score = jnp.where(
-            trk.obj_active & obj_is_dynamic, n_per_obj, -1
-        )
-        _, act = jax.lax.top_k(score, k_act)               # distinct slots
-    else:
-        act = obj_ids
-    idxs, oks = jax.vmap(gather_obj)(act)
-    keys_o = jax.random.split(key_o, k_act)
-    H_act, obj_inl, solved_act, ref_uvs, wbs, d_refs = jax.vmap(solve_obj)(
-        act, idxs, oks, keys_o
+    H_act, obj_inl, ref_uvs, wbs, d_refs = jax.vmap(post_obj)(
+        act, idxs, oks, G_act, inl_act, solved_act, part_obj,
+        fpo_R, fpo_t, fpo_flow, fpo_inl,
     )
     if k_act < no:
         # expand to the full slot axis (top_k indices are distinct, so
