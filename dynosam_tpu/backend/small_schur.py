@@ -53,6 +53,7 @@ import jax.flatten_util
 import jax.numpy as jnp
 
 from ..ops.linalg import inv_spd as _inv_spd
+from ..ops.linalg import inv_spd_lanes as _inv_spd_lanes
 from ..ops.robust import robust_sqrt_weights
 from .solver import (
     LMConfig,
@@ -64,25 +65,19 @@ from .solver import (
 )
 
 # Broadcast mul+reduce forms of the solver's contractions (VPU, exact f32;
-# see module docstring).  Shapes are written with negative axes so the same
-# code traces unbatched (ego refiner) and under vmap (per-object refiners).
+# see module docstring).  Per-track quantities are kept LANE-MAJOR (the
+# track axis N minor): the tiny b x b / b x g block minors tile at ~b/128
+# lane utilization and force XLA to interleave relayout copies, while
+# (..., b, c, N) keeps every op at full 128-lane occupancy (the frontend
+# motion-only refiner's LM iteration measured ~950us/iter block-major vs
+# ~60us for the equivalently-sized flow+pose problem — BENCH_NOTES
+# session 5).  Shapes use negative axes so the same code traces unbatched
+# (ego refiner) and under vmap (per-object refiners).
 
 
-def _gram(A, B):
-    """einsum("...ndb,...ndc->...nbc"): per-track Gram blocks."""
-    return jnp.sum(A[..., :, :, None] * B[..., :, None, :], axis=-3)
-
-
-def _gram_all(A, B):
-    """einsum("...ndg,...ndh->...gh"): Gram reduced over tracks too."""
-    return jnp.sum(
-        A[..., :, :, None] * B[..., :, None, :], axis=(-4, -3)
-    )
-
-
-def _jtr(A, r):
-    """einsum("...ndb,...nd->...nb"): per-track J^T r."""
-    return jnp.sum(A * r[..., None], axis=-2)
+def _gram_lanes(A, B):
+    """(..., D, b, N) x (..., D, c, N) -> (..., b, c, N)."""
+    return jnp.sum(A[..., :, :, None, :] * B[..., :, None, :, :], axis=-4)
 
 
 def _mv(A, x):
@@ -188,11 +183,17 @@ def lm_optimize_eliminated(
             Gc = jax.vmap(lambda e: jvp(zb, e))(jnp.eye(g, dtype=dtype))
             B = jnp.transpose(Bc, (1, 2, 0))             # (N, D, b)
             G = jnp.transpose(Gc, (1, 2, 0))             # (N, D, g)
-        U = _gram(B, B)
-        Wm = _gram(B, G)
-        V = _gram_all(G, G)
-        gb = _jtr(B, wr0)
-        gg = jnp.sum(G * wr0[..., None], axis=(-3, -2))
+        # -> lane-major: track axis minor for every per-track quantity
+        Bl = jnp.moveaxis(B, -3, -1)                     # (..., D, b, N)
+        Gl = jnp.moveaxis(G, -3, -1)                     # (..., D, g, N)
+        wl = jnp.moveaxis(wr0, -2, -1)                   # (..., D, N)
+        U = _gram_lanes(Bl, Bl)                          # (..., b, b, N)
+        Wm = _gram_lanes(Bl, Gl)                         # (..., b, g, N)
+        V = jnp.sum(
+            Gl[..., :, :, None, :] * Gl[..., :, None, :, :], axis=(-4, -1)
+        )                                                # (..., g, g)
+        gb = jnp.sum(Bl * wl[..., :, None, :], axis=-3)  # (..., b, N)
+        gg = jnp.sum(Gl * wl[..., :, None, :], axis=(-3, -1))
         return U, Wm, V, gb, gg
 
     def step(lin, lam, floor):
@@ -200,21 +201,28 @@ def lm_optimize_eliminated(
         # absolute epsilon keeps fully-masked (all-zero) track blocks
         # invertible without NaN adjugates; 1e-8 is far below any active
         # block's whitened curvature
-        du = jnp.diagonal(U, axis1=-2, axis2=-1)
+        du = jnp.einsum("...iin->...in", U)              # (..., b, N)
         U_d = U + (
             lam * jnp.maximum(du, floor) + 1e-8
-        )[..., None] * jnp.eye(b, dtype=U.dtype)
+        )[..., :, None, :] * jnp.eye(b, dtype=U.dtype)[..., :, :, None]
         dv = jnp.diagonal(V)
         V_d = V + jnp.diag(lam * jnp.maximum(dv, floor) + 1e-8)
-        Ui = _inv_spd(U_d)
-        WtUi = _gram(Wm, Ui)                             # (N, g, b)
+        Ui = _inv_spd_lanes(U_d)                         # (..., b, b, N)
+        # WtUi[g, c, n] = sum_b Wm[b, g, n] Ui[b, c, n]
+        WtUi = jnp.sum(
+            Wm[..., :, :, None, :] * Ui[..., :, None, :, :], axis=-4
+        )                                                # (..., g, b, N)
+        # S[g, h] = V_d[g, h] - sum_{b, n} WtUi[g, b, n] Wm[b, h, n]
         S = V_d - jnp.sum(
-            WtUi[..., :, :, :, None] * Wm[..., :, None, :, :],
-            axis=(-4, -2),
+            WtUi[..., :, :, None, :] * Wm[..., None, :, :, :],
+            axis=(-3, -1),
         )
-        rhs = gg - jnp.sum(WtUi * gb[..., :, None, :], axis=(-3, -1))
+        rhs = gg - jnp.sum(WtUi * gb[..., None, :, :], axis=(-2, -1))
         dg = -_mv(_inv_spd(S), rhs)
-        db = -_mv(Ui, gb + jnp.sum(Wm * dg[..., None, None, :], axis=-1))
+        # t1[b, n] = gb[b, n] + sum_h Wm[b, h, n] dg[h]
+        t1 = gb + jnp.sum(Wm * dg[..., None, :, None], axis=-2)
+        dbl = -jnp.sum(Ui * t1[..., None, :, :], axis=-2)
+        db = jnp.moveaxis(dbl, -1, -2)                   # (..., N, b)
         return db, dg
 
     res_init = res_of(blocks0, glob0)

@@ -205,22 +205,31 @@ def optimize_motion_only(
     """
     m_cur_init = se3_apply(H_init, m_prev_world)
 
+    # both reprojection terms (X_prev->mp, X_cur->mc) evaluate as ONE
+    # stacked computation — the refiner loop is per-op latency-bound, so
+    # halving the op count matters more than the (tiny) extra width.
+    # Singleton point axis so SE3 batch dims broadcast against N.
+    Xs = SE3(
+        jnp.stack([X_prev.R, X_cur.R])[:, None],
+        jnp.stack([X_prev.t, X_cur.t])[:, None],
+    )
+    uvs = jnp.stack([uv_prev, uv_cur])
+
     def resid_with(active):
         amask = active[:, None]
 
         def resid(values):
             mp, mc, H = values["mp"], values["mc"], values["H"]
-            rp_prev, zp = factors.reprojection_residual(X_prev, mp, uv_prev, cam)
-            rp_cur, zc = factors.reprojection_residual(X_cur, mc, uv_cur, cam)
-            rp_prev = jnp.where(
-                amask & (zp > 0.01)[:, None], rp_prev / projection_sigma, 0.0
+            rp, zz = factors.reprojection_residual(
+                Xs, jnp.stack([mp, mc]), uvs, cam
             )
-            rp_cur = jnp.where(
-                amask & (zc > 0.01)[:, None], rp_cur / projection_sigma, 0.0
+            rp = jnp.where(
+                amask[None] & (zz > 0.01)[..., None],
+                rp / projection_sigma, 0.0,
             )
             r_tern = factors.landmark_motion_ternary_residual(mp, mc, H)
             r_tern = jnp.where(amask, r_tern / landmark_motion_sigma, 0.0)
-            return [rp_prev, rp_cur, r_tern]
+            return [rp[0], rp[1], r_tern]
 
         return resid
 
@@ -237,23 +246,26 @@ def optimize_motion_only(
             n = mp.shape[0]
             dt = mp.dtype
 
-            def proj_block(X, m):
-                p_cam = se3_apply(se3_inverse(X), m)
-                z = p_cam[..., 2]
-                gate = (active & (z > 0.01))[:, None, None]
-                z_safe = jnp.where(z > 0.01, z, 1.0)
-                p_safe = jnp.concatenate(
-                    [p_cam[..., :2], z_safe[..., None]], axis=-1
-                )
-                Jp = project_jacobian_point(cam, p_safe)    # (N, 2, 3)
-                # Jp @ R^T as broadcast mul+reduce (K=3 — VPU, exact f32;
-                # see core/lie.py header note)
-                JR = jnp.sum(Jp[..., :, None, :] * X.R, axis=-1)
-                return jnp.where(gate, JR / projection_sigma, 0.0)
+            # stacked projection blocks (see the resid note): one pass for
+            # (X_prev, mp) and (X_cur, mc)
+            p_cam = se3_apply(se3_inverse(Xs), jnp.stack([mp, mc]))
+            z = p_cam[..., 2]
+            gate = (active[None] & (z > 0.01))[..., None, None]
+            z_safe = jnp.where(z > 0.01, z, 1.0)
+            p_safe = jnp.concatenate(
+                [p_cam[..., :2], z_safe[..., None]], axis=-1
+            )
+            Jp = project_jacobian_point(cam, p_safe)        # (2, N, 2, 3)
+            # Jp @ R^T as broadcast mul+reduce (K=3 — VPU, exact f32;
+            # see core/lie.py header note)
+            JR = jnp.sum(
+                Jp[..., :, None, :] * Xs.R[..., None, :, :], axis=-1
+            )
+            PB = jnp.where(gate, JR / projection_sigma, 0.0)
 
             Zp23 = jnp.zeros((n, 2, 3), dt)
-            B_prev = jnp.concatenate([proj_block(X_prev, mp), Zp23], axis=-1)
-            B_cur = jnp.concatenate([Zp23, proj_block(X_cur, mc)], axis=-1)
+            B_prev = jnp.concatenate([PB[0], Zp23], axis=-1)
+            B_cur = jnp.concatenate([Zp23, PB[1]], axis=-1)
             G_26 = jnp.zeros((n, 2, 6), dt)
 
             amask = active[:, None, None]
