@@ -69,9 +69,9 @@ def bilinear_sample(
     the point kernel SKIPS their window work entirely, so callers with
     slot-pool masks should pass them."""
     if _tpu_point_query(img, xy):
-        from .pallas.point_sample import point_sample
+        from .onehot_sample import point_sample_mxu
 
-        return point_sample(
+        return point_sample_mxu(
             img[None], xy, ("bilinear",), valid=valid
         )[:, 0].astype(img.dtype)
     h, w = img.shape
@@ -200,9 +200,9 @@ def flow_at(
 ) -> jax.Array:
     """Sample a dense flow field (H, W, 2) at feature locations (N, 2)."""
     if _tpu_point_query(flow[..., 0], uv):
-        from .pallas.point_sample import point_sample
+        from .onehot_sample import point_sample_mxu
 
-        return point_sample(
+        return point_sample_mxu(
             jnp.moveaxis(flow, -1, 0), uv, ("bilinear", "bilinear"),
             valid=valid,
         ).astype(flow.dtype)
@@ -222,9 +222,9 @@ def sample_channels(imgs, modes, uv: jax.Array, valid: jax.Array | None = None):
     """
     imgs = list(imgs)
     if _tpu_point_query(imgs[0], uv):
-        from .pallas.point_sample import point_sample
+        from .onehot_sample import point_sample_mxu
 
-        out = point_sample(
+        out = point_sample_mxu(
             jnp.stack([im.astype(jnp.float32) for im in imgs]),
             uv, tuple(modes), valid=valid,
         )
@@ -241,10 +241,11 @@ def nearest_at(
 ) -> jax.Array:
     """Nearest-neighbour sample (for label/mask images)."""
     if _tpu_point_query(img, uv):
-        from .pallas.point_sample import point_sample
+        from .onehot_sample import point_sample_mxu
 
-        # int labels round-trip exactly through f32 below 2^24
-        return point_sample(
+        # int labels round-trip exactly through f32 below 2^16 (the
+        # one-hot sampler's hi/lo split carries 16 mantissa bits)
+        return point_sample_mxu(
             img[None], uv, ("nearest",), valid=valid
         )[:, 0].astype(img.dtype)
     h, w = img.shape

@@ -146,6 +146,51 @@ def test_point_sample_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got[:, 3]), fy, rtol=1e-5, atol=1e-4)
 
 
+def test_onehot_sampler_matches_xla(rng):
+    """One-hot MXU sampler (`ops/onehot_sample.py`, the TPU production
+    point-query path) == bilinear_sample / nearest_at XLA semantics,
+    incl. border-clamped coords, valid masking and vmap."""
+    from dynosam_tpu.ops.klt import bilinear_sample, nearest_at
+    from dynosam_tpu.ops.onehot_sample import point_sample_mxu
+
+    h, w = 96, 160
+    img = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 9, (h, w)), jnp.int32)
+    uv = jnp.concatenate([
+        jnp.asarray(rng.uniform([0, 0], [w - 1, h - 1], (40, 2)), jnp.float32),
+        jnp.asarray([[0.0, 0.0], [w - 1.0, h - 1.0], [-3.0, 5.0],
+                     [w + 4.0, h + 2.0], [2.25, h - 1.0]], jnp.float32),
+    ])
+    got = point_sample_mxu(
+        jnp.stack([img, mask.astype(jnp.float32)]), uv,
+        ("bilinear", "nearest"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[:, 0]), np.asarray(bilinear_sample(img, uv)),
+        rtol=1e-4, atol=2e-2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got[:, 1]).astype(np.int32), np.asarray(nearest_at(mask, uv))
+    )
+    # valid masking zeroes rows (incl. NaN coords)
+    valid = jnp.asarray(rng.uniform(size=uv.shape[0]) > 0.4)
+    uv_bad = uv.at[0].set(jnp.nan)
+    vbad = valid.at[0].set(False)
+    got_m = point_sample_mxu(img[None], uv_bad, ("bilinear",), valid=vbad)
+    assert np.all(np.isfinite(np.asarray(got_m)))
+    np.testing.assert_array_equal(np.asarray(got_m[~np.asarray(vbad), 0]), 0.0)
+    # vmapped (the per-object solve path shape)
+    uvv = jnp.asarray(rng.uniform([0, 0], [w - 1, h - 1], (4, 24, 2)),
+                      jnp.float32)
+    gv = jax.vmap(
+        lambda u: point_sample_mxu(
+            mask.astype(jnp.float32)[None], u, ("nearest",))[:, 0]
+    )(uvv)
+    wv = jax.vmap(lambda u: nearest_at(mask, u))(uvv)
+    np.testing.assert_array_equal(np.asarray(gv).astype(np.int32),
+                                  np.asarray(wv))
+
+
 def test_point_sample_kernel_under_vmap(rng):
     """vmapped point_sample (the per-object solve path shape) matches
     per-lane XLA sampling."""
