@@ -90,10 +90,21 @@ def values_shardings(mesh: Mesh, formulation: int = 0) -> dict:
 
 
 def shard_map_data(m: MeasurementMap, mesh: Mesh) -> MeasurementMap:
-    """Place a measurement map onto the mesh with the canonical shardings."""
+    """Place a measurement map onto the mesh with the canonical shardings.
+
+    Arrays that are already multi-process global (fed per-host via
+    `multihost.feed_measurement_map`) pass through untouched — device_put
+    cannot re-place a non-addressable array.
+    """
     sh = map_shardings(mesh)
+
+    def put(x, s):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x
+        return jax.device_put(x, s)
+
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, s), m, sh,
+        put, m, sh,
         is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
     )
 

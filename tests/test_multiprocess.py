@@ -1,0 +1,80 @@
+"""Multi-process distributed-solve equivalence (real process boundaries).
+
+Spawns N=2 real worker processes (CPU platform, 1 device each) that join a
+`jax.distributed` cluster, feed host-local keyframe blocks through
+`jax.make_array_from_process_local_data`, run the frame-sharded SPIKE
+direct-Schur solve over the DCN-aware global mesh, and compare against the
+single-process solve — in f64, to ~1e-6 (reduction order is the only
+difference).  This proves the process-boundary logic of SURVEY §2.31/§5.8
+the same way the 8-device virtual mesh proves the collective logic.
+
+The workers are `dynosam_tpu.parallel.mp_worker`; they force the CPU
+platform via `jax.config` (the conftest pattern), so this runs regardless
+of the session's TPU plugin.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _spawn_workers(n: int, updater: int, tmp_path, timeout=420):
+    port = _free_port()
+    procs, outs = [], []
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # workers pick their platform themselves; scrub any forced device count
+    env.pop("XLA_FLAGS", None)
+    for i in range(n):
+        out = tmp_path / f"verdict_{updater}_{i}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "dynosam_tpu.parallel.mp_worker",
+                    "--process-id", str(i), "--num-processes", str(n),
+                    "--port", str(port), "--out", str(out),
+                    "--updater", str(updater),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                cwd=REPO,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    return [json.loads(o.read_text()) for o in outs]
+
+
+@pytest.mark.parametrize("updater", [0, 1])
+def test_two_process_schur_equivalence(updater, tmp_path):
+    verdicts = _spawn_workers(2, updater, tmp_path)
+    for v in verdicts:
+        assert v["num_processes"] == 2 and v["n_devices"] == 2
+        assert v["x64"] is True
+        # f64: process sharding must be numerically invisible
+        assert v["max_abs_dX_t"] < 1e-6, v
+        assert v["rel_derr"] < 1e-6, v
+        assert v["ok"], v
