@@ -27,9 +27,17 @@ def _read_object_log(path: str):
     """-> dict object_id -> (frame_ids, est (N,4,4), gt (N,4,4)|None)."""
     from scipy.spatial.transform import Rotation
 
-    rows = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
-    if rows.size == 0:
+    # rows are ragged: objects without GT in a frame log 9 columns, with GT
+    # 16 — pad the short ones with NaN so both coexist in one file
+    with open(path) as f:
+        lines = [ln.strip() for ln in f.readlines()[1:] if ln.strip()]
+    if not lines:
         return {}
+    parsed = []
+    for ln in lines:
+        v = [float(x) for x in ln.split(",")]
+        parsed.append(v + [np.nan] * (16 - len(v)))
+    rows = np.asarray(parsed, np.float64)
     out = {}
     for obj in np.unique(rows[:, 1]).astype(int):
         sel = rows[rows[:, 1] == obj]
@@ -41,8 +49,14 @@ def _read_object_log(path: str):
             T[:, :3, :3] = Rotation.from_quat(block[:, 3:7]).as_matrix()
             return T
 
-        est = to_T(sel[:, 2:9])
-        gt = to_T(sel[:, 9:16]) if sel.shape[1] >= 16 else None
+        has_gt = np.isfinite(sel[:, 9:16]).all(axis=1)
+        if has_gt.any():
+            # keep only GT-paired rows so est/gt stay aligned
+            sel, frames = sel[has_gt], frames[has_gt]
+            est = to_T(sel[:, 2:9])
+            gt = to_T(sel[:, 9:16])
+        else:
+            est, gt = to_T(sel[:, 2:9]), None
         out[int(obj)] = (frames, est, gt)
     return out
 

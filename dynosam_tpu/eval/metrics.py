@@ -86,9 +86,22 @@ def umeyama_alignment(est_t: np.ndarray, gt_t: np.ndarray, with_scale=False):
 
 
 def ate(
-    est: np.ndarray, gt: np.ndarray, align: bool = True
+    est: np.ndarray,
+    gt: np.ndarray,
+    align: bool = True,
+    align_mode: str = "umeyama",
 ) -> Dict[str, object]:
-    """Absolute trajectory error (translation, meters).  est/gt: (N,4,4)."""
+    """Absolute trajectory error (translation, meters).  est/gt: (N,4,4).
+
+    `align_mode="umeyama"` (default) is evo-APE parity: one position
+    Umeyama fit, exactly what the reference's evaluation computes
+    (`evaluation_lib.py:575-683`) — reported numbers are comparable with
+    the reference's evo pipeline.  `align_mode="best"` additionally tries
+    the first-pose alignment and keeps the better combined (trans+rot)
+    fit: position-only Umeyama can pick a ~180-deg flipped fit on
+    near-straight trajectories (rotation about the path axis is barely
+    constrained).  Useful diagnostically; NOT comparable with evo.
+    """
     est = np.asarray(est, np.float64)
     gt = np.asarray(gt, np.float64)
 
@@ -102,16 +115,10 @@ def ate(
 
     candidates = [est]
     if align and est.shape[0] >= 3:
-        # Umeyama on positions alone can pick a ~180-deg flipped fit on
-        # near-straight trajectories (the rotation about the path axis is
-        # barely constrained), wrecking the rotation component.  Evaluate
-        # both the Umeyama and the first-pose alignment and keep the one
-        # with the better combined (trans + rot) fit.
-        A = gt[0] @ np.linalg.inv(est[0])
-        candidates = [
-            apply(umeyama_alignment(est[:, :3, 3], gt[:, :3, 3])),
-            apply((1.0, A[:3, :3], A[:3, 3])),
-        ]
+        candidates = [apply(umeyama_alignment(est[:, :3, 3], gt[:, :3, 3]))]
+        if align_mode == "best":
+            A = gt[0] @ np.linalg.inv(est[0])
+            candidates.append(apply((1.0, A[:3, :3], A[:3, 3])))
 
     def score(est_a):
         rel = np.einsum("nij,njk->nik", np.linalg.inv(gt), est_a)

@@ -99,6 +99,26 @@ def assign_slots(free: jax.Array, want: jax.Array):
     return slot_order[:k], cand_order[:k], ok
 
 
+class PerObjectStatus(NamedTuple):
+    """(O,)-shaped per-object-slot tracking counters — the analog of
+    `FeatureTrackerInfo::PerObjectStatus`
+    (`frontend/vision/Vision-Definitions.hpp:62-94`).  Slot j's counters
+    belong to instance label `TrackerState.obj_labels[j]` (-1 = unused)."""
+
+    num_previous_track: jax.Array            # alive at k-1
+    num_track: jax.Array                     # propagated into k
+    num_sampled: jax.Array                   # newly grid-sampled at k
+    num_outside_shrunken_image: jax.Array    # left the shrunken bounds
+    num_zero_flow: jax.Array                 # |flow| below threshold
+    num_tracked_with_different_label: jax.Array
+    num_tracked_with_background_label: jax.Array
+
+    @staticmethod
+    def zeros(no: int) -> "PerObjectStatus":
+        z = jnp.zeros((no,), jnp.int32)
+        return PerObjectStatus(z, z, z, z, z, z, z)
+
+
 class TrackOutputs(NamedTuple):
     """Per-frame tracking report (analog of `FeatureTrackerInfo`,
     `frontend/vision/Vision-Definitions.hpp:62-94`)."""
@@ -110,6 +130,7 @@ class TrackOutputs(NamedTuple):
     homography_inliers: jax.Array
     # tracklets revived by descriptor re-association (orb_reassociate)
     n_reassociated: jax.Array = 0
+    per_object: PerObjectStatus | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_klt", "first_frame"))
@@ -400,10 +421,27 @@ def track_frame(
     )
 
     # ------------------------------------------------------------ dynamic
+    no_ = state.obj_labels.shape[0]
+    # per-object-slot one-hot of each dynamic track (0 where unassigned):
+    # the PerObjectStatus counters are one-hot sums, not scatters
+    d_oh = (
+        jax.nn.one_hot(
+            jnp.clip(state.d_obj, 0, no_ - 1), no_, dtype=jnp.int32
+        )
+        * (state.d_obj >= 0)[:, None]
+    )
+
+    def _cnt(cond):
+        return jnp.sum(d_oh * cond[:, None].astype(jnp.int32), axis=0)
+
     if first_frame:
         d_uv, d_ok = state.d_uv, jnp.zeros_like(state.d_active)
+        n_outside = n_zero_flow = n_diff_label = n_bg_label = jnp.zeros(
+            (no_,), jnp.int32
+        )
     else:
-        d_uv = state.d_uv + flow_at(flow_prev, state.d_uv, state.d_active)
+        fl = flow_at(flow_prev, state.d_uv, state.d_active)
+        d_uv = state.d_uv + fl
         inb_d = (
             (d_uv[:, 0] >= cfg.shrink_col)
             & (d_uv[:, 0] < w - cfg.shrink_col)
@@ -416,6 +454,16 @@ def track_frame(
         )
         same = cur_label_at == my_label
         d_ok = state.d_active & inb_d & same
+        # per-object failure taxonomy (PerObjectStatus,
+        # Vision-Definitions.hpp:62-94)
+        n_outside = _cnt(state.d_active & ~inb_d)
+        n_zero_flow = _cnt(
+            state.d_active & (jnp.sum(fl * fl, axis=-1) < 1e-8)
+        )
+        n_diff_label = _cnt(
+            state.d_active & inb_d & (cur_label_at > 0) & ~same
+        )
+        n_bg_label = _cnt(state.d_active & inb_d & (cur_label_at == 0))
     if not cfg.use_dynamic_track:
         # reference --use_dynamic_track=false: no long dynamic tracklets;
         # keep only the 2-frame flow correspondence then retire the slot
@@ -472,6 +520,27 @@ def track_frame(
         obj_labels=table,
         obj_active=obj_active,
     )
+    # per-object sampled counts (new grid candidates that got slots)
+    n_sampled = jnp.sum(
+        jax.nn.one_hot(cand_slot[cand_i3], no_, dtype=jnp.int32)
+        * ok3[:, None].astype(jnp.int32),
+        axis=0,
+    )
+    d_oh_new = (
+        jax.nn.one_hot(jnp.clip(d_obj, 0, no_ - 1), no_, dtype=jnp.int32)
+        * (d_obj >= 0)[:, None]
+    )
+    per_object = PerObjectStatus(
+        num_previous_track=_cnt(state.d_active),
+        num_track=jnp.sum(
+            d_oh * d_ok[:, None].astype(jnp.int32), axis=0
+        ),
+        num_sampled=n_sampled,
+        num_outside_shrunken_image=n_outside,
+        num_zero_flow=n_zero_flow,
+        num_tracked_with_different_label=n_diff_label,
+        num_tracked_with_background_label=n_bg_label,
+    )
     report = TrackOutputs(
         n_static_tracked=n_tracked,
         n_static_new=n_new_static,
@@ -479,19 +548,48 @@ def track_frame(
         n_dynamic_new=n_dyn_new,
         homography_inliers=homo_inl,
         n_reassociated=n_reassoc,
+        per_object=per_object,
     )
     return new_state, report
 
 
-def format_tracker_report(report: TrackOutputs) -> str:
+def format_tracker_report(
+    report: TrackOutputs, obj_labels=None
+) -> str:
     """Human-readable per-frame report (`FeatureTrackerInfo` print analog,
-    `RGBDInstanceFrontendModule.cc:119`)."""
+    `RGBDInstanceFrontendModule.cc:119`), including the per-object status
+    block when available (pass `TrackerState.obj_labels` for real labels)."""
     import numpy as np
 
-    return (
+    lines = [
         f"static: tracked {int(np.asarray(report.n_static_tracked))} "
         f"(+{int(np.asarray(report.n_static_new))} new, "
         f"homography inliers {int(np.asarray(report.homography_inliers))}) | "
         f"dynamic: tracked {int(np.asarray(report.n_dynamic_tracked))} "
         f"(+{int(np.asarray(report.n_dynamic_new))} sampled)"
-    )
+    ]
+    po = report.per_object
+    if po is not None:
+        prev = np.asarray(po.num_previous_track)
+        labels = (
+            np.asarray(obj_labels)
+            if obj_labels is not None
+            else np.arange(prev.shape[0])
+        )
+        for j in range(prev.shape[0]):
+            interesting = prev[j] or int(np.asarray(po.num_sampled)[j])
+            if labels[j] < 0 or not interesting:
+                continue
+            lines.append(
+                f"  obj {int(labels[j])}: prev "
+                f"{int(prev[j])} -> tracked "
+                f"{int(np.asarray(po.num_track)[j])} "
+                f"(+{int(np.asarray(po.num_sampled)[j])} sampled; "
+                f"outside {int(np.asarray(po.num_outside_shrunken_image)[j])}, "
+                f"zero-flow {int(np.asarray(po.num_zero_flow)[j])}, "
+                f"diff-label "
+                f"{int(np.asarray(po.num_tracked_with_different_label)[j])}, "
+                f"bg-label "
+                f"{int(np.asarray(po.num_tracked_with_background_label)[j])})"
+            )
+    return "\n".join(lines)

@@ -37,7 +37,8 @@ class RenderConfig:
     fx: float = 120.0
     bg_depth: float = 8.0        # background plane z (camera frame 0)
     obj_depth: float = 5.0
-    obj_label: int = 3
+    obj_label: int = 3           # first object's label; object i gets +i
+    n_objects: int = 1
     seed: int = 0
     cam_step: float = 0.08       # forward+lateral motion per frame
     obj_step: float = 0.25
@@ -90,15 +91,15 @@ def _bilinear(tex: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("h", "w", "obj_label"))
 def _render_all(
     base_bg: jax.Array,        # small noise grid for the background texture
-    base_obj: jax.Array,       # small noise grid for the object texture
+    base_obj: jax.Array,       # (O, th, tw) noise grids, one per object
     XR: jax.Array,             # (K, 3, 3) camera rotations (world)
     Xt: jax.Array,             # (K, 3) camera translations
-    LR: jax.Array,             # (K, 3, 3) object pose rotations (world)
-    Lt: jax.Array,             # (K, 3)
-    HR: jax.Array,             # (3, 3) per-frame object motion
-    Ht: jax.Array,             # (3,)
+    LR: jax.Array,             # (K, O, 3, 3) object pose rotations (world)
+    Lt: jax.Array,             # (K, O, 3)
+    HR: jax.Array,             # (O, 3, 3) per-frame object motions
+    Ht: jax.Array,             # (O, 3)
     fx: jax.Array,
-    obj_half: jax.Array,
+    obj_half: jax.Array,       # (O,)
     bg_depth: jax.Array,
     obj_depth: jax.Array,
     *,
@@ -108,14 +109,15 @@ def _render_all(
 ):
     """Render every frame of the sequence in one batched program.
 
-    Returns stacked (K, ...) gray/depth/flow/mask arrays.  Same plane-world
-    model as the former per-frame path: rays from each pixel hit either the
-    moving object plane (z=0 in the object frame, |xy| < obj_half) or the
-    static background plane z_w = bg_depth.
+    Returns stacked (K, ...) gray/depth/flow/mask arrays.  Rays from each
+    pixel hit the NEAREST of the O moving object planes (z=0 in each
+    object frame, |xy| < obj_half[o]) or the static background plane
+    z_w = bg_depth; object i carries mask label obj_label + i.
     """
     f32 = jnp.float32
+    O = HR.shape[0]
     bg_tex = _smooth_texture_jit(base_bg, h * 3, w * 3)
-    obj_tex = _smooth_texture_jit(base_obj, h, w)
+    obj_tex = jax.vmap(lambda b: _smooth_texture_jit(b, h, w))(base_obj)
 
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=f32), jnp.arange(w, dtype=f32), indexing="ij"
@@ -137,21 +139,41 @@ def _render_all(
         s_bg = (bg_depth - Xtk[2]) / denom
         p_bg = Xtk + rays_w * s_bg[:, None]
 
-        # object plane: z = 0 in the object's current frame
-        Ro = LRk.T
-        to = -Ro @ Ltk
-        rays_o = rays_w @ Ro.T
-        cam_o = Ro @ Xtk + to
-        denom_o = jnp.where(jnp.abs(rays_o[:, 2]) < 1e-6, 1e-6, rays_o[:, 2])
-        s_obj = (0.0 - cam_o[2]) / denom_o
-        p_obj_local = cam_o + rays_o * s_obj[:, None]
-        on_obj = (
-            (jnp.abs(p_obj_local[:, 0]) < obj_half)
-            & (jnp.abs(p_obj_local[:, 1]) < obj_half)
-            & (s_obj > 0.1)
-            & (s_obj < s_bg)
-        )
-        p_obj = p_obj_local @ LRk.T + Ltk
+        def hit_object(LRo, Lto, half):
+            # object plane: z = 0 in this object's current frame
+            Ro = LRo.T
+            to = -Ro @ Lto
+            rays_o = rays_w @ Ro.T
+            cam_o = Ro @ Xtk + to
+            denom_o = jnp.where(
+                jnp.abs(rays_o[:, 2]) < 1e-6, 1e-6, rays_o[:, 2]
+            )
+            s_obj = (0.0 - cam_o[2]) / denom_o
+            p_local = cam_o + rays_o * s_obj[:, None]
+            on = (
+                (jnp.abs(p_local[:, 0]) < half)
+                & (jnp.abs(p_local[:, 1]) < half)
+                & (s_obj > 0.1)
+                & (s_obj < s_bg)
+            )
+            p_world = p_local @ LRo.T + Lto
+            return on, s_obj, p_local, p_world
+
+        on_o, s_o, p_loc_o, p_w_o = jax.vmap(hit_object)(
+            LRk, Ltk, obj_half
+        )                                   # (O,P) (O,P) (O,P,3) (O,P,3)
+
+        # nearest hitting object per pixel (occlusion between objects)
+        s_eff = jnp.where(on_o, s_o, jnp.inf)
+        best = jnp.argmin(s_eff, axis=0)                       # (P,)
+        on_obj = jnp.any(on_o, axis=0)                         # (P,)
+        oh = (
+            jax.nn.one_hot(best, O, dtype=f32)
+            * on_obj[:, None].astype(f32)
+        )                                                      # (P, O)
+
+        p_obj = jnp.einsum("po,opj->pj", oh, p_w_o)
+        p_obj_local = jnp.einsum("po,opj->pj", oh, p_loc_o)
         p_w = jnp.where(on_obj[:, None], p_obj, p_bg)
         depth = (p_w - Xtk) @ XRk[:, 2]
 
@@ -164,12 +186,17 @@ def _render_all(
         oscale = fx / obj_depth * 0.8
         ox = jnp.clip(p_obj_local[:, 0] * oscale + w / 2.0, 0.0, w - 2.0)
         oy = jnp.clip(p_obj_local[:, 1] * oscale + h / 2.0, 0.0, h - 2.0)
-        obj_vals = _bilinear(obj_tex, ox, oy)
+        obj_vals_o = jax.vmap(lambda t: _bilinear(t, ox, oy))(obj_tex)
+        obj_vals = jnp.einsum("po,op->p", oh, obj_vals_o)
         gray = jnp.where(on_obj, obj_vals, bg_vals).reshape(h, w)
-        mask = jnp.where(on_obj, obj_label, 0).reshape(h, w).astype(jnp.int32)
+        labels = obj_label + jnp.arange(O, dtype=jnp.int32)
+        mask = jnp.where(on_obj, labels[best], 0).reshape(h, w)
+        mask = mask.astype(jnp.int32)
 
-        # flow to the next frame: object points move with H, bg stays
-        p_next = jnp.where(on_obj[:, None], p_w @ HR.T + Ht, p_w)
+        # flow to the next frame: object points move with their H, bg stays
+        p_next_o = jnp.einsum("pj,oij->opi", p_w, HR) + Ht[:, None, :]
+        p_next_obj = jnp.einsum("po,opj->pj", oh, p_next_o)
+        p_next = jnp.where(on_obj[:, None], p_next_obj, p_w)
         pc = (p_next - Xtn) @ XRn                              # world -> cam k+1
         z = jnp.maximum(pc[:, 2], 1e-6)
         un = jnp.stack([pc[:, 0] / z * fx + cx, pc[:, 1] / z * fx + cy], -1)
@@ -183,10 +210,31 @@ def _render_all(
 
 
 class RenderedScene:
-    """Renders frames; exposes GT camera poses and object motion."""
+    """Renders frames; exposes GT camera poses and object motions.
+
+    Objects are independently moving textured plane patches; object i
+    carries mask label `cfg.obj_label + i`.  The single-object accessors
+    (`H_gt`, `_object_pose_at`) refer to object 0 for back-compat; the
+    plural accessors (`H_gt_list`, `object_pose_at`, `object_labels`)
+    cover all of them.
+    """
+
+    # per-object trajectory variations (constant twists; object 0 keeps the
+    # original single-object parameters so existing benchmarks/tests are
+    # bit-identical at n_objects=1)
+    _OBJ_TWISTS = [
+        [0.0, 0.0, 0.005, None, 0.02, 0.0],       # None -> +obj_step
+        [0.0, 0.0, -0.004, "neg", 0.012, 0.03],   # "neg" -> -0.8*obj_step
+        [0.002, 0.0, 0.0, "half", -0.015, 0.0],   # "half" -> 0.5*obj_step
+    ]
+    _OBJ_CENTERS = [(0.55, 0.45), (0.25, 0.55), (0.8, 0.35)]
+    _OBJ_HALVES = [0.8, 0.7, 0.6]
 
     def __init__(self, cfg: RenderConfig):
         self.cfg = cfg
+        O = cfg.n_objects
+        if O > len(self._OBJ_TWISTS):
+            raise ValueError(f"n_objects <= {len(self._OBJ_TWISTS)}")
         rng = np.random.default_rng(cfg.seed)
         self.cam = CameraParams.create(
             cfg.fx, cfg.fx, cfg.w / 2, cfg.h / 2, cfg.w, cfg.h
@@ -197,7 +245,7 @@ class RenderedScene:
             jnp.float32,
         )
         self._base_obj = jnp.asarray(
-            rng.normal(size=(cfg.h // scale + 2, cfg.w // scale + 2)),
+            rng.normal(size=(O, cfg.h // scale + 2, cfg.w // scale + 2)),
             jnp.float32,
         )
 
@@ -211,49 +259,85 @@ class RenderedScene:
             )
             self.X_gt.append(se3_compose(self.X_gt[-1], se3_exp(xi)))
 
-        # object: plane patch at z = obj_depth, moving laterally in world
-        self.H_gt = se3_exp(
-            jnp.asarray([0.0, 0.0, 0.005, cfg.obj_step, 0.02, 0.0], jnp.float32)
-        )
-        cx, cy = cfg.w * 0.55, cfg.h * 0.45
-        half = 0.8
-        c3 = np.asarray(
-            backproject(
-                self.cam,
-                jnp.asarray([cx, cy], jnp.float32),
-                jnp.asarray(cfg.obj_depth, jnp.float32),
-            )
-        )
-        self.obj_center0 = c3
-        self.obj_half = half
+        # objects: plane patches at z ~ obj_depth, moving in world
+        def _twist(spec):
+            out = []
+            for v in spec:
+                if v is None:
+                    out.append(cfg.obj_step)
+                elif v == "neg":
+                    out.append(-0.8 * cfg.obj_step)
+                elif v == "half":
+                    out.append(0.5 * cfg.obj_step)
+                else:
+                    out.append(v)
+            return jnp.asarray(out, jnp.float32)
 
-        # object pose chain L_k = H^k L_0 (tiny; precompute once)
-        self._L_gt: List[SE3] = [
-            SE3(jnp.eye(3, dtype=jnp.float32), jnp.asarray(c3, jnp.float32))
+        self.H_gt_list: List[SE3] = [
+            se3_exp(_twist(self._OBJ_TWISTS[i])) for i in range(O)
         ]
-        for _ in range(1, cfg.n_frames):
-            self._L_gt.append(se3_compose(self.H_gt, self._L_gt[-1]))
+        self.H_gt = self.H_gt_list[0]
+        self.obj_halves = [self._OBJ_HALVES[i] for i in range(O)]
+        self.obj_half = self.obj_halves[0]
+
+        # object pose chains L_k = H^k L_0 (tiny; precompute once)
+        self._L_gt_all: List[List[SE3]] = []
+        for i in range(O):
+            fu, fv = self._OBJ_CENTERS[i]
+            depth_i = cfg.obj_depth * (1.0 + 0.12 * i)
+            c3 = np.asarray(
+                backproject(
+                    self.cam,
+                    jnp.asarray([cfg.w * fu, cfg.h * fv], jnp.float32),
+                    jnp.asarray(depth_i, jnp.float32),
+                )
+            )
+            if i == 0:
+                self.obj_center0 = c3
+            chain = [
+                SE3(jnp.eye(3, dtype=jnp.float32), jnp.asarray(c3, jnp.float32))
+            ]
+            for _ in range(1, cfg.n_frames):
+                chain.append(se3_compose(self.H_gt_list[i], chain[-1]))
+            self._L_gt_all.append(chain)
+        self._L_gt = self._L_gt_all[0]
 
         self._frames: List[FrameImages] | None = None
 
     # ------------------------------------------------------------------
+    @property
+    def object_labels(self) -> List[int]:
+        return [self.cfg.obj_label + i for i in range(self.cfg.n_objects)]
+
+    def object_pose_at(self, k: int, obj: int = 0) -> SE3:
+        """Rigid pose of object `obj`'s plane at frame k (world)."""
+        return self._L_gt_all[obj][k]
+
     def _object_pose_at(self, k: int) -> SE3:
-        """Rigid pose of the object plane at frame k (world)."""
-        return self._L_gt[k]
+        return self._L_gt_all[0][k]
 
     def _render(self) -> List[FrameImages]:
         cfg = self.cfg
         XR = jnp.stack([X.R for X in self.X_gt])
         Xt = jnp.stack([X.t for X in self.X_gt])
-        LR = jnp.stack([L.R for L in self._L_gt])
-        Lt = jnp.stack([L.t for L in self._L_gt])
+        # (K, O, ...) object pose chains
+        LR = jnp.stack(
+            [jnp.stack([c[k].R for c in self._L_gt_all])
+             for k in range(cfg.n_frames)]
+        )
+        Lt = jnp.stack(
+            [jnp.stack([c[k].t for c in self._L_gt_all])
+             for k in range(cfg.n_frames)]
+        )
+        HR = jnp.stack([H.R for H in self.H_gt_list])
+        Ht = jnp.stack([H.t for H in self.H_gt_list])
         gray, depth, flow, mask = _render_all(
             self._base_bg,
             self._base_obj,
             XR, Xt, LR, Lt,
-            self.H_gt.R, self.H_gt.t,
+            HR, Ht,
             jnp.asarray(cfg.fx, jnp.float32),
-            jnp.asarray(self.obj_half, jnp.float32),
+            jnp.asarray(self.obj_halves, jnp.float32),
             jnp.asarray(cfg.bg_depth, jnp.float32),
             jnp.asarray(cfg.obj_depth, jnp.float32),
             h=cfg.h, w=cfg.w, obj_label=cfg.obj_label,

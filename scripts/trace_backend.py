@@ -39,7 +39,7 @@ def run_traced(out_dir, reps, formulation=0):
     m = MeasurementMap.create(10, 1024, 1024, 8)
     for k, pkt in enumerate(sc.frontend_outputs()):
         m = update_map(m, pkt, k)
-    bcfg = BackendConfig(lm_max_iterations=10, backend_updater=formulation)
+    bcfg = BackendConfig(lm_max_iterations=10, backend_updater_enum=formulation)
     lm_cfg = LMConfig(max_iterations=10)
     anchor = se3_identity((), jnp.float32)
     args = (m, 0, 10, bcfg, lm_cfg, anchor, jnp.asarray(False), formulation)
@@ -64,7 +64,7 @@ def main():
     formulation = int(os.environ.get("DYNO_TRACE_FORMULATION", "0"))
     n = run_traced(out_dir, reps, formulation)
     # per-"frame-ish" divisor = reps, so the table prints ms per solve
-    parse(out_dir, n)
+    parse(out_dir, n, top_individual=30)
 
 
 if __name__ == "__main__":

@@ -66,7 +66,7 @@ def run_traced(out_dir, n_steps):
     return len(frames) - 1
 
 
-def parse(out_dir, n_frames_per_rep):
+def parse(out_dir, n_frames_per_rep, top_individual=0):
     try:
         from xprof.protobuf import xplane_pb2
     except ImportError:
@@ -90,6 +90,8 @@ def parse(out_dir, n_frames_per_rep):
             continue
         md = {m_id: m.name for m_id, m in plane.event_metadata.items()}
         agg = collections.Counter()
+        per_op = collections.Counter()
+        per_op_n = collections.Counter()
         total = 0
         for line in plane.lines:
             # XLA Ops / XLA Modules lines both exist; use the op line
@@ -102,12 +104,34 @@ def parse(out_dir, n_frames_per_rep):
                 # bin by fusion-name prefix up to the first digit run
                 base = name.split(".")[0]
                 agg[base] += dur
+                if top_individual:
+                    key = name.split(" = ")[0]
+                    per_op[key] += dur
+                    per_op_n[key] += 1
         if not agg:
             continue
         print(f"\n== plane: {plane.name}  (XLA op time {total:.1f} ms, "
               f"{total / max(n_frames_per_rep, 1):.2f} ms/frame-ish)")
         for name, ms in agg.most_common(40):
             print(f"  {ms:9.2f} ms  {100*ms/total:5.1f}%  {name}")
+        if top_individual:
+            print(f"\n-- top {top_individual} individual ops "
+                  f"(full metadata for the biggest)")
+            for key, ms in per_op.most_common(top_individual):
+                print(f"  {ms:9.2f} ms  x{per_op_n[key]:<5d} {key}")
+            # dump the full text of the 12 biggest (includes shapes)
+            full = {}
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    name = md.get(ev.metadata_id, "?")
+                    key = name.split(" = ")[0]
+                    if len(name) > len(full.get(key, "")):
+                        full[key] = name
+            for key, ms in per_op.most_common(12):
+                if key in full and "=" in full[key]:
+                    print(f"  [{ms:8.2f} ms] {full[key][:400]}")
 
 
 def main():

@@ -36,24 +36,22 @@ class RenderedDataset(DatasetProvider):
         return self._frames[idx]
 
     def ground_truth(self, idx):
-        X = self.scene.X_gt[idx]
-        T = np.eye(4)
-        T[:3, :3] = np.asarray(X.R)
-        T[:3, 3] = np.asarray(X.t)
-        Hm = np.eye(4)
-        Hm[:3, :3] = np.asarray(self.scene.H_gt.R)
-        Hm[:3, 3] = np.asarray(self.scene.H_gt.t)
-        L = self.scene._object_pose_at(idx)
-        Lm = np.eye(4)
-        Lm[:3, :3] = np.asarray(L.R)
-        Lm[:3, 3] = np.asarray(L.t)
-        label = self.scene.cfg.obj_label
+        def mat(se3):
+            T = np.eye(4)
+            T[:3, :3] = np.asarray(se3.R)
+            T[:3, 3] = np.asarray(se3.t)
+            return T
+
+        poses, motions = {}, {}
+        for o, label in enumerate(self.scene.object_labels):
+            poses[label] = mat(self.scene.object_pose_at(idx, o))
+            motions[label] = mat(self.scene.H_gt_list[o])
         return GroundTruthFrame(
             frame_id=idx,
             timestamp=idx * 0.1,
-            X_world=T,
-            object_poses={label: Lm},
-            object_motions={label: Hm},
+            X_world=mat(self.scene.X_gt[idx]),
+            object_poses=poses,
+            object_motions=motions,
         )
 
 
