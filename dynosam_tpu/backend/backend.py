@@ -44,6 +44,8 @@ from . import formulation as fm
 from .map import MeasurementMap, WindowData, slice_window, update_map
 from .solver import LMConfig, LMResult, lm_optimize
 
+_update_map_jit = jax.jit(update_map)
+
 
 @dataclasses.dataclass
 class EstimateStore:
@@ -94,8 +96,7 @@ class SlidingWindowTrigger:
         return None
 
 
-@functools.partial(jax.jit, static_argnames=("window", "cfg", "updater"))
-def optimize_window_jit(
+def optimize_window(
     m: MeasurementMap,
     start,
     window: int,
@@ -186,6 +187,14 @@ def optimize_window_jit(
     return result, masks
 
 
+# the pure `optimize_window` is traced inside larger programs (the fused
+# segment pipeline, `throughput.py`); the jitted wrapper is the standalone
+# entry the online backend dispatches per window trigger
+optimize_window_jit = jax.jit(
+    optimize_window, static_argnames=("window", "cfg", "updater")
+)
+
+
 class RGBDBackend:
     """Stateful driver; all heavy lifting happens in jitted callees."""
 
@@ -227,7 +236,10 @@ class RGBDBackend:
     def spin(self, packet: FrontendOutput):
         """Insert one frontend packet; optimize if a window completed."""
         k = self.n_frames
-        self.map = update_map(self.map, packet, k)
+        # jitted with k traced: ONE dispatch per frame (eager update_map is
+        # ~18 scatter dispatches, each paying tunnel latency on the remote
+        # TPU) and one program for every frame index
+        self.map = _update_map_jit(self.map, packet, jnp.asarray(k, jnp.int32))
         self.n_frames += 1
 
         if self.cfg.use_full_batch_opt:
@@ -258,28 +270,34 @@ class RGBDBackend:
         if window < 2:
             return
         # anchor: previous estimate of the first window pose if it was
-        # already optimized (window overlap), else frontend init
-        use_anchor = bool(np.asarray(self.est.X_valid)[start])
+        # already optimized (window overlap), else frontend init.  The gate
+        # stays a DEVICE scalar: fetching est.X_valid[start] to the host
+        # would block on the PREVIOUS window's still-running solve and
+        # serialize the pipeline — async dispatch (pipeline.py: the host
+        # keeps feeding frontend frames while a window solves) requires the
+        # whole spin path to never synchronize.
+        use_anchor = self.est.X_valid[start]
         anchor = self.est.X[start]
         # warm start from the estimate store (theta_ carry-over): overlap
-        # frames re-use previously optimized values
-        prev = prev_mask = None
-        if use_anchor:
-            sl = slice(start, start + window)
-            pose_key = "H" if self.cfg.backend_updater_enum == 0 else "L"
-            pose_est = self.est.H if pose_key == "H" else self.est.L
-            prev = {
-                "X": self.est.X[sl],
-                pose_key: SE3(pose_est.R[sl], pose_est.t[sl]),
-                "sp": self.est.static_points,
-                "dp": self.est.dyn_points[sl],
-            }
-            prev_mask = {
-                "X": self.est.X_valid[sl],
-                pose_key: self.est.motion_valid[sl],
-                "sp": self.est.static_valid,
-                "dp": self.est.dyn_valid[sl],
-            }
+        # frames re-use previously optimized values.  Always pass prev (one
+        # compiled program for first and subsequent windows); before any
+        # optimization the store's valid masks are all False, so the merge
+        # in `init_values` is the identity.
+        sl = slice(start, start + window)
+        pose_key = "H" if self.cfg.backend_updater_enum == 0 else "L"
+        pose_est = self.est.H if pose_key == "H" else self.est.L
+        prev = {
+            "X": self.est.X[sl],
+            pose_key: SE3(pose_est.R[sl], pose_est.t[sl]),
+            "sp": self.est.static_points,
+            "dp": self.est.dyn_points[sl],
+        }
+        prev_mask = {
+            "X": self.est.X_valid[sl] & use_anchor,
+            pose_key: self.est.motion_valid[sl] & use_anchor,
+            "sp": self.est.static_valid & use_anchor,
+            "dp": self.est.dyn_valid[sl] & use_anchor,
+        }
         result, masks = optimize_window_jit(
             self.map,
             start,
@@ -296,31 +314,31 @@ class RGBDBackend:
         self._write_back(start, window, result.values, masks)
 
     def _write_back(self, start: int, window: int, values: dict, masks):
-        """Scatter optimized window values into the estimate store."""
+        """Scatter optimized window values into the estimate store.
+
+        Everything stays a lazy device op (no `np.asarray` on solver
+        outputs): a host fetch here would block on the window solve and
+        defeat the frontend/backend overlap (`pipeline.py` docstring)."""
         est = self.est
         sl = slice(start, start + window)
         X = values["X"]
         est.X = SE3(est.X.R.at[sl].set(X.R), est.X.t.at[sl].set(X.t))
-        est.X_valid = est.X_valid.at[sl].set(np.asarray(masks.frame))
+        est.X_valid = est.X_valid.at[sl].set(masks.frame)
         if "H" in values:
             H = values["H"]
             est.H = SE3(est.H.R.at[sl].set(H.R), est.H.t.at[sl].set(H.t))
-            est.motion_valid = est.motion_valid.at[sl].set(
-                np.asarray(masks.motion_active)
-            )
+            est.motion_valid = est.motion_valid.at[sl].set(masks.motion_active)
         if "L" in values:
             L = values["L"]
             est.L = SE3(est.L.R.at[sl].set(L.R), est.L.t.at[sl].set(L.t))
-            est.motion_valid = est.motion_valid.at[sl].set(
-                np.asarray(masks.motion_active)
-            )
+            est.motion_valid = est.motion_valid.at[sl].set(masks.motion_active)
         new_static_valid = jnp.any(masks.static_obs, axis=0)
         est.static_points = jnp.where(
             new_static_valid[:, None], values["sp"], est.static_points
         )
         est.static_valid = est.static_valid | new_static_valid
         est.dyn_points = est.dyn_points.at[sl].set(values["dp"])
-        est.dyn_valid = est.dyn_valid.at[sl].set(np.asarray(masks.dyn_obs))
+        est.dyn_valid = est.dyn_valid.at[sl].set(masks.dyn_obs)
 
     # ------------------------------------------------------------------
     # Accessor (analog of `Accessor<MAP>`, `backend/Accessor.hpp:51-207`)

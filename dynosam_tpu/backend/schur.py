@@ -78,6 +78,17 @@ _mm = functools.partial(jnp.matmul, precision="highest")
 # --------------------------------------------------------------------------
 
 
+def _floor_consts(dtype):
+    """(relative, absolute) diagonal floors keeping structurally-empty rows
+    SPD.  Scaled to the dtype: the f32 values are production; the f64 values
+    are small enough that the f64 cross-check (`tests/f64_check.py`) pins
+    the elimination algebra against the dense solve at ~1e-6 instead of
+    hiding divergence behind f32-sized regularizers."""
+    if jnp.finfo(dtype).eps > 1e-10:  # f32 family
+        return 1e-7, 1e-8
+    return 1e-15, 1e-16
+
+
 def _inv3(M: jax.Array) -> jax.Array:
     """Closed-form (adjugate) inverse of batched 3x3 SPD blocks.
 
@@ -305,8 +316,9 @@ def _static_blocks(wgt_static, Jx_s, Jp_s, r_static, dtype):
     """Static landmark elimination blocks.  Jp_s = R^T/sigma is orthogonal
     up to scale, so Hll_s is a scalar multiple of I per landmark."""
     eye3 = jnp.eye(3, dtype=dtype)
+    _, tiny = _floor_consts(dtype)
     scale = _es("kra,krb->kab", Jp_s, Jp_s)                # (W,3,3) = I/sig^2
-    Hll_s = _es("kn,kab->nab", wgt_static, scale) + 1e-8 * eye3
+    Hll_s = _es("kn,kab->nab", wgt_static, scale) + tiny * eye3
     Us = _es("kn,knra,krb->knab", wgt_static, Jx_s, Jp_s)  # (W, NS, 6, 3)
     b_sp = -_es("kn,kra,knr->na", wgt_static, Jp_s, r_static)
     return Hll_s, Us, b_sp
@@ -429,7 +441,7 @@ def build_normal_system(
     diag_scalar = wgt_dyn / cfg.dynamic_point_noise_sigma**2
     diag_scalar = diag_scalar.at[:-1].add(wgt_tern_h / sig_t**2)
     diag_scalar = diag_scalar.at[1:].add(wgt_tern_h / sig_t**2)
-    Ad = diag_scalar[..., None, None] * eye3 + 1e-8 * eye3
+    Ad = diag_scalar[..., None, None] * eye3 + _floor_consts(dtype)[1] * eye3
     Tpc = (wgt_tern_h / sig_t)[..., None, None] * Jc       # J_mp^T J_mc
     Bd = jnp.concatenate([jnp.zeros_like(Tpc[:1]), Tpc], axis=0)
 
@@ -590,7 +602,7 @@ def build_normal_system_pose(
     diag_scalar = wgt_dyn / cfg.dynamic_point_noise_sigma**2
     diag_scalar = diag_scalar.at[:-1].add(wgt_mp_h / sig_t**2)
     diag_scalar = diag_scalar.at[1:].add(wgt_mp_h / sig_t**2)
-    Ad = diag_scalar[..., None, None] * eye3 + 1e-8 * eye3
+    Ad = diag_scalar[..., None, None] * eye3 + _floor_consts(dtype)[1] * eye3
     # J_mc = I/sig_t, so w J_mp^T J_mc = (w/sig_t) J_mp^T
     Tpc = (wgt_mp_h / sig_t)[..., None, None] * jnp.swapaxes(J_mp, -1, -2)
     Bd = jnp.concatenate([jnp.zeros_like(Tpc[:1]), Tpc], axis=0)
@@ -686,7 +698,8 @@ def assemble_reduced(sys: NormalSystem, Hcc_d, Dmm_d,
     # frames past the sequence end) keep the f32 Cholesky positive-definite;
     # their gradient is zero so their step stays exactly zero.
     dmax = jnp.max(jnp.abs(jnp.diagonal(Hred)))
-    Hred = Hred + (1e-7 * dmax + 1e-8) * jnp.eye(n, dtype=dtype)
+    rel, tiny = _floor_consts(dtype)
+    Hred = Hred + (rel * dmax + tiny) * jnp.eye(n, dtype=dtype)
     return Hred, bred
 
 

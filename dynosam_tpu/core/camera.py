@@ -186,3 +186,33 @@ def camera_params_from_yaml(path: str) -> "CameraParams":
         int(get("Camera.width", "width", default=0)),
         int(get("Camera.height", "height", default=0)),
     )
+
+
+def distortion_from_yaml(path: str):
+    """Optional lens distortion from the same CameraParams.yaml surface
+    (`Camera.distortion_coefficients` + `Camera.distortion_model`, the
+    reference's `CameraParams::fromYamlFile` distortion block).  Returns a
+    `core.distortion.Distortion` or None when the rig is rectified (absent
+    or all-zero coefficients)."""
+    import numpy as np
+    import yaml
+
+    from .distortion import Distortion
+
+    with open(path) as f:
+        y = yaml.safe_load(f) or {}
+    coeffs = y.get(
+        "Camera.distortion_coefficients", y.get("distortion_coefficients")
+    )
+    if coeffs is None or not any(float(c) != 0.0 for c in coeffs):
+        return None
+    model = str(
+        y.get("Camera.distortion_model", y.get("distortion_model", "radtan"))
+    )
+    if model in ("plumb_bob", "radial-tangential", "radial_tangential"):
+        model = "radtan"
+    c = np.zeros(4, np.float32)
+    c[: min(4, len(coeffs))] = [float(x) for x in coeffs[:4]]
+    import jax.numpy as jnp
+
+    return Distortion(coeffs=jnp.asarray(c), model=model)

@@ -41,6 +41,12 @@ class DatasetProvider:
         self.path = path
         self.start = max(0, starting_frame)
         self.end = ending_frame
+        # optional lens distortion (core.distortion.Distortion); loaders set
+        # this when their calibration carries coefficients, and every frame
+        # is then rectified on the host before tracking — the reference's
+        # UndistorterRectifier stage (UndistortRectifier.hpp:58)
+        self.distortion = None
+        self._rectifier = None
 
     def __len__(self) -> int:
         raise NotImplementedError
@@ -57,8 +63,21 @@ class DatasetProvider:
     def frames(self) -> Iterator[FrameImages]:
         n = len(self)
         end = n if self.end < 0 else min(self.end, n)
+        rectify = self._get_rectifier()
         for i in range(self.start, end):
-            yield self.frame(i)
+            f = self.frame(i)
+            yield rectify(f) if rectify is not None else f
+
+    def _get_rectifier(self):
+        if self.distortion is None:
+            return None
+        if self._rectifier is None:
+            from ..frontend.rectify import make_rectifier
+
+            self._rectifier = make_rectifier(
+                self.camera_params(), self.distortion
+            )
+        return self._rectifier
 
     def prefetched_frames(self, depth: int = 2) -> Iterator[FrameImages]:
         """Background-thread prefetch (host decode overlaps device work)."""

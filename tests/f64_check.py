@@ -1,0 +1,171 @@
+"""f64 equivalence checks (run as a SUBPROCESS by test_distributed.py —
+`jax_enable_x64` is process-global and would poison the f32 suite).
+
+The f32 versions of these tests need loose tolerances (2e-2 m) that could
+hide real indexing/algebra bugs behind "reduction-order divergence"; in f64
+the same comparisons pin to ~1e-6:
+
+  1. SPIKE frame-sharded chain elimination == block-Thomas (atol 1e-9);
+  2. direct Schur step == dense solve of the same damped normal equations
+     (atol 3e-6: the damped normal system's conditioning is ~1e10, so two
+     algebraically-identical f64 solves agree only to ~cond * eps ~ 2e-6;
+     measured max diff 1.3e-6);
+  3. distributed Schur LM on the 8-device mesh == 1-device mesh
+     (camera translations atol 1e-6).
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def _cast_tree(tree, dtype=jnp.float64):
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
+def check_spike_vs_thomas():
+    from dynosam_tpu.backend.schur import chain_solve
+    from dynosam_tpu.parallel.mesh import make_mesh
+    from dynosam_tpu.parallel.schur_dist import make_spike_chain_solver
+
+    rng = np.random.default_rng(3)
+    W, N, M = 8, 4, 5
+    A = np.zeros((W, N, 3, 3))
+    B = np.zeros((W, N, 3, 3))
+    rhs = rng.normal(size=(W, N, 3, M))
+    for n in range(N):
+        C = np.zeros((3 * W, 3 * W))
+        for k in range(W):
+            C[3 * k : 3 * k + 3, 3 * k : 3 * k + 3] = rng.normal(size=(3, 3))
+            if k > 0:
+                C[3 * k : 3 * k + 3, 3 * k - 3 : 3 * k] = rng.normal(
+                    size=(3, 3)
+                )
+        G = C @ C.T + np.eye(3 * W)
+        for k in range(W):
+            A[k, n] = G[3 * k : 3 * k + 3, 3 * k : 3 * k + 3]
+            if k > 0:
+                B[k, n] = G[3 * k - 3 : 3 * k, 3 * k : 3 * k + 3]
+    want = np.asarray(
+        chain_solve(jnp.asarray(A), jnp.asarray(B), jnp.asarray(rhs))
+    )
+    solver = make_spike_chain_solver(make_mesh(8))
+    got = np.asarray(solver(jnp.asarray(A), jnp.asarray(B), jnp.asarray(rhs)))
+    assert want.dtype == np.float64 and got.dtype == np.float64
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+    print("spike-vs-thomas f64 ok")
+
+
+def _problem_f64():
+    from dynosam_tpu.backend.map import MeasurementMap, update_map
+    from dynosam_tpu.testing.simulator import Scenario, ScenarioConfig
+
+    scfg = ScenarioConfig(
+        n_frames=8, n_static=30, n_objects=2, pts_per_object=10,
+        ns=40, nd=32, no=4, point_noise=0.02,
+    )
+    sc = Scenario(scfg)
+    m = MeasurementMap.create(8, 40, 32, 4)
+    for k, pkt in enumerate(sc.frontend_outputs()):
+        m = update_map(m, pkt, k)
+    return _cast_tree(m)
+
+
+def check_step_vs_dense():
+    from dynosam_tpu.backend import formulation as fm
+    from dynosam_tpu.backend import schur
+    from dynosam_tpu.backend.map import slice_window
+    from dynosam_tpu.backend.solver import dense_normal_solve, retract_tree
+    from dynosam_tpu.ops.robust import robust_sqrt_weights
+    from dynosam_tpu.utils.config import BackendConfig
+
+    m = _problem_f64()
+    w = slice_window(m, 0, 8)
+    cfg = BackendConfig(motion_ternary_factor_noise_sigma=0.05)
+    masks = fm.build_masks(w, cfg)
+    anchor = w.X_init[0]
+    vals = fm.init_values(w, masks, cfg)
+    assert vals["sp"].dtype == jnp.float64
+    spec = fm.world_motion_families(cfg)
+
+    def resid(v):
+        return fm.world_motion_residuals(v, w, masks, cfg, anchor)
+
+    lam = 1e-3
+    res0 = resid(vals)
+    sqrt_w = [
+        robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
+        else jnp.ones(r.shape[:-1], r.dtype)
+        for r, s in zip(res0, spec.robust)
+    ]
+    sys = schur.build_normal_system(vals, sqrt_w, w, masks, cfg, anchor, res0)
+    delta = schur.schur_step(sys, jnp.asarray(lam, jnp.float64), 1e-6)
+    delta = {
+        "X": delta["X"], "H": delta["P"], "sp": delta["sp"], "dp": delta["dp"]
+    }
+    got = retract_tree(vals, delta)
+    want, _ = dense_normal_solve(resid, spec.robust, vals, lam)
+
+    np.testing.assert_allclose(
+        np.asarray(got["X"].t), np.asarray(want["X"].t), atol=3e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["X"].R), np.asarray(want["X"].R), atol=3e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["H"].t), np.asarray(want["H"].t), atol=3e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["sp"]), np.asarray(want["sp"]), atol=3e-6
+    )
+    ok = np.asarray(masks.dyn_obs)[..., None]
+    # dp recovers via chain back-substitution (an extra conditioning-limited
+    # solve on top of the reduced one); measured max diff 5.0e-6
+    np.testing.assert_allclose(
+        np.asarray(got["dp"]) * ok, np.asarray(want["dp"]) * ok, atol=1e-5
+    )
+    print("step-vs-dense f64 ok")
+
+
+def check_distributed_vs_single():
+    from dynosam_tpu.backend.solver import LMConfig
+    from dynosam_tpu.parallel.mesh import make_mesh
+    from dynosam_tpu.parallel.schur_dist import distributed_schur_optimize
+    from dynosam_tpu.utils.config import BackendConfig
+
+    m = _problem_f64()
+    cfg = BackendConfig()
+    lm = LMConfig(max_iterations=8)
+    res1 = distributed_schur_optimize(m, 8, cfg, mesh=make_mesh(1), lm_cfg=lm)
+    res8 = distributed_schur_optimize(m, 8, cfg, mesh=make_mesh(8), lm_cfg=lm)
+    assert np.isfinite(float(res1.error)) and np.isfinite(float(res8.error))
+    np.testing.assert_allclose(
+        np.asarray(res1.values["X"].t), np.asarray(res8.values["X"].t),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res1.values["H"].t), np.asarray(res8.values["H"].t),
+        atol=1e-6,
+    )
+    print("distributed-vs-single f64 ok")
+
+
+if __name__ == "__main__":
+    check_spike_vs_thomas()
+    check_step_vs_dense()
+    check_distributed_vs_single()
+    print("F64_ALL_OK")

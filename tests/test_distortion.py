@@ -72,3 +72,87 @@ def test_rectify_map_and_remap(cam):
     img = jnp.arange(480.0 * 640.0, dtype=jnp.float32).reshape(480, 640)
     out = remap_bilinear(img, m0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-2)
+
+
+def test_rectifier_pre_pass_recovers_frame(cam):
+    """Full-frame rectification pre-pass (`frontend/rectify.py`): distort a
+    structured frame synthetically, rectify, recover the original in the
+    interior.  Flow is vector-corrected: a constant rectified motion c
+    encoded in distorted space must come back as exactly c."""
+    import jax
+
+    from dynosam_tpu.frontend.frontend import FrameImages
+    from dynosam_tpu.frontend.rectify import make_rectifier
+
+    h, w = cam.height, cam.width
+    d = Distortion(jnp.asarray([-0.15, 0.03, 0.0, 0.0], jnp.float32))
+
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32), indexing="ij",
+    )
+    # smooth structured gray + piecewise depth + block mask
+    gray = jnp.sin(xx * 0.05) * jnp.cos(yy * 0.07)
+    depth = jnp.where(xx < w / 2, 5.0, 9.0)
+    mask = jnp.where(
+        (xx > w * 0.3) & (xx < w * 0.5) & (yy > h * 0.3) & (yy < h * 0.6),
+        3, 0,
+    ).astype(jnp.int32)
+
+    # build the DISTORTED frame: dist(v) = orig(U(v)); then rectification
+    # (which samples at M(u_r)) recovers orig because U(M(u)) == u
+    grid = jnp.stack([xx, yy], -1).reshape(-1, 2)
+    src = undistort_points(grid, cam, d)
+    from dynosam_tpu.ops.klt import bilinear_sample
+
+    gray_d = bilinear_sample(gray, src).reshape(h, w)
+    sx = jnp.clip(jnp.round(src[:, 0]).astype(int), 0, w - 1)
+    sy = jnp.clip(jnp.round(src[:, 1]).astype(int), 0, h - 1)
+    depth_d = depth[sy, sx].reshape(h, w)
+    mask_d = mask[sy, sx].reshape(h, w)
+
+    # constant rectified motion c: flow_d(v) = D(U(v) + c) - v
+    c = jnp.asarray([3.0, -2.0], jnp.float32)
+    dest_d = distort_points(src + c, cam, d)
+    flow_d = (dest_d - grid).reshape(h, w, 2)
+
+    rectify = make_rectifier(cam, d)
+    out = rectify(
+        FrameImages(gray=gray_d, depth=depth_d, flow=flow_d, mask=mask_d)
+    )
+
+    # interior only: borders map outside the distorted frame
+    sl = (slice(60, h - 60), slice(80, w - 80))
+    np.testing.assert_allclose(
+        np.asarray(out.gray[sl]), np.asarray(gray[sl]), atol=0.02
+    )
+    assert (
+        np.mean(np.asarray(out.mask[sl]) == np.asarray(mask[sl])) > 0.995
+    )
+    match = np.isclose(
+        np.asarray(out.depth[sl]), np.asarray(depth[sl]), atol=1e-3
+    )
+    assert match.mean() > 0.995  # nearest-neighbour edge pixels may flip
+    np.testing.assert_allclose(
+        np.asarray(out.flow[sl]),
+        np.broadcast_to(np.asarray(c), (*np.asarray(out.flow[sl]).shape[:2], 2)),
+        atol=0.05,
+    )
+
+
+def test_distortion_from_yaml(tmp_path):
+    from dynosam_tpu.core.camera import distortion_from_yaml
+
+    p = tmp_path / "cam.yaml"
+    p.write_text(
+        "Camera.fx: 100.0\nCamera.distortion_model: plumb_bob\n"
+        "Camera.distortion_coefficients: [-0.2, 0.05, 0.001, -0.002]\n"
+    )
+    d = distortion_from_yaml(str(p))
+    assert d.model == "radtan"
+    np.testing.assert_allclose(
+        np.asarray(d.coeffs), [-0.2, 0.05, 0.001, -0.002], atol=1e-7
+    )
+    p2 = tmp_path / "rect.yaml"
+    p2.write_text("Camera.fx: 100.0\nCamera.distortion_coefficients: [0, 0, 0, 0]\n")
+    assert distortion_from_yaml(str(p2)) is None

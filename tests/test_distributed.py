@@ -136,6 +136,27 @@ def test_distributed_schur_world_pose(problem):
     assert float(res.error) < float(res.initial_error)
 
 
+def test_f64_equivalence_subprocess():
+    """f64 pins SPIKE-vs-Thomas, Schur-step-vs-dense, and 8-vs-1-device
+    LM equivalence at ~1e-6 (vs the 2e-2 f32 bands above, which could hide
+    real indexing bugs behind reduction-order noise).  Runs as a subprocess
+    because `jax_enable_x64` is process-global (`tests/f64_check.py`)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "f64_check.py")],
+        capture_output=True, text=True, timeout=580, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "F64_ALL_OK" in proc.stdout
+
+
 def test_distributed_schur_hlo_has_collectives(problem):
     """The compiled 8-device Schur program must contain the SPIKE halo
     exchange (collective-permute) and a cross-device reduction/gather —
