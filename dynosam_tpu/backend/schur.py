@@ -638,23 +638,31 @@ def _damp_blocks(Hb: jax.Array, lam, floor: float) -> jax.Array:
     return Hb + dd[..., None] * jnp.eye(n, dtype=Hb.dtype)
 
 
-def chain_pose_columns(sys: NormalSystem) -> jax.Array:
-    """Assemble the (W, ND, 3, W, 6) chain-row -> pose-column coupling
-    tensor CC from the four factor-aligned arrays."""
-    W_ = sys.Ad.shape[0]
-    dtype = sys.Ad.dtype
+def chain_pose_bands(sys: NormalSystem):
+    """The chain-row -> pose-column coupling as its three nonzero bands,
+    row-aligned: (diag[k] -> col k, up[k] -> col k+1, down[k] -> col k-1),
+    each (W, ND, 3, 6)."""
     Z1 = jnp.zeros_like(sys.Rpc[:1])
     P_f = jnp.concatenate([sys.Rpp, Z1], axis=0)   # row j   -> col j
     P_fp = jnp.concatenate([sys.Rpc, Z1], axis=0)  # row j   -> col j+1
     C_p = jnp.concatenate([Z1, sys.Rcp], axis=0)   # row j+1 -> col j
     C_f = jnp.concatenate([Z1, sys.Rcc], axis=0)   # row j+1 -> col j+1
+    return P_f + C_f, P_fp, C_p
+
+
+def chain_pose_columns(sys: NormalSystem) -> jax.Array:
+    """Assemble the (W, ND, 3, W, 6) chain-row -> pose-column coupling
+    tensor CC from the three row-aligned bands."""
+    W_ = sys.Ad.shape[0]
+    dtype = sys.Ad.dtype
+    diag, up, down = chain_pose_bands(sys)
     eyeW = jnp.eye(W_, dtype=dtype)
     upW = jnp.eye(W_, k=1, dtype=dtype)            # [r, r+1] = 1
     dnW = jnp.eye(W_, k=-1, dtype=dtype)           # [r, r-1] = 1
     CC = (
-        (P_f + C_f)[:, :, :, None, :] * eyeW[:, None, None, :, None]
-        + P_fp[:, :, :, None, :] * upW[:, None, None, :, None]
-        + C_p[:, :, :, None, :] * dnW[:, None, None, :, None]
+        diag[:, :, :, None, :] * eyeW[:, None, None, :, None]
+        + up[:, :, :, None, :] * upW[:, None, None, :, None]
+        + down[:, :, :, None, :] * dnW[:, None, None, :, None]
     )
     return CC
 
@@ -772,10 +780,23 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
 
     # pose-pose correction.  Cross-object entries are exactly zero (a
     # track's chain decouples where the factor mask cuts it), so scatter
-    # rows and columns with the SAME object one-hot.
-    mm_rows = _es("kdifa,kdigb->fdagb", CC, Tm)             # (W, ND, 6, W, 6)
+    # rows and columns with the SAME object one-hot.  CC's row axis is
+    # banded (cols k-1, k, k+1 only), so contract the three bands directly
+    # instead of the (W, ND, 3, W, 6) dense tensor — 10x fewer MACs and no
+    # W x W zero-block traffic:
+    #   mm_rows[f] = diag[f]^T Tm[f] + up[f-1]^T Tm[f-1] + down[f+1]^T Tm[f+1]
+    diag_b, up_b, down_b = chain_pose_bands(sys)
+    t_diag = _es("kdia,kdigb->kdagb", diag_b, Tm)
+    t_up = _es("kdia,kdigb->kdagb", up_b, Tm)
+    t_down = _es("kdia,kdigb->kdagb", down_b, Tm)
+    mm_rows = t_diag
+    mm_rows = mm_rows.at[1:].add(t_up[:-1])
+    mm_rows = mm_rows.at[:-1].add(t_down[1:])               # (W, ND, 6, W, 6)
     d_mm = _es("fdagb,fdo,gdo->foagb", mm_rows, oh, oh)
-    bm_rows = _es("kdifa,kdi->fda", CC, tb)
+    b_diag = _es("kdia,kdi->kda", diag_b, tb)
+    b_up = _es("kdia,kdi->kda", up_b, tb)
+    b_down = _es("kdia,kdi->kda", down_b, tb)
+    bm_rows = b_diag.at[1:].add(b_up[:-1]).at[:-1].add(b_down[1:])
     d_bm = _es("fda,fdo->foa", bm_rows, oh)
 
     # ---- assemble + solve the reduced system ----------------------------

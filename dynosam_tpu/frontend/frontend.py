@@ -137,12 +137,19 @@ def frontend_step(
     )
 
     # ---------------- depth association (`Frame::updateDepths`)
-    s_depth, s_dok = _depth_at(
-        images.depth, trk.s_uv, cfg.max_background_depth, trk.s_active
+    # ONE merged point-sample for both pools (each Pallas point call pays a
+    # fixed image-fetch cost on TPU — BENCH_NOTES session 5); the per-pool
+    # max-depth gates apply after the split
+    ns_slots = trk.s_uv.shape[0]
+    depth_both = bilinear_sample(
+        images.depth,
+        jnp.concatenate([trk.s_uv, trk.d_uv], axis=0),
+        jnp.concatenate([trk.s_active, trk.d_active], axis=0),
     )
-    d_depth, d_dok = _depth_at(
-        images.depth, trk.d_uv, cfg.max_object_depth, trk.d_active
-    )
+    s_depth = depth_both[:ns_slots]
+    d_depth = depth_both[ns_slots:]
+    s_dok = (s_depth > 0.0) & (s_depth < cfg.max_background_depth)
+    d_dok = (d_depth > 0.0) & (d_depth < cfg.max_object_depth)
     s_xyz = backproject(cam, trk.s_uv, s_depth)
     d_xyz = backproject(cam, trk.d_uv, d_depth)
     s_obs_ok = trk.s_active & s_dok
@@ -321,9 +328,20 @@ def frontend_step(
         return idx, ok
 
     obj_ids = jnp.arange(no)
-    d_depth_prev, _ = _depth_at(
-        prev_images.depth, prev_uv_d, cfg.max_object_depth, prop
-    )
+    # prev-frame depth for object refinement AND (when the ego refiner runs)
+    # the ego refiner's static keypoints — ONE merged point call
+    run_ego_ref = cfg.refine_camera_pose_with_joint_of and not first_frame
+    if run_ego_ref:
+        pd_both = bilinear_sample(
+            prev_images.depth,
+            jnp.concatenate([prev_uv_d, prev_uv_s], axis=0),
+            jnp.concatenate([prop, ego.inliers[:ns_pool]], axis=0),
+        )
+        d_depth_prev = pd_both[: prev_uv_d.shape[0]]
+        prev_d = pd_both[prev_uv_d.shape[0]:]
+        prev_dok = (prev_d > 0.0) & (prev_d < cfg.max_background_depth)
+    else:
+        d_depth_prev = bilinear_sample(prev_images.depth, prev_uv_d, prop)
 
     def ransac_obj(j, idx, ok, k_obj):
         p_prev_w = state.d_lmk[idx]
@@ -374,7 +392,6 @@ def frontend_step(
     # refiner while-loops are iteration-LATENCY bound on TPU, not
     # FLOP-bound, so all (1 + k_act) problems run as ONE vmapped LM batch
     # (track axes padded to a common width) at the latency of one.
-    run_ego_ref = cfg.refine_camera_pose_with_joint_of and not first_frame
     run_obj_ref = cfg.refine_motion_with_joint_of and not first_frame
     part_obj = inl_act & (d_depth_prev[idxs] > 0.0)
     if run_ego_ref or run_obj_ref:
@@ -387,10 +404,7 @@ def frontend_step(
 
         Rs, ts, kps, dps, fls, vas = [], [], [], [], [], []
         if run_ego_ref:
-            prev_d, prev_dok = _depth_at(
-                prev_images.depth, prev_uv_s, cfg.max_background_depth,
-                ego.inliers[:ns_pool],
-            )
+            # prev_d / prev_dok come from the merged prev-depth sample above
             participated = ego.inliers[:ns_pool] & prev_dok
             Rs.append(X_k.R[None])
             ts.append(X_k.t[None])

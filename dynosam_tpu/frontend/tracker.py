@@ -161,15 +161,32 @@ def track_frame(
         mask_cur = propagate_mask(mask_prev, flow_prev, mask_cur)
 
     # ------------------------------------------------------------ static
+    ns_pool = state.s_uv.shape[0]
+    fl_d = None          # dynamic-pool flow, consumed by the dynamic block
+    cur_label_d = None   # dynamic-pool mask labels at propagated positions
     if first_frame:
         s_uv, s_ok = state.s_uv, jnp.zeros_like(state.s_active)
         homo_inl = jnp.asarray(0, jnp.int32)
     else:
+        # merged dense-flow sample for BOTH pools: each Pallas point call
+        # pays a fixed image-fetch cost on TPU (BENCH_NOTES session 5), so
+        # the static warm-start and the dynamic propagation share one call
+        need_s_flow = cfg.klt_flow_warm_start or not use_klt
+        if need_s_flow:
+            fl_both = flow_at(
+                flow_prev,
+                jnp.concatenate([state.s_uv, state.d_uv], axis=0),
+                jnp.concatenate([state.s_active, state.d_active], axis=0),
+            )
+            fl_s, fl_d = fl_both[:ns_pool], fl_both[ns_pool:]
+        else:
+            fl_s = None
+            fl_d = flow_at(flow_prev, state.d_uv, state.d_active)
         if use_klt:
             # dense-flow warm start: LK only polishes sub-pixel error, so
             # the pyramid/iteration budget shrinks (see TrackerConfig)
             if cfg.klt_flow_warm_start:
-                g0 = flow_at(flow_prev, state.s_uv, state.s_active)
+                g0 = fl_s
                 levels, iters = cfg.klt_warm_levels, cfg.klt_warm_iterations
             else:
                 g0 = None
@@ -204,7 +221,7 @@ def track_frame(
                 )
             s_uv, s_ok = res.uv, res.ok
         else:
-            s_uv = state.s_uv + flow_at(flow_prev, state.s_uv, state.s_active)
+            s_uv = state.s_uv + fl_s
             s_ok = state.s_active
         inb = (
             (s_uv[:, 0] >= cfg.shrink_col)
@@ -212,7 +229,15 @@ def track_frame(
             & (s_uv[:, 1] >= cfg.shrink_row)
             & (s_uv[:, 1] < h - cfg.shrink_row)
         )
-        on_bg = nearest_at(mask_cur, s_uv, state.s_active) == 0
+        # merged mask-label sample: static pool at tracked positions +
+        # dynamic pool at flow-propagated positions, one point call
+        labels_both = nearest_at(
+            mask_cur,
+            jnp.concatenate([s_uv, state.d_uv + fl_d], axis=0),
+            jnp.concatenate([state.s_active, state.d_active], axis=0),
+        )
+        on_bg = labels_both[:ns_pool] == 0
+        cur_label_d = labels_both[ns_pool:]
         s_ok = s_ok & inb & on_bg & state.s_active
         # geometric verification (findHomography RANSAC analog)
         hkey = key if key is not None else jax.random.PRNGKey(0)
@@ -440,7 +465,7 @@ def track_frame(
             (no_,), jnp.int32
         )
     else:
-        fl = flow_at(flow_prev, state.d_uv, state.d_active)
+        fl = fl_d                   # merged sample (static section above)
         d_uv = state.d_uv + fl
         inb_d = (
             (d_uv[:, 0] >= cfg.shrink_col)
@@ -448,7 +473,7 @@ def track_frame(
             & (d_uv[:, 1] >= cfg.shrink_row)
             & (d_uv[:, 1] < h - cfg.shrink_row)
         )
-        cur_label_at = nearest_at(mask_cur, d_uv, state.d_active)
+        cur_label_at = cur_label_d  # merged sample (static section above)
         my_label = jnp.where(
             state.d_obj >= 0, table[jnp.clip(state.d_obj, 0, table.shape[0] - 1)], -2
         )
