@@ -235,6 +235,158 @@ def bench_pipeline_sustained(reps=2, n=100, h=384, w=1280):
     return fps
 
 
+def bench_pipeline_streaming(n=100, h=384, w=1280):
+    """Sustained pipeline with HOST PNG DECODE in the loop (opt-in:
+    DYNO_BENCH_STREAM=1; costs one extra remote compile).
+
+    Frames are encoded to disk once (untimed setup), then streamed through
+    the native C++ decode pool (`native/dataloader.cpp`) into per-segment
+    device dispatches (`throughput.make_streaming_runner`) — decode + H2D
+    staging of segment s+1 overlaps device compute of segment s, the
+    end-to-end path the reference runs with its data-provider thread."""
+    import cv2
+
+    from dynosam_tpu.backend.map import MeasurementMap
+    from dynosam_tpu.data import native_loader
+    from dynosam_tpu.data.vkitti import decode_vkitti_flow
+    from dynosam_tpu.frontend.frontend import FrameImages, FrontendState
+    from dynosam_tpu.testing.render import RenderConfig, RenderedScene
+    from dynosam_tpu.throughput import (
+        EstStore, make_streaming_runner, online_keys,
+    )
+    from dynosam_tpu.utils.config import (
+        BackendConfig, CapacityConfig, DynoConfig, FrontendConfig,
+        PipelineConfig, TrackerConfig,
+    )
+
+    if not native_loader.available():
+        print("streaming bench skipped: native loader missing", file=sys.stderr)
+        return None
+
+    rcfg = RenderConfig(
+        n_frames=n, h=h, w=w, fx=718.0, n_objects=3,
+        bg_depth=14.0, obj_depth=9.0, cam_step=0.10, obj_step=0.18,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        sc = RenderedScene(rcfg)
+        frames = [jax.tree.map(np.asarray, f) for f in sc.frames()]
+    fr = np.random.default_rng(0)
+    frames = [
+        f._replace(
+            flow=f.flow + fr.normal(0.0, 0.5, f.flow.shape).astype(np.float32)
+        )
+        for f in frames
+    ]
+
+    # ---- untimed setup: encode every channel to PNG (the formats the real
+    # loaders decode: 16-bit gray, KITTI uint16 depth*256, VKITTI 16UC3 flow)
+    import shutil
+    import tempfile
+
+    png_dir = tempfile.mkdtemp(prefix="dyno_bench_png_")
+    glo = min(float(np.min([f.gray.min() for f in frames])), 0.0)
+    ghi = float(np.max([f.gray.max() for f in frames]))
+    for k, f in enumerate(frames):
+        g16 = ((f.gray - glo) / max(ghi - glo, 1e-6) * 65535.0)
+        cv2.imwrite(f"{png_dir}/gray_{k:05d}.png",
+                    g16.astype(np.uint16))
+        cv2.imwrite(f"{png_dir}/depth_{k:05d}.png",
+                    np.clip(f.depth * 256.0, 0, 65535).astype(np.uint16))
+        fx = np.clip((f.flow[..., 0] / (w - 1) + 1.0) / 2.0, 0, 1)
+        fy = np.clip((f.flow[..., 1] / (h - 1) + 1.0) / 2.0, 0, 1)
+        bgr = np.stack(
+            [np.full_like(fx, 1.0), fy, fx], axis=-1
+        )  # B=valid, G=y, R=x
+        cv2.imwrite(f"{png_dir}/flow_{k:05d}.png",
+                    (bgr * 65535.0).astype(np.uint16))
+        cv2.imwrite(f"{png_dir}/mask_{k:05d}.png",
+                    f.mask.astype(np.uint8))
+
+    cfg = DynoConfig(
+        frontend=FrontendConfig(
+            tracker=TrackerConfig(max_features_per_frame=1000)
+        ),
+        backend=BackendConfig(use_full_batch_opt=False, lm_max_iterations=10),
+        capacity=CapacityConfig(
+            max_static_tracks=2048, max_dynamic_tracks=4096,
+            max_objects=16, max_frames=n,
+        ),
+        pipeline=PipelineConfig(use_backend=True),
+    )
+    warmup, segment, plan = make_streaming_runner(sc.cam, cfg, n)
+    cap = cfg.capacity
+    keys = online_keys(n)
+    V, stride = plan.overlap, plan.stride
+
+    def decode_frame(pool, k):
+        g = pool.get(f"{png_dir}/gray_{k:05d}.png").astype(np.float32)
+        g = g[..., 0] if g.ndim == 3 else g
+        gray = g / 65535.0 * (ghi - glo) + glo
+        d = pool.get(f"{png_dir}/depth_{k:05d}.png").astype(np.float32)
+        depth = (d[..., 0] if d.ndim == 3 else d) / 256.0
+        fl16 = pool.get(f"{png_dir}/flow_{k:05d}.png")
+        # the native decoder returns PNG-native RGB; decode_vkitti_flow
+        # expects cv2's BGR
+        flow = decode_vkitti_flow(fl16[..., ::-1].astype(np.uint16))
+        mk = pool.get(f"{png_dir}/mask_{k:05d}.png")
+        mask = (mk[..., 0] if mk.ndim == 3 else mk).astype(np.int32)
+        return FrameImages(gray=gray, depth=depth, flow=flow, mask=mask)
+
+    def submit_frame(pool, k):
+        for ch in ("gray", "depth", "flow", "mask"):
+            pool.submit(f"{png_dir}/{ch}_{k:05d}.png")
+
+    def run_once(pool):
+        fe = FrontendState.create(
+            cap.max_static_tracks, cap.max_dynamic_tracks, cap.max_objects
+        )
+        m = MeasurementMap.create(
+            n, cap.max_static_tracks, cap.max_dynamic_tracks, cap.max_objects
+        )
+        est = EstStore.create(
+            n, cap.max_static_tracks, cap.max_dynamic_tracks, cap.max_objects
+        )
+        for k in range(min(n, V + 2 * stride)):
+            submit_frame(pool, k)
+        warm_np = [decode_frame(pool, k) for k in range(V)]
+        warm = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *warm_np)
+        fe, m = warmup(fe, m, warm, keys[:V])
+        prev_frame = warm_np[-1]
+        for s in range(plan.n_segments):
+            first = V + s * stride
+            for k in range(first + 2 * stride, min(first + 3 * stride, n)):
+                submit_frame(pool, k)       # keep the pool ~2 segments ahead
+            seg_np = [prev_frame] + [
+                decode_frame(pool, k) for k in range(first, first + stride)
+            ]
+            prev_frame = seg_np[-1]
+            seg = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *seg_np)
+            fe, m, est, chk = segment(
+                fe, m, est, seg, keys[first:first + stride],
+                jnp.asarray(s, jnp.int32),
+            )
+        return est
+
+    pool = native_loader.PrefetchDecoder(n_threads=3)
+    try:
+        est = run_once(pool)                       # compile + settle
+        float(np.asarray(est.X.t[-1, 0]))          # fetch barrier
+        t0 = time.perf_counter()
+        est = run_once(pool)
+        float(np.asarray(est.X.t[-1, 0]))
+        dt = time.perf_counter() - t0
+    finally:
+        pool.close()
+        shutil.rmtree(png_dir, ignore_errors=True)
+    fps = n / dt
+    print(
+        f"pipeline streamed (PNG decode in loop): {fps:.1f} frames/s "
+        f"({dt / n * 1e3:.2f} ms/frame incl. native decode + H2D + backend)",
+        file=sys.stderr,
+    )
+    return fps
+
+
 def bench_backend_window(reps=5):
     """Window-10 direct-Schur solve to convergence (production default)."""
     from dynosam_tpu.backend.backend import optimize_window_jit
@@ -340,6 +492,14 @@ def main():
         )
     except Exception as e:
         print(f"pipeline sustained bench failed: {e}", file=sys.stderr)
+
+    if os.environ.get("DYNO_BENCH_STREAM") == "1":
+        # decode-in-the-loop variant (native PNG pool + per-segment
+        # dispatch) — opt-in: one extra remote compile
+        try:
+            bench_pipeline_streaming()
+        except Exception as e:
+            print(f"pipeline streaming bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -126,17 +126,17 @@ def _solve_window(est: EstStore, m: MeasurementMap, start, window: int,
     return est, result
 
 
-def make_offline_runner(cam: CameraParams, cfg: DynoConfig, n_frames: int,
-                        use_klt: bool = True):
-    """Build the jitted offline runner for a fixed sequence length.
+class SegmentPlan(NamedTuple):
+    """Static trigger arithmetic for a fixed sequence length."""
 
-    Returns ``run(fe_state, m, est, stacked_frames, keys) ->
-    (fe_state, m, est, packets, last_result)`` — one XLA program for the
-    whole sequence.  `stacked_frames` is a (K, ...) FrameImages pytree and
-    `keys` a (K,) PRNG key array.
-    """
-    from .backend.solver import LMConfig
+    window: int
+    overlap: int
+    stride: int
+    n_segments: int
+    n_frames: int
 
+
+def _plan(cfg: DynoConfig, n_frames: int) -> SegmentPlan:
     bcfg = cfg.backend
     assert not bcfg.use_full_batch_opt, (
         "fused segments implement the sliding-window mode; use "
@@ -150,10 +150,13 @@ def make_offline_runner(cam: CameraParams, cfg: DynoConfig, n_frames: int,
         f"sequence length {K} must equal overlap {V} + n_segments * "
         f"stride {stride}"
     )
-    n_segments = (K - V) // stride
-    updater = bcfg.backend_updater_enum
-    pose_key = "H" if updater == 0 else "L"
-    lm_cfg = LMConfig(
+    return SegmentPlan(W, V, stride, (K - V) // stride, K)
+
+
+def _lm_cfg(bcfg):
+    from .backend.solver import LMConfig
+
+    return LMConfig(
         max_iterations=bcfg.lm_max_iterations,
         initial_lambda=bcfg.lm_initial_lambda,
         lambda_factor=bcfg.lm_lambda_factor,
@@ -165,6 +168,8 @@ def make_offline_runner(cam: CameraParams, cfg: DynoConfig, n_frames: int,
         cg_tol=bcfg.cg_tol,
     )
 
+
+def _make_fe_scan(cam: CameraParams, cfg: DynoConfig, use_klt: bool):
     def fe_scan(fe_state, m, frames, keys, k0, n):
         """Scan `n` frontend steps over frames[1:], pairing each with its
         predecessor; scatter every packet into the map at k0 + i."""
@@ -186,6 +191,29 @@ def make_offline_runner(cam: CameraParams, cfg: DynoConfig, n_frames: int,
             step, (fe_state, m), (prev, cur, keys, ks)
         )
         return fe_state, m, pkts
+
+    return fe_scan
+
+
+def make_offline_runner(cam: CameraParams, cfg: DynoConfig, n_frames: int,
+                        use_klt: bool = True):
+    """Build the jitted offline runner for a fixed sequence length.
+
+    Returns ``run(fe_state, m, est, stacked_frames, keys) ->
+    (fe_state, m, est, packets, last_result)`` — one XLA program for the
+    whole sequence.  `stacked_frames` is a (K, ...) FrameImages pytree and
+    `keys` a (K,) PRNG key array.
+    """
+    plan = _plan(cfg, n_frames)
+    W, V, stride, n_segments = (
+        plan.window, plan.overlap, plan.stride, plan.n_segments
+    )
+    bcfg = cfg.backend
+    updater = bcfg.backend_updater_enum
+    pose_key = "H" if updater == 0 else "L"
+    lm_cfg = _lm_cfg(bcfg)
+
+    fe_scan = _make_fe_scan(cam, cfg, use_klt)
 
     @jax.jit
     def run(fe_state: FrontendState, m: MeasurementMap, est: EstStore,
@@ -274,3 +302,57 @@ def run_offline(frames, cam: CameraParams, cfg: DynoConfig,
         keys = online_keys(K)
     fe_state, m, est, packets, last = runner(fe_state, m, est, stacked, keys)
     return packets, est, last
+
+
+def make_streaming_runner(cam: CameraParams, cfg: DynoConfig, n_frames: int,
+                          use_klt: bool = True):
+    """Per-segment dispatch variant for HOST-STREAMED frames (native PNG
+    decode + prefetch pool feeding the device while it computes).
+
+    Returns ``(warmup, segment, plan)``:
+      * ``warmup(fe_state, m, frames_V, keys_V) -> (fe_state, m)`` — frame 0
+        (first_frame trace) + frames 1..V-1;
+      * ``segment(fe_state, m, est, frames, keys, s) ->
+        (fe_state, m, est, chk)`` — `frames` is the (stride+1,) slice
+        [seg_first-1 .. seg_first+stride-1], `s` the traced segment index;
+        runs the frontend scan + the window solve [s*stride, s*stride+W).
+
+    Identical math to `make_offline_runner`'s fused scan — the host loop
+    simply replaces `lax.scan` over segments, so frames can arrive as they
+    decode and XLA async dispatch overlaps host decode / H2D staging of
+    segment s+1 with device compute of segment s (the reference overlaps
+    these with its data-provider thread, `PipelineManager.cc:174-203`).
+    """
+    plan = _plan(cfg, n_frames)
+    bcfg = cfg.backend
+    updater = bcfg.backend_updater_enum
+    pose_key = "H" if updater == 0 else "L"
+    lm_cfg = _lm_cfg(bcfg)
+    fe_scan = _make_fe_scan(cam, cfg, use_klt)
+    V, stride, W = plan.overlap, plan.stride, plan.window
+
+    @jax.jit
+    def warmup(fe_state: FrontendState, m: MeasurementMap,
+               frames: FrameImages, keys: jax.Array):
+        f0 = jax.tree.map(lambda a: a[0], frames)
+        fe_state, pkt0, _, _ = frontend_step(
+            fe_state, f0, f0, cam, cfg.frontend, keys[0],
+            use_klt=use_klt, first_frame=True,
+        )
+        m = update_map(m, pkt0, 0)
+        fe_state, m, _ = fe_scan(
+            fe_state, m, frames, keys[1:V], jnp.asarray(1, jnp.int32), V - 1
+        )
+        return fe_state, m
+
+    @jax.jit
+    def segment(fe_state: FrontendState, m: MeasurementMap, est: EstStore,
+                frames: FrameImages, keys: jax.Array, s: jax.Array):
+        seg_first = V + s * stride
+        fe_state, m, _ = fe_scan(fe_state, m, frames, keys, seg_first, stride)
+        est, result = _solve_window(
+            est, m, s * stride, W, cfg, lm_cfg, pose_key, updater
+        )
+        return fe_state, m, est, result.error
+
+    return warmup, segment, plan
