@@ -235,7 +235,8 @@ def bench_pipeline_sustained(reps=2, n=100, h=384, w=1280):
     return fps
 
 
-def bench_pipeline_streaming(n=100, h=384, w=1280):
+def bench_pipeline_streaming(n=100, h=384, w=1280, ns=2048, nd=4096,
+                             max_feat=1000):
     """Sustained pipeline with HOST PNG DECODE in the loop (opt-in:
     DYNO_BENCH_STREAM=1; costs one extra remote compile).
 
@@ -304,11 +305,11 @@ def bench_pipeline_streaming(n=100, h=384, w=1280):
 
     cfg = DynoConfig(
         frontend=FrontendConfig(
-            tracker=TrackerConfig(max_features_per_frame=1000)
+            tracker=TrackerConfig(max_features_per_frame=max_feat)
         ),
         backend=BackendConfig(use_full_batch_opt=False, lm_max_iterations=10),
         capacity=CapacityConfig(
-            max_static_tracks=2048, max_dynamic_tracks=4096,
+            max_static_tracks=ns, max_dynamic_tracks=nd,
             max_objects=16, max_frames=n,
         ),
         pipeline=PipelineConfig(use_backend=True),

@@ -784,20 +784,31 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     # banded (cols k-1, k, k+1 only), so contract the three bands directly
     # instead of the (W, ND, 3, W, 6) dense tensor — 10x fewer MACs and no
     # W x W zero-block traffic:
-    #   mm_rows[f] = diag[f]^T Tm[f] + up[f-1]^T Tm[f-1] + down[f+1]^T Tm[f+1]
+    #   d_mm[f] = S(diag[f]^T Tm[f]) + S(up[f-1]^T Tm[f-1])
+    #           + S(down[f+1]^T Tm[f+1]),   S = object scatter over tracks.
+    # DISTRIBUTION NOTE: contract the TRACK axis (d) inside each band term
+    # and shift only the small (W, O, 6, W, 6) partials across frames — the
+    # band row one-hot is shifted instead (tiny).  Shifting the
+    # pre-contraction (W, ND, 6, W, 6) tensor makes GSPMD all-gather ~10 MB
+    # over the frame axis EVERY LM iteration (measured via compiled-HLO
+    # collective dump, round 3).
     diag_b, up_b, down_b = chain_pose_bands(sys)
-    t_diag = _es("kdia,kdigb->kdagb", diag_b, Tm)
-    t_up = _es("kdia,kdigb->kdagb", up_b, Tm)
-    t_down = _es("kdia,kdigb->kdagb", down_b, Tm)
-    mm_rows = t_diag
-    mm_rows = mm_rows.at[1:].add(t_up[:-1])
-    mm_rows = mm_rows.at[:-1].add(t_down[1:])               # (W, ND, 6, W, 6)
-    d_mm = _es("fdagb,fdo,gdo->foagb", mm_rows, oh, oh)
-    b_diag = _es("kdia,kdi->kda", diag_b, tb)
-    b_up = _es("kdia,kdi->kda", up_b, tb)
-    b_down = _es("kdia,kdi->kda", down_b, tb)
-    bm_rows = b_diag.at[1:].add(b_up[:-1]).at[:-1].add(b_down[1:])
-    d_bm = _es("fda,fdo->foa", bm_rows, oh)
+    zoh = jnp.zeros_like(oh[:1])
+    oh_next = jnp.concatenate([oh[1:], zoh], axis=0)    # oh[k+1] at row k
+    oh_prev = jnp.concatenate([zoh, oh[:-1]], axis=0)   # oh[k-1] at row k
+
+    def band_term(Bs, oh_row):
+        # merged row/col one-hot: both scatters use the SAME object index
+        ohg = _es("kdo,gdo->kgdo", oh_row, oh)          # (W, W, ND, O)
+        return _es("kdia,kdigb,kgdo->koagb", Bs, Tm, ohg)
+
+    d_mm = band_term(diag_b, oh)
+    d_mm = d_mm.at[1:].add(band_term(up_b, oh_next)[:-1])
+    d_mm = d_mm.at[:-1].add(band_term(down_b, oh_prev)[1:])  # (W, O, 6, W, 6)
+    b_diag = _es("kdia,kdi,kdo->koa", diag_b, tb, oh)
+    b_up = _es("kdia,kdi,kdo->koa", up_b, tb, oh_next)
+    b_down = _es("kdia,kdi,kdo->koa", down_b, tb, oh_prev)
+    d_bm = b_diag.at[1:].add(b_up[:-1]).at[:-1].add(b_down[1:])
 
     # ---- assemble + solve the reduced system ----------------------------
     Hred, bred = assemble_reduced(

@@ -43,8 +43,15 @@ from ..klt import KLTResult, build_pyramid
 # MXU precision of the interpolation matmuls.  HIGHEST (6-pass f32) keeps
 # the kernel bit-comparable to the XLA path; "float32" (3-pass) is ~equal
 # accuracy for image interpolation in practice.  Module-level so
-# experiments can override before trace.
-_DOT_PRECISION = jax.lax.Precision.HIGHEST
+# experiments can override before trace; DYNO_LK_PRECISION=float32|default
+# selects at import for the TPU bench sweep.
+import os as _os
+
+_DOT_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "float32": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("DYNO_LK_PRECISION", "highest")]
 
 
 def _make_kernel(
