@@ -54,6 +54,176 @@ _DOT_PRECISION = {
 }[_os.environ.get("DYNO_LK_PRECISION", "highest")]
 
 
+def _make_kernel_resident(
+    h: int, w: int, win: int, iters: int, feat_block: int, eps: float,
+    margin: int = 8,
+):
+    """V2 kernel: the CURRENT-image window is loaded ONCE per feature
+    (anchored at the warm-start position with ±`margin` rows of headroom)
+    and every LK iteration resamples from the VMEM-RESIDENT window instead
+    of re-slicing the image — one (SY2, SX) load per feature instead of one
+    per iteration.
+
+    Semantics vs the reload kernel: identical while the iterate stays
+    within `margin` rows (x headroom is ~the 128-lane alignment slack,
+    >=100 px) of the warm start; a runaway feature clamps at the window
+    edge instead of the image edge, raises its photometric error, and is
+    discarded by the caller's error gate — the same fate the reload kernel
+    gives features that clamp at the image border.
+    """
+    hw = win // 2
+    pwin = win + 2
+    SY = min(h, ((pwin + 1 + 2 * margin + 7) + 7) // 8 * 8)
+    SX = min(w, ((pwin + 1 + 127) + 127) // 128 * 128)
+    if SY != h and (h - SY) % 8 != 0:
+        SY = h
+    if SX != w and (w - SX) % 128 != 0:
+        SX = w
+
+    def kernel(p_ref, g_ref, v_ref, prev_ref, cur_ref, gout_ref, err_ref):
+        def anchor(x0f, y0f):
+            if SY == h:
+                jy0 = 0
+            else:
+                jy0 = jnp.clip(
+                    ((jnp.floor(y0f).astype(jnp.int32) - margin) // 8) * 8,
+                    0, h - SY,
+                )
+                jy0 = pl.multiple_of(jy0, 8)
+            if SX == w:
+                jx0 = 0
+            else:
+                jx0 = jnp.clip(
+                    (jnp.floor(x0f).astype(jnp.int32) // 128) * 128,
+                    0, w - SX,
+                )
+                jx0 = pl.multiple_of(jx0, 128)
+            return jx0, jy0
+
+        def interp(win_, jx0, jy0, x0f, y0f, size):
+            """Bilinear (size, size) patch at (x0f, y0f) from the resident
+            window value `win_` anchored at (jx0, jy0).  Coordinates clamp
+            to the window extent (== the image extent wherever the window
+            touches the border)."""
+            rr_y = jax.lax.broadcasted_iota(
+                jnp.int32, (size, SY), 0).astype(jnp.float32)
+            jj_y = jax.lax.broadcasted_iota(
+                jnp.int32, (size, SY), 1).astype(jnp.float32)
+            rr_x = jax.lax.broadcasted_iota(
+                jnp.int32, (size, SX), 0).astype(jnp.float32)
+            jj_x = jax.lax.broadcasted_iota(
+                jnp.int32, (size, SX), 1).astype(jnp.float32)
+            y_lo, y_hi = jy0 * 1.0, jy0 + (SY - 1.0)
+            x_lo, x_hi = jx0 * 1.0, jx0 + (SX - 1.0)
+            ly = jnp.clip(y0f + rr_y, y_lo, y_hi) - jy0 * 1.0
+            lx = jnp.clip(x0f + rr_x, x_lo, x_hi) - jx0 * 1.0
+            R = jnp.maximum(0.0, 1.0 - jnp.abs(ly - jj_y))
+            C = jnp.maximum(0.0, 1.0 - jnp.abs(lx - jj_x))
+            rw = jnp.dot(R, win_, preferred_element_type=jnp.float32,
+                         precision=_DOT_PRECISION)
+            return jnp.dot(rw, C.T, preferred_element_type=jnp.float32,
+                           precision=_DOT_PRECISION)
+
+        base = pl.program_id(0) * feat_block
+        if feat_block % 8 == 0:
+            base = pl.multiple_of(base, 8)
+        pv = p_ref[pl.ds(base, feat_block), :]
+        gv = g_ref[pl.ds(base, feat_block), :]
+        vv = v_ref[pl.ds(base, feat_block), 0]
+
+        # ---- templates/gradients from prev (window loaded once each) ----
+        ts, gxs, gys, coefs = [], [], [], []
+        cur_wins, cur_anchor = [], []
+        for f in range(feat_block):
+            px, py = pv[f, 0], pv[f, 1]
+            jx0, jy0 = anchor(px - hw - 1, py - hw - 1)
+            wp = prev_ref[pl.ds(jy0, SY), pl.ds(jx0, SX)]
+            b = interp(wp, jx0, jy0, px - hw - 1, py - hw - 1, pwin)
+            t = b[1:win + 1, 1:win + 1]
+            gx = (b[1:win + 1, 2:win + 2] - b[1:win + 1, 0:win]) * 0.5
+            gy = (b[2:win + 2, 1:win + 1] - b[0:win, 1:win + 1]) * 0.5
+            gxx = jnp.sum(gx * gx)
+            gxy = jnp.sum(gx * gy)
+            gyy = jnp.sum(gy * gy)
+            det = gxx * gyy - gxy * gxy
+            inv_ok = det > 1e-6
+            det_safe = jnp.where(inv_ok, det, 1.0)
+            ts.append(t)
+            gxs.append(gx)
+            gys.append(gy)
+            coefs.append((gxx, gxy, gyy, det_safe, inv_ok))
+            # resident CURRENT window, anchored at the warm start
+            cx0, cy0 = anchor(
+                px + gv[f, 0] - hw - 1, py + gv[f, 1] - hw - 1
+            )
+            cur_wins.append(cur_ref[pl.ds(cy0, SY), pl.ds(cx0, SX)])
+            cur_anchor.append((cx0, cy0))
+
+        def sample_cur(f, gu_f, gv_f):
+            cx0, cy0 = cur_anchor[f]
+            p = interp(
+                cur_wins[f], cx0, cy0,
+                pv[f, 0] + gu_f - hw - 1, pv[f, 1] + gv_f - hw - 1, pwin,
+            )
+            return p[1:win + 1, 1:win + 1]
+
+        def step(f, gu_f, gv_f):
+            r = sample_cur(f, gu_f, gv_f) - ts[f]
+            bx = jnp.sum(r * gxs[f])
+            by = jnp.sum(r * gys[f])
+            gxx, gxy, gyy, det_safe, inv_ok = coefs[f]
+            du = -(gyy * bx - gxy * by) / det_safe
+            dv = -(-gxy * bx + gxx * by) / det_safe
+            du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
+            dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
+            return du, dv
+
+        gu0 = gv[:, 0]
+        gv0 = gv[:, 1]
+        if eps > 0.0:
+            eps2 = jnp.float32(eps * eps)
+
+            def cond(c):
+                it, _, _, d2 = c
+                return jnp.logical_and(it < iters, jnp.max(d2) > eps2)
+
+            def wbody(c):
+                it, gu, gv_, d2 = c
+                dus, dvs = [], []
+                for f in range(feat_block):
+                    du_f, dv_f = step(f, gu[f], gv_[f])
+                    act = d2[f] > eps2
+                    dus.append(jnp.where(act, du_f, 0.0))
+                    dvs.append(jnp.where(act, dv_f, 0.0))
+                du = jnp.stack(dus)
+                dv = jnp.stack(dvs)
+                return (it + 1, gu + du, gv_ + dv, du * du + dv * dv)
+
+            _, gu, gv_, _ = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), gu0, gv0, vv * 1e9),
+            )
+        else:
+            def body(_, c):
+                gu, gv_ = c
+                dus, dvs = [], []
+                for f in range(feat_block):
+                    du_f, dv_f = step(f, gu[f], gv_[f])
+                    dus.append(du_f * vv[f])
+                    dvs.append(dv_f * vv[f])
+                return (gu + jnp.stack(dus), gv_ + jnp.stack(dvs))
+
+            gu, gv_ = jax.lax.fori_loop(0, iters, body, (gu0, gv0))
+
+        errs = [
+            jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
+            for f in range(feat_block)
+        ]
+        gout_ref[pl.ds(base, feat_block), :] = jnp.stack([gu, gv_], axis=-1)
+        err_ref[pl.ds(base, feat_block), :] = jnp.stack(errs)[:, None]
+
+    return kernel
+
+
 def _make_kernel(
     h: int, w: int, win: int, iters: int, feat_block: int, eps: float
 ):
@@ -224,9 +394,16 @@ def _make_kernel(
     return kernel
 
 
+# kernel variant: "reload" re-slices the image per iteration (round-2
+# production); "resident" loads one margin-padded window per feature and
+# iterates within it (round-3 candidate — A/B on the TPU before switching)
+_LK_VARIANT = _os.environ.get("DYNO_LK_VARIANT", "reload")
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("win", "iters", "feat_block", "eps", "interpret")
+    static_argnames=("win", "iters", "feat_block", "eps", "interpret",
+                     "variant")
 )
 def lk_level(
     prev_img: jax.Array,
@@ -242,6 +419,7 @@ def lk_level(
     #                        unrolls the kernel 8x for ILP
     eps: float = 0.0,
     interpret: bool = False,
+    variant: str | None = None,
 ):
     """One pyramid level of LK for all features.  Returns (g, err).
 
@@ -260,7 +438,10 @@ def lk_level(
     np_ = p_lvl.shape[0]
     grid = (np_ // feat_block,)
 
-    kernel = _make_kernel(h, w, win, iters, feat_block, eps)
+    if (variant or _LK_VARIANT) == "resident":
+        kernel = _make_kernel_resident(h, w, win, iters, feat_block, eps)
+    else:
+        kernel = _make_kernel(h, w, win, iters, feat_block, eps)
     g, err = pl.pallas_call(
         kernel,
         grid=grid,
@@ -296,7 +477,8 @@ def lk_level(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win", "levels", "iters", "eps", "interpret")
+    static_argnames=("win", "levels", "iters", "eps", "interpret",
+                     "variant")
 )
 def klt_track_pallas(
     prev_gray: jax.Array,
@@ -310,6 +492,7 @@ def klt_track_pallas(
     eps: float = 0.0,
     interpret: bool = False,
     g0: jax.Array | None = None,
+    variant: str | None = None,
 ) -> KLTResult:
     """Drop-in replacement for `ops.klt.klt_track` backed by the Pallas
     level kernel (same pyramid, same update equations, same result
@@ -331,7 +514,7 @@ def klt_track_pallas(
         p_lvl = uv_prev / scale
         g, err = lk_level(
             pyr_prev[lvl], pyr_cur[lvl], p_lvl, g, valid, win=win,
-            iters=iters, eps=eps, interpret=interpret,
+            iters=iters, eps=eps, interpret=interpret, variant=variant,
         )
         if lvl > 0:
             g = g * 2.0
