@@ -217,12 +217,27 @@ def bench_pipeline_sustained(reps=2, n=100, h=384, w=1280):
         ),
         pipeline=PipelineConfig(use_backend=True),
     )
-    # compile + settle
-    packets, est, last = run_offline(stacked, sc.cam, cfg)
+    # build the runner ONCE (each make_offline_runner call is a fresh jit)
+    from dynosam_tpu.backend.map import MeasurementMap
+    from dynosam_tpu.frontend.frontend import FrontendState
+    from dynosam_tpu.throughput import (
+        EstStore, make_offline_runner, online_keys,
+    )
+
+    runner = make_offline_runner(sc.cam, cfg, n)
+    keys = online_keys(n)
+
+    def run_once():
+        fe = FrontendState.create(2048, 4096, 16)
+        m = MeasurementMap.create(n, 2048, 4096, 16)
+        est0 = EstStore.create(n, 2048, 4096, 16)
+        return runner(fe, m, est0, stacked, keys)
+
+    _, _, est, _, _ = run_once()                  # compile + settle
     float(np.asarray(est.X.t[-1, 0]))             # fetch barrier
     t0 = time.perf_counter()
     for _ in range(reps):
-        packets, est, last = run_offline(stacked, sc.cam, cfg)
+        _, _, est, _, _ = run_once()
     float(np.asarray(est.X.t[-1, 0]))             # fetch barrier
     dt = time.perf_counter() - t0
     fps = n * reps / dt
