@@ -72,6 +72,11 @@ from .solver import LMConfig, LMResult, retract_tree, total_error
 _es = functools.partial(jnp.einsum, precision="highest")
 _mm = functools.partial(jnp.matmul, precision="highest")
 
+# lane-major chain solve opt-in (TPU A/B pending; see chain_solve_lanes)
+import os as _os
+
+_CHAIN_LANES = _os.environ.get("DYNO_SCHUR_LANES") == "1"
+
 
 # --------------------------------------------------------------------------
 # Block-tridiagonal chain solve (matrix RHS)
@@ -114,6 +119,55 @@ def _inv3(M: jax.Array) -> jax.Array:
         axis=-2,
     )
     return adj * inv_det[..., None, None]
+
+
+def chain_solve_lanes(A: jax.Array, B: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Lane-major `chain_solve`: same block-Thomas elimination with every
+    per-track quantity stored track-MINOR — A, B (W, 3, 3, N) and
+    rhs (W, 3, M, N) — so each scan step is broadcast mul+reduce at full
+    128-lane VPU occupancy instead of (N, 3, 3) batched matmuls whose tiles
+    use 3/128 lanes (the layout disease measured 50x in small_schur,
+    BENCH_NOTES session 5).  Accepts/returns the chain_solve block-major
+    layout; the two transposes at the boundary are single relayout copies.
+    """
+    from ..ops.linalg import _mm_lanes, inv3_lanes
+
+    N = A.shape[1]
+    m = rhs.shape[-1]
+    A_l = jnp.transpose(A, (0, 2, 3, 1))
+    B_l = jnp.transpose(B, (0, 2, 3, 1))
+    rhs_l = jnp.transpose(rhs, (0, 2, 3, 1))
+
+    def fwd(carry, inp):
+        D_prev_inv, y_prev = carry
+        A_k, B_k, r_k = inp
+        sol_B = _mm_lanes(D_prev_inv, B_k)
+        sol_y = _mm_lanes(D_prev_inv, y_prev)
+        Bt = jnp.swapaxes(B_k, -3, -2)
+        D_k = A_k - _mm_lanes(Bt, sol_B)
+        y_k = r_k - _mm_lanes(Bt, sol_y)
+        Dinv = inv3_lanes(D_k)
+        return (Dinv, y_k), (Dinv, y_k, B_k)
+
+    eye = jnp.broadcast_to(
+        jnp.eye(3, dtype=A.dtype)[..., None], (3, 3, N)
+    )
+    init = (eye, jnp.zeros((3, m, N), A.dtype))
+    (_, _), (Dinv_all, y_all, B_all) = jax.lax.scan(
+        fwd, init, (A_l, B_l, rhs_l)
+    )
+
+    def bwd(x_next, inp):
+        Dinv_k, y_k, B_next = inp
+        x_k = _mm_lanes(Dinv_k, y_k - _mm_lanes(B_next, x_next))
+        return x_k, x_k
+
+    B_shift = jnp.concatenate([B_all[1:], jnp.zeros_like(B_all[:1])], axis=0)
+    _, x = jax.lax.scan(
+        bwd, jnp.zeros((3, m, N), A.dtype), (Dinv_all, y_all, B_shift),
+        reverse=True,
+    )
+    return jnp.transpose(x, (0, 3, 1, 2))
 
 
 def chain_solve(A: jax.Array, B: jax.Array, rhs: jax.Array) -> jax.Array:
@@ -719,14 +773,17 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     reduced pose (H for WorldMotion, L for WorldPose).
 
     `chain_solver(A, B, rhs)` solves the per-tracklet block-tridiagonal
-    systems; defaults to the single-device block-Thomas `chain_solve`.  The
-    distributed path substitutes the frame-sharded SPIKE solve
+    systems; defaults to the single-device block-Thomas `chain_solve`
+    (`DYNO_SCHUR_LANES=1` selects the lane-major variant pending the TPU
+    A/B).  The distributed path substitutes the frame-sharded SPIKE solve
     (`parallel/schur_dist.py`) — everything else in the step is einsums and
     small replicated dense algebra that GSPMD partitions from the input
     shardings.
     """
     if chain_solver is None:
-        chain_solver = chain_solve
+        chain_solver = (
+            chain_solve_lanes if _CHAIN_LANES else chain_solve
+        )
     W_, NS, _, _ = sys.Us.shape
     ND = sys.Ad.shape[1]
     O = sys.Dmm.shape[1]

@@ -32,7 +32,6 @@ picks K accordingly; arbitrary-length tails belong to the online pipeline).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -302,3 +302,31 @@ def test_schur_step_world_pose_kinematic():
     np.testing.assert_allclose(
         np.asarray(got["L"].t), np.asarray(want["L"].t), atol=3e-2
     )
+
+
+def test_chain_solve_lanes_matches_block_major(rng):
+    """Lane-major chain solve == block-major on random SPD chains."""
+    W, N, M = 8, 12, 7
+    A = np.zeros((W, N, 3, 3), np.float32)
+    B = np.zeros((W, N, 3, 3), np.float32)
+    rhs = rng.normal(size=(W, N, 3, M)).astype(np.float32)
+    for n in range(N):
+        C = np.zeros((3 * W, 3 * W))
+        for k in range(W):
+            C[3 * k:3 * k + 3, 3 * k:3 * k + 3] = rng.normal(size=(3, 3))
+            if k > 0:
+                C[3 * k:3 * k + 3, 3 * k - 3:3 * k] = rng.normal(size=(3, 3))
+        G = C @ C.T + np.eye(3 * W)
+        for k in range(W):
+            A[k, n] = G[3 * k:3 * k + 3, 3 * k:3 * k + 3]
+            if k > 0:
+                B[k, n] = G[3 * k - 3:3 * k, 3 * k:3 * k + 3]
+    want = np.asarray(
+        schur.chain_solve(jnp.asarray(A), jnp.asarray(B), jnp.asarray(rhs))
+    )
+    got = np.asarray(
+        schur.chain_solve_lanes(
+            jnp.asarray(A), jnp.asarray(B), jnp.asarray(rhs)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
