@@ -155,3 +155,33 @@ def inv_spd(M: jax.Array) -> jax.Array:
     top = jnp.concatenate([TL, TR], axis=-1)
     bot = jnp.concatenate([BL, Si], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+def inv_gen3_lanes(M: jax.Array) -> jax.Array:
+    """General (non-symmetric) 3x3 inverse, lane-major — the adjugate
+    formula in `inv3_lanes` is already general; alias for clarity."""
+    return inv3_lanes(M)
+
+
+def inv6_lanes(M: jax.Array) -> jax.Array:
+    """General (non-symmetric) 6x6 inverse via the 3x3-block Schur
+    complement, lane-major (..., 6, 6, N).  Pivot-free: requires the
+    top-left 3x3 block and its Schur complement to be invertible — true for
+    the near-identity interface systems this serves (SPIKE chain interface,
+    `parallel/schur_dist.py`), where a batched dense LU would serialize as
+    a small-LAPACK kernel on TPU."""
+    A = M[..., :3, :3, :]
+    B = M[..., :3, 3:, :]
+    C = M[..., 3:, :3, :]
+    D = M[..., 3:, 3:, :]
+    Ai = inv3_lanes(A)
+    CAi = _mm_lanes(C, Ai)
+    S = D - _mm_lanes(CAi, B)
+    Si = inv3_lanes(S)
+    AiB = _mm_lanes(Ai, B)
+    TL = Ai + _mm_lanes(_mm_lanes(AiB, Si), CAi)
+    TR = -_mm_lanes(AiB, Si)
+    BL = -_mm_lanes(Si, CAi)
+    top = jnp.concatenate([TL, TR], axis=-2)
+    bot = jnp.concatenate([BL, Si], axis=-2)
+    return jnp.concatenate([top, bot], axis=-3)

@@ -103,24 +103,68 @@ def make_spike_chain_solver(mesh):
         # ---- per-chain interface system over u = [f_0,l_0,...,f_{B-1},l_{B-1}]
         #   f_b + V0_b l_{b-1} + W0_b f_{b+1} = y0_b
         #   l_b + V1_b l_{b-1} + W1_b f_{b+1} = y1_b
+        # This is 6x6-BLOCK TRIDIAGONAL (identity diagonal,
+        # lower L_b = [0 V0_b; 0 V1_b], upper U_b = [W0_b 0; W1_b 0]): a
+        # batched dense LU (`jnp.linalg.solve` on (n, 6B, 6B)) is a
+        # serialized small-LAPACK kernel on TPU (CLAUDE.md rule), so solve
+        # with an unrolled LANE-MAJOR block-Thomas over the B blocks —
+        # every step is broadcast mul+reduce at full 128-lane occupancy.
+        from ..ops.linalg import _mm_lanes, inv6_lanes
+
         n = A.shape[1]
         Bb = n_blocks
         dt = A.dtype
-        mat = jnp.broadcast_to(
-            jnp.eye(6 * Bb, dtype=dt), (n, 6 * Bb, 6 * Bb)
-        )
+        z33 = jnp.zeros((3, 3, n), dt)
+
+        def _l(b):                                  # (6, 6, n)
+            v0 = jnp.transpose(Vb[b, 0], (1, 2, 0))
+            v1 = jnp.transpose(Vb[b, 1], (1, 2, 0))
+            return jnp.concatenate(
+                [
+                    jnp.concatenate([z33, v0], axis=1),
+                    jnp.concatenate([z33, v1], axis=1),
+                ],
+                axis=0,
+            )
+
+        def _u(b):
+            w0 = jnp.transpose(Wb[b, 0], (1, 2, 0))
+            w1 = jnp.transpose(Wb[b, 1], (1, 2, 0))
+            return jnp.concatenate(
+                [
+                    jnp.concatenate([w0, z33], axis=1),
+                    jnp.concatenate([w1, z33], axis=1),
+                ],
+                axis=0,
+            )
+
+        def _y(b):                                  # (6, M, n)
+            return jnp.concatenate(
+                [
+                    jnp.transpose(yb[b, 0], (1, 2, 0)),
+                    jnp.transpose(yb[b, 1], (1, 2, 0)),
+                ],
+                axis=0,
+            )
+
+        eye6 = jnp.broadcast_to(jnp.eye(6, dtype=dt)[..., None], (6, 6, n))
+        Dinvs, yps = [], []
         for b in range(Bb):
-            r0, r1 = 6 * b, 6 * b + 3
-            if b > 0:
-                cl = 6 * (b - 1) + 3                # column of l_{b-1}
-                mat = mat.at[:, r0 : r0 + 3, cl : cl + 3].add(Vb[b, 0])
-                mat = mat.at[:, r1 : r1 + 3, cl : cl + 3].add(Vb[b, 1])
-            if b < Bb - 1:
-                cf = 6 * (b + 1)                    # column of f_{b+1}
-                mat = mat.at[:, r0 : r0 + 3, cf : cf + 3].add(Wb[b, 0])
-                mat = mat.at[:, r1 : r1 + 3, cf : cf + 3].add(Wb[b, 1])
-        rhs_b = jnp.transpose(yb, (2, 0, 1, 3, 4)).reshape(n, 6 * Bb, -1)
-        u = jnp.linalg.solve(mat, rhs_b)            # (n, 6Bb, M)
+            if b == 0:
+                Dp, yp = eye6, _y(0)
+            else:
+                G = _mm_lanes(_l(b), Dinvs[b - 1])
+                Dp = eye6 - _mm_lanes(G, _u(b - 1))
+                yp = _y(b) - _mm_lanes(G, yps[b - 1])
+            Dinvs.append(inv6_lanes(Dp) if b > 0 else eye6)
+            yps.append(yp)
+        xs = [None] * Bb
+        xs[Bb - 1] = _mm_lanes(Dinvs[Bb - 1], yps[Bb - 1])
+        for b in range(Bb - 2, -1, -1):
+            xs[b] = _mm_lanes(
+                Dinvs[b], yps[b] - _mm_lanes(_u(b), xs[b + 1])
+            )
+        u = jnp.transpose(jnp.stack(xs), (3, 0, 1, 2))  # (n, Bb, 6, M)
         u = u.reshape(n, Bb, 2, 3, M)
 
         # neighbour boundary values for this block (clamped indices are
