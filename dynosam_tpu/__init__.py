@@ -27,6 +27,11 @@ _LAZY = {
     "FrontendState": ("dynosam_tpu.frontend.frontend", "FrontendState"),
     "frontend_step": ("dynosam_tpu.frontend.frontend", "frontend_step"),
     "FrameImages": ("dynosam_tpu.frontend.frontend", "FrameImages"),
+    "run_offline": ("dynosam_tpu.throughput", "run_offline"),
+    "make_streaming_runner": (
+        "dynosam_tpu.throughput", "make_streaming_runner"
+    ),
+    "make_rectifier": ("dynosam_tpu.frontend.rectify", "make_rectifier"),
 }
 
 
