@@ -35,6 +35,20 @@ import numpy as np
 
 REF_BASELINE_FPS = 56.48  # measured: scripts/baseline_reference.py
 
+# v5e peak (bf16 systolic) for the MFU denominator; f32-pass programs can
+# at best reach a fraction of this, so the printed MFU is conservative
+PEAK_FLOPS = 197e12
+
+
+def _program_flops(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def rendered_frames(n=12, h=384, w=1280):
     from dynosam_tpu.testing.render import RenderConfig, RenderedScene
@@ -120,6 +134,8 @@ def bench_frontend_scan(frames, cam, label, cfg, reps=6):
         state, ts = jax.lax.scan(step, state, (prev, cur, keys))
         return state, ts
 
+    compiled = run.lower(state0, stacked, keys).compile()
+    flops = _program_flops(compiled)
     state, ts = run(state0, stacked, keys)        # compile + settle
     float(np.asarray(ts[-1]))                     # fetch barrier
     t0 = time.perf_counter()
@@ -128,10 +144,13 @@ def bench_frontend_scan(frames, cam, label, cfg, reps=6):
     float(np.asarray(ts[-1]))                     # fetch barrier
     dt = time.perf_counter() - t0
     fps = n_steps * reps / dt
+    mfu = flops * reps / dt / PEAK_FLOPS * 100.0
     print(
         f"{label}: {fps:.1f} frames/s "
         f"({dt / (n_steps * reps) * 1e3:.2f} ms/frame; scan x{n_steps} "
-        f"x{reps} chained reps, fetch barrier)",
+        f"x{reps} chained reps, fetch barrier; "
+        f"{flops / max(n_steps, 1) / 1e9:.2f} GFLOP/frame, "
+        f"MFU {mfu:.2f}% of bf16 peak)",
         file=sys.stderr,
     )
     return fps
@@ -424,6 +443,7 @@ def bench_backend_window(reps=5):
     lm_cfg = LMConfig(max_iterations=10)
     anchor = se3_identity((), jnp.float32)
     args = (m, 0, 10, bcfg, lm_cfg, anchor, jnp.asarray(False), 0)
+    flops = _program_flops(optimize_window_jit.lower(*args).compile())
     res, _ = optimize_window_jit(*args)  # compile
     float(res.error)                     # fetch barrier
     t0 = time.perf_counter()
@@ -436,7 +456,9 @@ def bench_backend_window(reps=5):
     iters = int(res.iterations)
     print(
         f"backend: window10 schur solve {ba_dt*1e3:.1f} ms "
-        f"({iters} LM iters, final err {float(res.error):.3f})",
+        f"({iters} LM iters, final err {float(res.error):.3f}; "
+        f"{flops / 1e9:.2f} GFLOP/solve, "
+        f"MFU {flops / ba_dt / PEAK_FLOPS * 100.0:.2f}% of bf16 peak)",
         file=sys.stderr,
     )
     return ba_dt
