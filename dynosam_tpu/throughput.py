@@ -2,8 +2,8 @@
 ONE jitted XLA program.
 
 The online `DynoPipeline` (pipeline.py) dispatches one frontend program per
-frame plus one window solve per trigger — right when frames arrive one at a
-time, but every dispatch pays host/tunnel latency.  For offline replay and
+frame plus one window solve per trigger — the right design when frames arrive one
+at a time, but every dispatch pays host/tunnel latency.  For offline replay and
 for the whole-pipeline benchmark the entire run fuses into a single program:
 
   warmup:  frame 0 (the `first_frame=True` trace) + a scan over frames
