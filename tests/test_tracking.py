@@ -345,3 +345,34 @@ def test_redetect_on_demand_skips_when_healthy(rng):
     # healthy tracking (>50% of 60 target) -> detection skipped entirely
     assert int(rep1.n_static_tracked) > 30
     assert int(rep1.n_static_new) == 0
+
+
+def test_tracker_flow_only_mode(rng):
+    """use_klt=False (reference --use_flow_tracking): static features
+    propagate by the DENSE FLOW alone — the merged flow/label sample path
+    (tracker.py fl_s/fl_d) must move statics by the flow and keep dynamics
+    on their object."""
+    h, w = 96, 128
+    base, img2, mask1, mask2, flow = make_scene(rng)
+    cfg = TrackerConfig(
+        max_features_per_frame=150,
+        semantic_mask_step_size=4,
+        max_feature_track_age=25,
+    )
+    st = TrackerState.create(ns=200, nd=512, no=8)
+    zero_flow = jnp.zeros((h, w, 2), jnp.float32)
+    st, _ = track_frame(
+        st, jnp.asarray(base), jnp.asarray(base), zero_flow,
+        jnp.asarray(mask1), cfg, use_klt=False, first_frame=True,
+    )
+    st1, rep1 = track_frame(
+        st, jnp.asarray(base), jnp.asarray(img2), jnp.asarray(flow),
+        jnp.asarray(mask2), cfg, use_klt=False, first_frame=False,
+    )
+    assert int(rep1.n_static_tracked) > 20
+    assert int(rep1.n_dynamic_tracked) > 10
+    moved = np.asarray(st1.s_uv - st.s_uv)[
+        np.asarray(st1.s_active & (st1.s_age > 0))
+    ]
+    med = np.median(moved, axis=0)
+    np.testing.assert_allclose(med, [-2.0, -1.0], atol=0.5)
