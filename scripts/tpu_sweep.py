@@ -43,7 +43,10 @@ print(f"RESULT frontend_fps={{fps:.2f}}", flush=True)
 def run(env_extra: dict, snippet: str, label: str, timeout=1500):
     env = dict(os.environ)
     env.update(env_extra)
-    env["PYTHONPATH"] = REPO
+    env["PYTHONPATH"] = (
+        REPO + os.pathsep + env["PYTHONPATH"]
+        if env.get("PYTHONPATH") else REPO
+    )
     p = subprocess.run(
         [sys.executable, "-c", snippet.format(repo=REPO)],
         env=env, capture_output=True, text=True, timeout=timeout,
