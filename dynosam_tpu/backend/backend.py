@@ -41,7 +41,13 @@ from ..core.lie import (
 from ..core.types import FrontendOutput
 from ..utils.config import BackendConfig, CapacityConfig
 from . import formulation as fm
-from .map import MeasurementMap, WindowData, slice_window, update_map
+from .map import (
+    MeasurementMap,
+    WindowData,
+    compact_window,
+    slice_window,
+    update_map,
+)
 from .solver import LMConfig, LMResult, lm_optimize
 
 _update_map_jit = jax.jit(update_map)
@@ -116,7 +122,65 @@ def optimize_window(
     the analog of the reference Formulation's persistent `theta_` values.
     """
     w = slice_window(m, start, window)
+    F, NS, ND, O = m.capacity
+    pose_key = "H" if updater == 0 else "L"
+    # compact oversized pools to the window's most-observed slots (the
+    # reference's constructGraph(from,to) likewise rebuilds each window
+    # graph from only the in-range nodes); varpro (experimental, default
+    # off) stays uncompacted
+    ns_win = min(NS, cfg.window_max_static or NS)
+    nd_win = min(ND, cfg.window_max_dynamic or ND)
+    no_win = min(O, cfg.window_max_objects or O)
+    compacting = (
+        not cfg.use_varpro
+        and (ns_win < NS or nd_win < ND or no_win < O)
+    )
+    if compacting:
+        w, sp_idx, dp_idx, obj_idx = compact_window(w, ns_win, nd_win, no_win)
+        if prev is not None:
+            take1 = lambda a, idx: jnp.take(a, idx, axis=1)
+            take1_se3 = lambda p, idx: SE3(take1(p.R, idx), take1(p.t, idx))
+            prev = {
+                "X": prev["X"],
+                pose_key: take1_se3(prev[pose_key], obj_idx),
+                "sp": jnp.take(prev["sp"], sp_idx, axis=0),
+                "dp": take1(prev["dp"], dp_idx),
+            }
+            prev_mask = {
+                "X": prev_mask["X"],
+                pose_key: take1(prev_mask[pose_key], obj_idx),
+                "sp": jnp.take(prev_mask["sp"], sp_idx, axis=0),
+                "dp": take1(prev_mask["dp"], dp_idx),
+            }
     masks = fm.build_masks(w, cfg)
+
+    def finish(result, masks):
+        """Scatter compacted values/masks back to pool coordinates so
+        callers (write-back, estimate stores) are compaction-agnostic."""
+        if not compacting:
+            return result, masks
+        dt = w.static_xyz.dtype
+        values = dict(result.values)
+        sp_f = jnp.zeros((NS, 3), dt).at[sp_idx].set(values["sp"])
+        dp_f = jnp.zeros((window, ND, 3), dt).at[:, dp_idx].set(values["dp"])
+        P = values[pose_key]
+        P_id = se3_identity((window, O), dt)
+        P_f = SE3(
+            P_id.R.at[:, obj_idx].set(P.R), P_id.t.at[:, obj_idx].set(P.t)
+        )
+        values.update({"sp": sp_f, "dp": dp_f, pose_key: P_f})
+        zb = lambda shape: jnp.zeros(shape, bool)
+        masks_f = masks._replace(
+            static_obs=zb((window, NS)).at[:, sp_idx].set(masks.static_obs),
+            dyn_obs=zb((window, ND)).at[:, dp_idx].set(masks.dyn_obs),
+            ternary=zb((window, ND)).at[:, dp_idx].set(masks.ternary),
+            smoothing=zb((window, O)).at[:, obj_idx].set(masks.smoothing),
+            motion_active=zb((window, O)).at[:, obj_idx].set(
+                masks.motion_active
+            ),
+        )
+        return result._replace(values=values), masks_f
+
     anchor_pose = SE3(
         jnp.where(use_anchor, anchor.R, w.X_init.R[0]),
         jnp.where(use_anchor, anchor.t, w.X_init.t[0]),
@@ -169,7 +233,7 @@ def optimize_window(
         result = schur.lm_optimize_schur(
             values, w, masks, cfg, lm_cfg, anchor_pose, formulation=updater
         )
-        return result, masks
+        return finish(result, masks)
     if updater == 0:
         values = fm.init_values(w, masks, cfg, prev=prev, prev_mask=prev_mask)
         spec = fm.world_motion_families(cfg)
@@ -184,7 +248,7 @@ def optimize_window(
         gn_diag = lambda v, sw: fm.world_pose_gn_diag(v, sw, w, masks, cfg)
 
     result = lm_optimize(resid, spec.robust, values, lm_cfg, gn_diag_fn=gn_diag)
-    return result, masks
+    return finish(result, masks)
 
 
 # the pure `optimize_window` is traced inside larger programs (the fused

@@ -131,6 +131,71 @@ class WindowData(NamedTuple):
     start: jax.Array         # () int32 — first frame index in the map
 
 
+def compact_window(w: WindowData, ns_win: int, nd_win: int, no_win: int):
+    """Gather the window's most-observed track/object slots into a smaller
+    fixed-capacity WindowData, so the solve cost depends on the window's
+    content, not the global pool capacities.
+
+    Reference analog: `constructGraph(from, to)` rebuilds each window graph
+    from only the map nodes observed in range
+    (`src/backend/RGBDBackendModule.cc:280-341`) — a window never sees the
+    whole landmark store.  Selection is top-k by in-window observation
+    count (ties resolve to the lower slot, so selection is deterministic);
+    dropped tracks keep their estimates untouched on write-back.
+
+    Returns ``(w_c, sp_idx, dp_idx, obj_idx)`` — the compacted window plus
+    the selected slot indices for scattering results back to pool coords.
+    """
+    W, NS = w.static_valid.shape
+    ND = w.dyn_valid.shape[1]
+    O = w.motion_valid.shape[1]
+
+    s_score = jnp.sum(w.static_valid, axis=0).astype(jnp.float32)
+    _, sp_idx = jax.lax.top_k(s_score, ns_win)
+    d_score = jnp.sum(w.dyn_valid, axis=0).astype(jnp.float32)
+    _, dp_idx = jax.lax.top_k(d_score, nd_win)
+    # object score: dynamic observations per object slot + frontend motion
+    # validity (keeps objects the frontend solved even if thinly observed)
+    oh_all = jax.nn.one_hot(w.dyn_obj, O, dtype=jnp.float32)  # -1 -> zeros
+    o_score = jnp.einsum("wn,wno->o", w.dyn_valid.astype(jnp.float32), oh_all)
+    o_score = o_score + jnp.sum(w.motion_valid, axis=0).astype(jnp.float32)
+    _, obj_idx = jax.lax.top_k(o_score, no_win)
+
+    take1 = lambda a, idx: jnp.take(a, idx, axis=1)
+    take1_se3 = lambda p, idx: SE3(take1(p.R, idx), take1(p.t, idx))
+
+    # remap dyn_obj to compacted object slots with a one-hot matvec (a
+    # small-table gather would serialize per element on TPU); objects that
+    # fell outside the top-k become INVALID_ID, which disables their
+    # factors in build_masks exactly like an unlabeled observation
+    inv = jnp.zeros((O,), jnp.float32).at[obj_idx].set(
+        jnp.arange(no_win, dtype=jnp.float32)
+    )
+    sel = jnp.zeros((O,), jnp.float32).at[obj_idx].set(1.0)
+    dyn_obj_c = take1(w.dyn_obj, dp_idx)
+    oh_c = jax.nn.one_hot(dyn_obj_c, O, dtype=jnp.float32)
+    new_obj = jnp.einsum("wno,o->wn", oh_c, inv)
+    kept = jnp.einsum("wno,o->wn", oh_c, sel) > 0.5
+    dyn_obj_new = jnp.where(
+        (dyn_obj_c >= 0) & kept, new_obj.astype(jnp.int32), INVALID_ID
+    )
+
+    w_c = WindowData(
+        static_xyz=take1(w.static_xyz, sp_idx),
+        static_valid=take1(w.static_valid, sp_idx),
+        dyn_xyz=take1(w.dyn_xyz, dp_idx),
+        dyn_obj=dyn_obj_new,
+        dyn_valid=take1(w.dyn_valid, dp_idx),
+        X_init=w.X_init,
+        motion_init=take1_se3(w.motion_init, obj_idx),
+        motion_valid=take1(w.motion_valid, obj_idx),
+        obj_pose_init=take1_se3(w.obj_pose_init, obj_idx),
+        frame_valid=w.frame_valid,
+        start=w.start,
+    )
+    return w_c, sp_idx, dp_idx, obj_idx
+
+
 def slice_window(m: MeasurementMap, start, window: int) -> WindowData:
     """Gather frames [start, start+window) with dynamic_slice (start traced)."""
     ds = lambda a: jax.lax.dynamic_slice_in_dim(a, start, window, axis=0)

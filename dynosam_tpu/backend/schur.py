@@ -829,35 +829,55 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     d_cc_d = _es("kdic,kdib->kcb", sys.Rc, Tc).reshape(nc, nc)
     d_bc_d = _es("kdic,kdi->kc", sys.Rc, tb).reshape(nc)
 
-    # camera-pose correction with object scatter on the column frame
+    # camera-pose and pose-pose corrections.  Cross-object entries are
+    # exactly zero (a track's chain decouples where the factor mask cuts
+    # it — Bd is zero across the cut, so the block-Thomas inverse never
+    # propagates between segments).  That property lets every one-hot land
+    # on the ROW side of a single batched MXU dot per term:
+    #
+    #   out[k, (a,o), (g,b)] = sum_{d,i} (Bs[k,d,i,a] oh_row[k,d,o])
+    #                                  * (Tm[k,d,i,g,b] act[g,d])
+    #
+    # The column-side filter oh[g,d,o] collapses to the activity mask
+    # act[g,d]: wherever Tm couples row-frame k to column-frame g they sit
+    # in the same chain segment, so the column object equals the row
+    # object already selected by oh_row.  Writing each term as one
+    # dot_general (batch k, contract d*3) keeps everything on the MXU; the
+    # naive einsum lowered to broadcast-multiply fusions materializing
+    # (W, ND, W, 6, 6) intermediates + relayout copies — ~half of the
+    # whole window-10 solve on the device trace (round 3).
+    # DISTRIBUTION NOTE: the track axis (d) is contracted inside each dot
+    # and only the small (W, O, 6, W, 6) partials shift across frames —
+    # shifting pre-contraction (W, ND, ...) tensors makes GSPMD all-gather
+    # ~10 MB over the frame axis EVERY LM iteration (measured via
+    # compiled-HLO collective dump, round 3).
     oh = sys.onehot                                         # (W, ND, O)
-    d_cm = _es(
-        "kdic,kdigb,gdo->kcgob", sys.Rc, Tm, oh
-    ).reshape(nc, W_, O, 6)
+    act = jnp.sum(oh, axis=-1)                              # (W, ND) 0/1
+    Tm_act = Tm * jnp.swapaxes(act, 0, 1)[None, :, None, :, None]
+    Rdot = Tm_act.reshape(W_, ND * 3, nc)                   # (k, d*i, g*b)
 
-    # pose-pose correction.  Cross-object entries are exactly zero (a
-    # track's chain decouples where the factor mask cuts it), so scatter
-    # rows and columns with the SAME object one-hot.  CC's row axis is
-    # banded (cols k-1, k, k+1 only), so contract the three bands directly
-    # instead of the (W, ND, 3, W, 6) dense tensor — 10x fewer MACs and no
-    # W x W zero-block traffic:
-    #   d_mm[f] = S(diag[f]^T Tm[f]) + S(up[f-1]^T Tm[f-1])
-    #           + S(down[f+1]^T Tm[f+1]),   S = object scatter over tracks.
-    # DISTRIBUTION NOTE: contract the TRACK axis (d) inside each band term
-    # and shift only the small (W, O, 6, W, 6) partials across frames — the
-    # band row one-hot is shifted instead (tiny).  Shifting the
-    # pre-contraction (W, ND, 6, W, 6) tensor makes GSPMD all-gather ~10 MB
-    # over the frame axis EVERY LM iteration (measured via compiled-HLO
-    # collective dump, round 3).
+    def _couple_dot(Brow, oh_row):
+        # Brow (W, ND, 3, 6) row blocks, oh_row (W, ND, O) row one-hot.
+        L = _es("kdia,kdo->kdiao", Brow, oh_row).reshape(W_, ND * 3, 6 * O)
+        out = jax.lax.dot_general(
+            L, Rdot, (((1,), (1,)), ((0,), (0,))), precision="highest"
+        )                                                   # (k, a*o, g*b)
+        return out.reshape(W_, 6, O, W_, 6)
+
     diag_b, up_b, down_b = chain_pose_bands(sys)
     zoh = jnp.zeros_like(oh[:1])
     oh_next = jnp.concatenate([oh[1:], zoh], axis=0)    # oh[k+1] at row k
     oh_prev = jnp.concatenate([zoh, oh[:-1]], axis=0)   # oh[k-1] at row k
 
+    # Rc[k,d] != 0 only for active chain rows, and any Tm-coupled column
+    # frame g shares row k's segment/object, so oh[k,·] stands in for the
+    # column one-hot oh[g,·] here too.
+    d_cm = _couple_dot(sys.Rc, oh).transpose(0, 1, 3, 2, 4).reshape(
+        nc, W_, O, 6
+    )
+
     def band_term(Bs, oh_row):
-        # merged row/col one-hot: both scatters use the SAME object index
-        ohg = _es("kdo,gdo->kgdo", oh_row, oh)          # (W, W, ND, O)
-        return _es("kdia,kdigb,kgdo->koagb", Bs, Tm, ohg)
+        return _couple_dot(Bs, oh_row).transpose(0, 2, 1, 3, 4)
 
     d_mm = band_term(diag_b, oh)
     d_mm = d_mm.at[1:].add(band_term(up_b, oh_next)[:-1])

@@ -205,6 +205,16 @@ class BackendConfig:
     # back to PCG, whose memory footprint is O(variables) not O(W^2).
     use_schur: bool = True
     schur_max_window: int = 16
+    # Window compaction: each window solve gathers only the top-K
+    # most-observed track slots / objects before building its normal
+    # system, so solve cost tracks window content rather than global pool
+    # capacity (the reference's constructGraph(from,to) likewise rebuilds
+    # window graphs from only the in-range map nodes,
+    # `RGBDBackendModule.cc:280-341`).  0 disables; pools at or below the
+    # cap are passed through untouched (bit-identical).
+    window_max_static: int = 1024
+    window_max_dynamic: int = 1024
+    window_max_objects: int = 8
     # Formulation gating (Formulation.hpp:117-121)
     min_static_observations: int = 2
     min_dynamic_observations: int = 3

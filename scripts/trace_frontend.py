@@ -138,7 +138,7 @@ def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 11
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dyno_trace"
     n = run_traced(out_dir, n_steps)
-    parse(out_dir, n)
+    parse(out_dir, n, top_individual=30)
 
 
 if __name__ == "__main__":

@@ -164,8 +164,74 @@ def check_distributed_vs_single():
     print("distributed-vs-single f64 ok")
 
 
+def check_compaction():
+    """Window track/object compaction (backend/map.py:compact_window) is
+    algebraically exact: a solve over padded + slot-permuted pools equals
+    the exact-pool solve to f64 round-off (measured err diff ~1e-10)."""
+    import dataclasses
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_compaction import SCFG, _permute_packet
+
+    from dynosam_tpu.backend.backend import optimize_window_jit
+    from dynosam_tpu.backend.map import MeasurementMap, update_map
+    from dynosam_tpu.backend.solver import LMConfig
+    from dynosam_tpu.core.lie import se3_identity
+    from dynosam_tpu.testing.simulator import Scenario
+    from dynosam_tpu.utils.config import BackendConfig
+
+    sc = Scenario(SCFG)
+    W = SCFG.n_frames
+    ns_big, nd_big, no_big = 96, 80, 7
+    rng = np.random.default_rng(3)
+    sperm = jnp.asarray(rng.permutation(ns_big)[: SCFG.ns], jnp.int32)
+    dperm = jnp.asarray(rng.permutation(nd_big)[: SCFG.nd], jnp.int32)
+    operm = jnp.asarray(rng.permutation(no_big)[: SCFG.no], jnp.int32)
+
+    m_small = MeasurementMap.create(W, SCFG.ns, SCFG.nd, SCFG.no, jnp.float64)
+    m_big = MeasurementMap.create(W, ns_big, nd_big, no_big, jnp.float64)
+    for k, pkt in enumerate(sc.frontend_outputs()):
+        m_small = update_map(m_small, _cast_tree(pkt), k)
+        m_big = update_map(
+            m_big,
+            _cast_tree(
+                _permute_packet(pkt, sperm, dperm, operm,
+                                ns_big, nd_big, no_big)
+            ),
+            k,
+        )
+    cfg = dataclasses.replace(
+        BackendConfig(), lm_max_iterations=10,
+        window_max_static=SCFG.ns, window_max_dynamic=SCFG.nd,
+        window_max_objects=SCFG.no,
+    )
+    lm_cfg = LMConfig(max_iterations=10)
+    anchor = se3_identity((), jnp.float64)
+    res_a, _ = optimize_window_jit(
+        m_small, 0, W, cfg, lm_cfg, anchor, jnp.asarray(False), 0
+    )
+    res_b, _ = optimize_window_jit(
+        m_big, 0, W, cfg, lm_cfg, anchor, jnp.asarray(False), 0
+    )
+    assert abs(float(res_a.error) - float(res_b.error)) < 1e-8
+    np.testing.assert_allclose(
+        np.asarray(res_b.values["X"].t), np.asarray(res_a.values["X"].t),
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.values["H"].t[:, operm]),
+        np.asarray(res_a.values["H"].t),
+        atol=1e-6,
+    )
+    print("COMPACTION_F64_OK")
+
+
 if __name__ == "__main__":
-    check_spike_vs_thomas()
-    check_step_vs_dense()
-    check_distributed_vs_single()
-    print("F64_ALL_OK")
+    if "compaction" in sys.argv[1:]:
+        check_compaction()
+    else:
+        check_spike_vs_thomas()
+        check_step_vs_dense()
+        check_distributed_vs_single()
+        print("F64_ALL_OK")
