@@ -131,8 +131,12 @@ def optimize_window(
     ns_win = min(NS, cfg.window_max_static or NS)
     nd_win = min(ND, cfg.window_max_dynamic or ND)
     no_win = min(O, cfg.window_max_objects or O)
+    # sliding-window solves only: a full-batch solve over a long sequence
+    # legitimately carries more active tracks than the window caps, and
+    # top-k compaction would silently drop its thinnest tracks
     compacting = (
         not cfg.use_varpro
+        and window <= cfg.schur_max_window
         and (ns_win < NS or nd_win < ND or no_win < O)
     )
     if compacting:

@@ -72,10 +72,12 @@ from .solver import LMConfig, LMResult, retract_tree, total_error
 _es = functools.partial(jnp.einsum, precision="highest")
 _mm = functools.partial(jnp.matmul, precision="highest")
 
-# lane-major chain solve opt-in (TPU A/B pending; see chain_solve_lanes)
+# lane-major chain solve default ON: TPU A/B (2026-08-19, window-10 with
+# the coupling-dot assembly) measured 39.6 ms (lanes) vs 56.2 ms
+# (block-major) per solve; DYNO_SCHUR_LANES=0 reverts
 import os as _os
 
-_CHAIN_LANES = _os.environ.get("DYNO_SCHUR_LANES") == "1"
+_CHAIN_LANES = _os.environ.get("DYNO_SCHUR_LANES", "1") == "1"
 
 
 # --------------------------------------------------------------------------

@@ -49,7 +49,9 @@ import os as _os
 
 _DOT_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
-    "float32": jax.lax.Precision.HIGH,
+    # Mosaic lowers only DEFAULT/HIGHEST (Precision.HIGH raises
+    # NotImplementedError); DEFAULT = bf16-rounded MXU inputs
+    "float32": jax.lax.Precision.DEFAULT,
     "default": jax.lax.Precision.DEFAULT,
 }[_os.environ.get("DYNO_LK_PRECISION", "highest")]
 
@@ -119,9 +121,13 @@ def _make_kernel_resident(
             lx = jnp.clip(x0f + rr_x, x_lo, x_hi) - jx0 * 1.0
             R = jnp.maximum(0.0, 1.0 - jnp.abs(ly - jj_y))
             C = jnp.maximum(0.0, 1.0 - jnp.abs(lx - jj_x))
-            rw = jnp.dot(R, win_, preferred_element_type=jnp.float32,
+            # column-first: (SY,SX)@(SX,size) contracts the full 256-lane
+            # K on the MXU; row-first's K=SY(32) pass runs 1/4-utilized
+            # and leaves the big (size,SX) product for the second dot
+            # (323k vs 205k MACs per sample)
+            cw = jnp.dot(win_, C.T, preferred_element_type=jnp.float32,
                          precision=_DOT_PRECISION)
-            return jnp.dot(rw, C.T, preferred_element_type=jnp.float32,
+            return jnp.dot(R, cw, preferred_element_type=jnp.float32,
                            precision=_DOT_PRECISION)
 
         base = pl.program_id(0) * feat_block
@@ -153,6 +159,166 @@ def _make_kernel_resident(
             gys.append(gy)
             coefs.append((gxx, gxy, gyy, det_safe, inv_ok))
             # resident CURRENT window, anchored at the warm start
+            cx0, cy0 = anchor(
+                px + gv[f, 0] - hw - 1, py + gv[f, 1] - hw - 1
+            )
+            cur_wins.append(cur_ref[pl.ds(cy0, SY), pl.ds(cx0, SX)])
+            cur_anchor.append((cx0, cy0))
+
+        def sample_cur(f, gu_f, gv_f):
+            cx0, cy0 = cur_anchor[f]
+            p = interp(
+                cur_wins[f], cx0, cy0,
+                pv[f, 0] + gu_f - hw - 1, pv[f, 1] + gv_f - hw - 1, pwin,
+            )
+            return p[1:win + 1, 1:win + 1]
+
+        def step(f, gu_f, gv_f):
+            r = sample_cur(f, gu_f, gv_f) - ts[f]
+            bx = jnp.sum(r * gxs[f])
+            by = jnp.sum(r * gys[f])
+            gxx, gxy, gyy, det_safe, inv_ok = coefs[f]
+            du = -(gyy * bx - gxy * by) / det_safe
+            dv = -(-gxy * bx + gxx * by) / det_safe
+            du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
+            dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
+            return du, dv
+
+        gu0 = gv[:, 0]
+        gv0 = gv[:, 1]
+        if eps > 0.0:
+            eps2 = jnp.float32(eps * eps)
+
+            def cond(c):
+                it, _, _, d2 = c
+                return jnp.logical_and(it < iters, jnp.max(d2) > eps2)
+
+            def wbody(c):
+                it, gu, gv_, d2 = c
+                dus, dvs = [], []
+                for f in range(feat_block):
+                    du_f, dv_f = step(f, gu[f], gv_[f])
+                    act = d2[f] > eps2
+                    dus.append(jnp.where(act, du_f, 0.0))
+                    dvs.append(jnp.where(act, dv_f, 0.0))
+                du = jnp.stack(dus)
+                dv = jnp.stack(dvs)
+                return (it + 1, gu + du, gv_ + dv, du * du + dv * dv)
+
+            _, gu, gv_, _ = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), gu0, gv0, vv * 1e9),
+            )
+        else:
+            def body(_, c):
+                gu, gv_ = c
+                dus, dvs = [], []
+                for f in range(feat_block):
+                    du_f, dv_f = step(f, gu[f], gv_[f])
+                    dus.append(du_f * vv[f])
+                    dvs.append(dv_f * vv[f])
+                return (gu + jnp.stack(dus), gv_ + jnp.stack(dvs))
+
+            gu, gv_ = jax.lax.fori_loop(0, iters, body, (gu0, gv0))
+
+        errs = [
+            jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
+            for f in range(feat_block)
+        ]
+        gout_ref[pl.ds(base, feat_block), :] = jnp.stack([gu, gv_], axis=-1)
+        err_ref[pl.ds(base, feat_block), :] = jnp.stack(errs)[:, None]
+
+    return kernel
+
+
+def _make_kernel_fma(
+    h: int, w: int, win: int, iters: int, feat_block: int, eps: float,
+    margin: int = 8,
+):
+    """V3 kernel: bilinear sampling WITHOUT matmuls.
+
+    Every tap of a patch at float origin (x0, y0) shares one fractional
+    offset (fy, fx) — the taps sit on a unit grid — so the separable
+    interpolation matrices of the other kernels are 2-hot with CONSTANT
+    weights, and the whole patch is
+
+        rows = (1-fy) * W[k0 : k0+s, :] + fy * W[k0+1 : k0+s+1, :]
+        patch = (1-fx) * rows[:, l0 : l0+s] + fx * rows[:, l0+1 : l0+s+1]
+
+    — two dynamic slices of the VMEM-resident window + two FMAs on the
+    VPU, replacing two (s, SY)x(SY, SX)-class MXU dots per sample (~205k
+    MACs at 6 passes under HIGHEST).  Like the resident kernel, the
+    current-image window is loaded once per feature; out-of-window
+    iterates clamp at the window edge and die by the caller's error gate
+    (same border contract as the other variants).
+    """
+    hw = win // 2
+    pwin = win + 2
+    SY = min(h, ((pwin + 1 + 2 * margin + 7) + 7) // 8 * 8)
+    SX = min(w, ((pwin + 1 + 127) + 127) // 128 * 128)
+    if SY != h and (h - SY) % 8 != 0:
+        SY = h
+    if SX != w and (w - SX) % 128 != 0:
+        SX = w
+
+    def kernel(p_ref, g_ref, v_ref, prev_ref, cur_ref, gout_ref, err_ref):
+        def anchor(x0f, y0f):
+            if SY == h:
+                jy0 = 0
+            else:
+                jy0 = jnp.clip(
+                    ((jnp.floor(y0f).astype(jnp.int32) - margin) // 8) * 8,
+                    0, h - SY,
+                )
+                jy0 = pl.multiple_of(jy0, 8)
+            if SX == w:
+                jx0 = 0
+            else:
+                jx0 = jnp.clip(
+                    (jnp.floor(x0f).astype(jnp.int32) // 128) * 128,
+                    0, w - SX,
+                )
+                jx0 = pl.multiple_of(jx0, 128)
+            return jx0, jy0
+
+        def interp(win_, jx0, jy0, x0f, y0f, size):
+            y0 = jnp.floor(y0f)
+            x0 = jnp.floor(x0f)
+            fy = (y0f - y0).astype(jnp.float32)
+            fx = (x0f - x0).astype(jnp.float32)
+            k0 = jnp.clip(y0.astype(jnp.int32) - jy0, 0, SY - size - 1)
+            l0 = jnp.clip(x0.astype(jnp.int32) - jx0, 0, SX - size - 1)
+            rows = jax.lax.dynamic_slice(win_, (k0, 0), (size + 1, SX))
+            rw = rows[:size] * (1.0 - fy) + rows[1:] * fy      # (size, SX)
+            cols = jax.lax.dynamic_slice(rw, (0, l0), (size, size + 1))
+            return cols[:, :size] * (1.0 - fx) + cols[:, 1:] * fx
+
+        base = pl.program_id(0) * feat_block
+        if feat_block % 8 == 0:
+            base = pl.multiple_of(base, 8)
+        pv = p_ref[pl.ds(base, feat_block), :]
+        gv = g_ref[pl.ds(base, feat_block), :]
+        vv = v_ref[pl.ds(base, feat_block), 0]
+
+        ts, gxs, gys, coefs = [], [], [], []
+        cur_wins, cur_anchor = [], []
+        for f in range(feat_block):
+            px, py = pv[f, 0], pv[f, 1]
+            jx0, jy0 = anchor(px - hw - 1, py - hw - 1)
+            wp = prev_ref[pl.ds(jy0, SY), pl.ds(jx0, SX)]
+            b = interp(wp, jx0, jy0, px - hw - 1, py - hw - 1, pwin)
+            t = b[1:win + 1, 1:win + 1]
+            gx = (b[1:win + 1, 2:win + 2] - b[1:win + 1, 0:win]) * 0.5
+            gy = (b[2:win + 2, 1:win + 1] - b[0:win, 1:win + 1]) * 0.5
+            gxx = jnp.sum(gx * gx)
+            gxy = jnp.sum(gx * gy)
+            gyy = jnp.sum(gy * gy)
+            det = gxx * gyy - gxy * gxy
+            inv_ok = det > 1e-6
+            det_safe = jnp.where(inv_ok, det, 1.0)
+            ts.append(t)
+            gxs.append(gx)
+            gys.append(gy)
+            coefs.append((gxx, gxy, gyy, det_safe, inv_ok))
             cx0, cy0 = anchor(
                 px + gv[f, 0] - hw - 1, py + gv[f, 1] - hw - 1
             )
@@ -285,9 +451,11 @@ def _make_kernel(
             lx = jnp.clip(x0f + rr_x, 0.0, w - 1.0) - jx0 * 1.0
             R = jnp.maximum(0.0, 1.0 - jnp.abs(ly - jj_y))  # (size, SY)
             C = jnp.maximum(0.0, 1.0 - jnp.abs(lx - jj_x))  # (size, SX)
-            rw = jnp.dot(R, win_, preferred_element_type=jnp.float32,
+            # column-first (see the resident kernel note): full-K MXU
+            # utilization on the big dot, 205k vs 323k MACs per sample
+            cw = jnp.dot(win_, C.T, preferred_element_type=jnp.float32,
                          precision=_DOT_PRECISION)
-            return jnp.dot(rw, C.T, preferred_element_type=jnp.float32,
+            return jnp.dot(R, cw, preferred_element_type=jnp.float32,
                            precision=_DOT_PRECISION)
 
         # Full arrays live in VMEM (tiny); each program addresses its rows
@@ -438,8 +606,11 @@ def lk_level(
     np_ = p_lvl.shape[0]
     grid = (np_ // feat_block,)
 
-    if (variant or _LK_VARIANT) == "resident":
+    v = variant or _LK_VARIANT
+    if v == "resident":
         kernel = _make_kernel_resident(h, w, win, iters, feat_block, eps)
+    elif v == "fma":
+        kernel = _make_kernel_fma(h, w, win, iters, feat_block, eps)
     else:
         kernel = _make_kernel(h, w, win, iters, feat_block, eps)
     g, err = pl.pallas_call(

@@ -64,7 +64,7 @@ def main():
             run({"DYNO_SCHUR_LANES": lanes}, BACKEND_SNIPPET,
                 f"backend window-10  DYNO_SCHUR_LANES={lanes}")
     if which in ("all", "frontend"):
-        for variant in ("reload", "resident"):
+        for variant in ("reload", "resident", "fma"):
             for prec in ("highest", "float32"):
                 run(
                     {"DYNO_LK_VARIANT": variant,

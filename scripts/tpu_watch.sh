@@ -17,6 +17,8 @@ while true; do
     timeout 1500 python scripts/trace_backend.py > tpu_runs/trace_backend.txt 2>&1
     echo "$(date -u) trace backend done rc=$?" >> tpu_runs/watch.log
     timeout 1500 python scripts/trace_frontend.py 33 > tpu_runs/trace_frontend.txt 2>&1
+    echo "$(date -u) trace frontend done rc=$?" >> tpu_runs/watch.log
+    timeout 1800 python scripts/trace_pipeline.py > tpu_runs/trace_pipeline.txt 2>&1
     echo "$(date -u) QUEUE DONE" >> tpu_runs/watch.log
     break
   fi

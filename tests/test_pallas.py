@@ -275,3 +275,38 @@ def test_lk_resident_variant_matches_reload(rng):
     np.testing.assert_allclose(
         np.asarray(ref.error)[both], np.asarray(got.error)[both], atol=1e-4
     )
+
+
+def test_lk_fma_variant_matches_reload(rng):
+    """V3 'fma' kernel (2-tap FMA sampling on dynamic slices, zero
+    matmuls) == the reload kernel in the production warm-start regime:
+    every patch tap shares one fractional offset, so the separable
+    interpolation matrices are 2-hot with constant weights and the FMA
+    form is the same bilinear sum in the same order
+    (`ops/pallas/lk.py:_make_kernel_fma`)."""
+    from dynosam_tpu.ops.klt import flow_at
+    from dynosam_tpu.ops.pallas.lk import klt_track_pallas
+    from dynosam_tpu.testing.render import RenderConfig, RenderedScene
+
+    scene = RenderedScene(RenderConfig(n_frames=2, h=192, w=256))
+    f0, f1 = scene.frames()
+    uv = jnp.asarray(rng.uniform([15, 15], [240, 176], (32, 2)), jnp.float32)
+    valid = jnp.ones((32,), bool)
+    g0 = flow_at(f0.flow, uv) + jnp.asarray(
+        rng.normal(0, 0.5, (32, 2)), jnp.float32
+    )
+    ref = klt_track_pallas(
+        f0.gray, f1.gray, uv, valid, win=21, levels=1, iters=10, g0=g0,
+        eps=0.01, interpret=True, variant="reload",
+    )
+    got = klt_track_pallas(
+        f0.gray, f1.gray, uv, valid, win=21, levels=1, iters=10, g0=g0,
+        eps=0.01, interpret=True, variant="fma",
+    )
+    both = np.asarray(ref.ok) & np.asarray(got.ok)
+    d = np.linalg.norm(np.asarray(ref.uv) - np.asarray(got.uv), axis=1)
+    assert both.sum() >= 25
+    np.testing.assert_allclose(d[both], 0.0, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ref.error)[both], np.asarray(got.error)[both], atol=1e-3
+    )
