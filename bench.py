@@ -422,7 +422,7 @@ def bench_pipeline_streaming(n=100, h=384, w=1280, ns=2048, nd=4096,
     return fps
 
 
-def bench_backend_window(reps=5):
+def bench_backend_window(reps=20):
     """Window-10 direct-Schur solve to convergence (production default)."""
     from dynosam_tpu.backend.backend import optimize_window_jit
     from dynosam_tpu.backend.map import MeasurementMap, update_map

@@ -47,10 +47,14 @@ def run(env_extra: dict, snippet: str, label: str, timeout=1500):
         REPO + os.pathsep + env["PYTHONPATH"]
         if env.get("PYTHONPATH") else REPO
     )
-    p = subprocess.run(
-        [sys.executable, "-c", snippet.format(repo=REPO)],
-        env=env, capture_output=True, text=True, timeout=timeout,
-    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", snippet.format(repo=REPO)],
+            env=env, capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"{label:55s} TIMEOUT after {timeout}s")
+        return
     res = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT")]
     print(f"{label:55s} {res[0] if res else 'FAILED'}")
     if not res:
