@@ -78,10 +78,6 @@ _mm = functools.partial(jnp.matmul, precision="highest")
 import os as _os
 
 _CHAIN_LANES = _os.environ.get("DYNO_SCHUR_LANES", "1") == "1"
-# identity-column chain elimination (31 RHS columns instead of 12W+1,
-# Tc/Tm reconstructed from the tridiagonal-inverse blocks) — TPU A/B
-# pending; see schur_step
-_GCHAIN = _os.environ.get("DYNO_SCHUR_GCHAIN") == "1"
 
 
 # --------------------------------------------------------------------------
@@ -815,54 +811,29 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     d_bc_s = _es("knam,nm->ka", sys.Us, yb_s).reshape(nc)
 
     # ---- dynamic chain elimination --------------------------------------
+    # RHS columns: 6W cameras (block l of chain-row k is Rc[k] iff l == k)
+    # + 6W pose-frames via the 4-coupling tensor (chain_pose_columns)
+    # + gradient.
+    # NEGATIVE RESULT (tried 2026-08-19, do not retry): replacing the 121
+    # columns with the 3W identity columns and reconstructing Tc/Tm from
+    # the tridiagonal-inverse blocks (Tc = G Rc, Tm = G x CC bands) is
+    # exact in f64 but BOTH slower (64.8 vs 39.6 ms window-10: the
+    # (3x3)@(3x6) reconstruction einsums lower as serialized batched tiny
+    # matmuls) and less accurate in f32 (final err 0.793 vs 0.603 at the
+    # 10-iteration budget: explicit-inverse multiplication loses the
+    # backward stability of solving against the actual columns).
     eyeW = jnp.eye(W_, dtype=dtype)
-    if _GCHAIN:
-        # Identity-column variant: solve for the block-tridiagonal INVERSE
-        # blocks G[k,l] (3W identity columns + gradient = 31 columns
-        # instead of 12W+1 = 121) and reconstruct the camera/pose-column
-        # responses from G.  Exact: both RHS families are linear images of
-        # the identity — camera column block l is Rc[l] placed at row l
-        # (Tc[k,·,l,c] = G[k,l] Rc[l,·,c]) and the pose columns are the
-        # three CC bands (column g gets rows g-1, g, g+1):
-        #   Tm[k,·,g,b] = G[k,g] diag[g] + G[k,g-1] up[g-1]
-        #               + G[k,g+1] down[g+1].
-        rhs_id = jnp.broadcast_to(
-            jnp.eye(3 * W_, dtype=dtype).reshape(W_, 1, 3, 3 * W_),
-            (W_, ND, 3, 3 * W_),
-        )
-        rhs_d = jnp.concatenate([rhs_id, sys.b_dp[..., None]], axis=-1)
-        T = chain_solver(Ad, sys.Bd, rhs_d)     # (W, ND, 3, 3W+1)
-        G = T[..., : 3 * W_].reshape(W_, ND, 3, W_, 3)
-        tb = T[..., -1]
-        diag_g, up_g, down_g = chain_pose_bands(sys)
-        Z1b = jnp.zeros_like(diag_g[:1])
-        up_row = jnp.concatenate([Z1b, up_g[:-1]], axis=0)    # up[g-1] at g
-        down_row = jnp.concatenate([down_g[1:], Z1b], axis=0)  # down[g+1]
-        Zg = jnp.zeros_like(G[:, :, :, :1])
-        G_prev = jnp.concatenate([Zg, G[:, :, :, :-1]], axis=3)  # G[k,g-1]
-        G_next = jnp.concatenate([G[:, :, :, 1:], Zg], axis=3)   # G[k,g+1]
-        Tm = (
-            _es("kdigj,gdjb->kdigb", G, diag_g)
-            + _es("kdigj,gdjb->kdigb", G_prev, up_row)
-            + _es("kdigj,gdjb->kdigb", G_next, down_row)
-        )                                       # (W, ND, 3, W, 6)
-        Tc = _es("kdilj,ldjc->kdilc", G, sys.Rc).reshape(W_, ND, 3, nc)
-    else:
-        # Direct variant: 6W camera columns (block l of chain-row k is
-        # Rc[k] iff l == k) + 6W pose columns via the 4-coupling tensor
-        # (chain_pose_columns) + gradient.
-        rhs_cam = (
-            sys.Rc[:, :, :, None, :] * eyeW[:, None, None, :, None]
-        ).reshape(W_, ND, 3, nc)
-        CC = chain_pose_columns(sys)            # (W, ND, 3, W, 6)
-        rhs_d = jnp.concatenate(
-            [rhs_cam, CC.reshape(W_, ND, 3, nc), sys.b_dp[..., None]],
-            axis=-1,
-        )                                       # (W, ND, 3, 2nc+1)
-        T = chain_solver(Ad, sys.Bd, rhs_d)
-        Tc = T[..., :nc]                        # (W, ND, 3, nc)
-        Tm = T[..., nc : 2 * nc].reshape(W_, ND, 3, W_, 6)
-        tb = T[..., -1]                         # (W, ND, 3)
+    rhs_cam = (
+        sys.Rc[:, :, :, None, :] * eyeW[:, None, None, :, None]
+    ).reshape(W_, ND, 3, nc)
+    CC = chain_pose_columns(sys)                            # (W, ND, 3, W, 6)
+    rhs_d = jnp.concatenate(
+        [rhs_cam, CC.reshape(W_, ND, 3, nc), sys.b_dp[..., None]], axis=-1
+    )                                                       # (W, ND, 3, 2nc+1)
+    T = chain_solver(Ad, sys.Bd, rhs_d)
+    Tc = T[..., :nc]                                        # (W, ND, 3, nc)
+    Tm = T[..., nc : 2 * nc].reshape(W_, ND, 3, W_, 6)
+    tb = T[..., -1]                                         # (W, ND, 3)
 
     # camera-camera correction: row block (k, c) is Rc[k]
     d_cc_d = _es("kdic,kdib->kcb", sys.Rc, Tc).reshape(nc, nc)

@@ -164,47 +164,6 @@ def check_distributed_vs_single():
     print("distributed-vs-single f64 ok")
 
 
-def check_gchain():
-    """Identity-column chain elimination (DYNO_SCHUR_GCHAIN) == the direct
-    121-column solve: Tc/Tm are exact linear reconstructions from the
-    tridiagonal-inverse blocks."""
-    from dynosam_tpu.backend import formulation as fm
-    from dynosam_tpu.backend import schur
-    from dynosam_tpu.backend.map import slice_window
-    from dynosam_tpu.ops.robust import robust_sqrt_weights
-    from dynosam_tpu.utils.config import BackendConfig
-
-    m = _problem_f64()
-    w = slice_window(m, 0, 8)
-    cfg = BackendConfig()
-    masks = fm.build_masks(w, cfg)
-    anchor = w.X_init[0]
-    vals = fm.init_values(w, masks, cfg)
-    spec = fm.world_motion_families(cfg)
-    res0 = fm.world_motion_residuals(vals, w, masks, cfg, anchor)
-    sqrt_w = [
-        robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
-        else jnp.ones(r.shape[:-1], r.dtype)
-        for r, s in zip(res0, spec.robust)
-    ]
-    sys_ = schur.build_normal_system(vals, sqrt_w, w, masks, cfg, anchor, res0)
-    lam = jnp.asarray(1e-3, jnp.float64)
-    saved = schur._GCHAIN
-    try:
-        schur._GCHAIN = False
-        want = schur.schur_step(sys_, lam, 1e-6)
-        schur._GCHAIN = True
-        got = schur.schur_step(sys_, lam, 1e-6)
-    finally:
-        schur._GCHAIN = saved
-    for key in ("X", "P", "sp", "dp"):
-        np.testing.assert_allclose(
-            np.asarray(got[key]), np.asarray(want[key]), atol=1e-9,
-            err_msg=key,
-        )
-    print("gchain f64 ok")
-
-
 def check_compaction():
     """Window track/object compaction (backend/map.py:compact_window) is
     algebraically exact: a solve over padded + slot-permuted pools equals
@@ -274,6 +233,5 @@ if __name__ == "__main__":
     else:
         check_spike_vs_thomas()
         check_step_vs_dense()
-        check_gchain()
         check_distributed_vs_single()
         print("F64_ALL_OK")
