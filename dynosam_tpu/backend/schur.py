@@ -767,7 +767,8 @@ def assemble_reduced(sys: NormalSystem, Hcc_d, Dmm_d,
     return Hred, bred
 
 
-def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
+def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
+               lmk_lambda_floor: float = 0.0):
     """One damped Gauss-Newton step via landmark elimination.
 
     Returns the tangent delta dict {X (W,6), P (W,O,6), sp (NS,3),
@@ -793,8 +794,13 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     nc = 6 * W_
 
     # ---- damp the full-system diagonal first (Schur of the damped system)
-    Ad = _damp_blocks(sys.Ad, lam, floor)
-    Hll_s = _damp_blocks(sys.Hll_s, lam, floor)
+    # `lmk_lambda_floor` (experiment knob): damp the LANDMARK blocks by at
+    # least this much regardless of lam, keeping the f32 chain elimination
+    # in its numerically-stable regime while the pose blocks track the true
+    # LM lambda (non-uniform damping is still an SPD model Hessian).
+    lam_lmk = jnp.maximum(lam, lmk_lambda_floor) if lmk_lambda_floor else lam
+    Ad = _damp_blocks(sys.Ad, lam_lmk, floor)
+    Hll_s = _damp_blocks(sys.Hll_s, lam_lmk, floor)
     idx = jnp.arange(W_)
     diag_cc = sys.Hcc[idx, :, idx, :]                       # (W, 6, 6)
     Hcc = sys.Hcc.at[idx, :, idx, :].set(_damp_blocks(diag_cc, lam, floor))
@@ -868,11 +874,23 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
 
     def _couple_dot(Brow, oh_row):
         # Brow (W, ND, 3, 6) row blocks, oh_row (W, ND, O) row one-hot.
-        L = _es("kdia,kdo->kdiao", Brow, oh_row).reshape(W_, ND * 3, 6 * O)
+        # The left operand is built DIRECTLY at its merged (k, d*i, o*a)
+        # shape with tile/repeat index arithmetic:
+        #     L[k, d*3+i, o*6+a] = Brow[k, d, i, a] * oh[k, d, o]
+        # The obvious einsum ("kdia,kdo->kdiao" + reshape) materializes a
+        # 5D intermediate whose (6, O) minor dims tile-pad (8, 128) ~21x —
+        # at (10, 1024, 3, 6, 8) that is ~126 MB of HBM traffic per term
+        # plus an equally large relayout reshape; the device trace showed
+        # the four L builds + reshapes at ~40% of the whole window-10
+        # solve.  All shapes here stay rank-3 with the merged minor on
+        # lanes (48 -> 128 pad only).
+        oh_i = jnp.repeat(oh_row, 3, axis=1)                # (k, d*i, O)
+        Brow_r = Brow.reshape(W_, ND * 3, 6)
+        L = jnp.tile(Brow_r, (1, 1, O)) * jnp.repeat(oh_i, 6, axis=2)
         out = jax.lax.dot_general(
             L, Rdot, (((1,), (1,)), ((0,), (0,))), precision="highest"
-        )                                                   # (k, a*o, g*b)
-        return out.reshape(W_, 6, O, W_, 6)
+        )                                                   # (k, o*a, g*b)
+        return out.reshape(W_, O, 6, W_, 6)
 
     diag_b, up_b, down_b = chain_pose_bands(sys)
     zoh = jnp.zeros_like(oh[:1])
@@ -882,12 +900,12 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     # Rc[k,d] != 0 only for active chain rows, and any Tm-coupled column
     # frame g shares row k's segment/object, so oh[k,·] stands in for the
     # column one-hot oh[g,·] here too.
-    d_cm = _couple_dot(sys.Rc, oh).transpose(0, 1, 3, 2, 4).reshape(
+    d_cm = _couple_dot(sys.Rc, oh).transpose(0, 2, 3, 1, 4).reshape(
         nc, W_, O, 6
     )
 
     def band_term(Bs, oh_row):
-        return _couple_dot(Bs, oh_row).transpose(0, 2, 1, 3, 4)
+        return _couple_dot(Bs, oh_row)                      # (W, O, 6, W, 6)
 
     d_mm = band_term(diag_b, oh)
     d_mm = d_mm.at[1:].add(band_term(up_b, oh_next)[:-1])
@@ -901,6 +919,18 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     Hred, bred = assemble_reduced(
         sys, Hcc, Dmm, d_cc_s + d_cc_d, d_bc_s + d_bc_d, d_cm, d_mm, d_bm
     )
+    # NEGATIVE RESULT (2026-08-19, do not retry): at lambda <= 1e-7 the f32
+    # chain elimination cancels catastrophically (ternary chain blocks are
+    # ~1/sig_t^2 = 1e10-scale; the corrections subtract almost all of it)
+    # and the reduced system comes back INDEFINITE -> the Cholesky NaNs and
+    # LM rejects (measured: 4/10 window-10 iterations are NaN-rejects).  A
+    # PD "escape hatch" (boost the reduced diagonal until the factorization
+    # is finite) produces finite steps, but they are steps of the SAME
+    # corrupted elimination — still rejected, or worse, occasionally
+    # accepted with garbage directions that made algebraically-equivalent
+    # problems (compacted vs exact pools) diverge visibly.  Engaging the
+    # ternary Hessian cap (gradient unmatched) stalls convergence
+    # completely.  The NaN-reject behaviour is the correct cheap guard.
     cho = jax.scipy.linalg.cho_factor(Hred)
     delta_p = jax.scipy.linalg.cho_solve(cho, bred)
     dc = delta_p[:nc]
