@@ -125,10 +125,9 @@ def ransac_essential(
 ) -> EpipolarResult:
     p = normalize_points(cam, uv1)
     q = normalize_points(cam, uv2)
-    n = p.shape[0]
-    g = jax.random.gumbel(key, (iters, n))
-    logits = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(logits, _MIN_SET)
+    from .ransac import sample_valid_indices
+
+    idx = sample_valid_indices(key, valid, iters, _MIN_SET)  # sort-free
     Es = essential_from_points(p[idx], q[idx])            # (K, 3, 3)
     err = sampson_error(Es, p[None], q[None])             # (K, N)
     inl = (err < threshold) & valid[None]
@@ -222,9 +221,9 @@ def ransac_translation_given_rot(
     Rp = jnp.einsum("ij,nj->ni", R, ph, precision="highest")
     rows = jnp.cross(Rp, qh)                               # (N, 3)
 
-    g = jax.random.gumbel(key, (iters, n))
-    logits = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(logits, 2)                      # (K, 2)
+    from .ransac import sample_valid_indices
+
+    idx = sample_valid_indices(key, valid, iters, 2)       # sort-free
     t_hyp = jnp.cross(rows[idx[:, 0]], rows[idx[:, 1]])    # (K, 3)
     t_hyp = t_hyp / jnp.maximum(
         jnp.linalg.norm(t_hyp, axis=-1, keepdims=True), 1e-12

@@ -133,10 +133,9 @@ def ransac_homography(
     threshold: float = 3.0,
 ) -> HomographyResult:
     """Robust homography p -> q; inliers under forward transfer error."""
-    n = p.shape[0]
-    g = jax.random.gumbel(key, (iters, n))
-    logits = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(logits, 4)                    # (K, 4)
+    from .ransac import sample_valid_indices
+
+    idx = sample_valid_indices(key, valid, iters, 4)     # (K, 4), sort-free
     # closed-form 8x8 solve per minimal set (no batched-eigh TPU kernel)
     Hs = homography_from_points(p[idx], q[idx], method="solve")
     err = transfer_error(Hs, p[None], q[None])           # (K, N)

@@ -244,12 +244,19 @@ def _make_kernel_fma(
         rows = (1-fy) * W[k0 : k0+s, :] + fy * W[k0+1 : k0+s+1, :]
         patch = (1-fx) * rows[:, l0 : l0+s] + fx * rows[:, l0+1 : l0+s+1]
 
-    — two dynamic slices of the VMEM-resident window + two FMAs on the
-    VPU, replacing two (s, SY)x(SY, SX)-class MXU dots per sample (~205k
-    MACs at 6 passes under HIGHEST).  Like the resident kernel, the
-    current-image window is loaded once per feature; out-of-window
-    iterates clamp at the window edge and die by the caller's error gate
-    (same border contract as the other variants).
+    — two FMAs on the VPU replacing two (s, SY)x(SY, SX)-class MXU dots
+    AND their per-sample iota-built weight matrices (the frontend device
+    trace showed lk_level at 5.4 ms/frame ~flat across dot precisions, so
+    the kernel is weight-build/VPU bound, not MXU bound).  Mosaic has no
+    lowering for `dynamic_slice` on VALUES (only tile-aligned `pl.ds` ref
+    loads), so the dynamic window offsets (k0, l0) are applied with
+    `pltpu.roll` — the TPU's dynamic sublane/lane rotate — followed by
+    STATIC slices: roll(win, -k0)[0:s+1] == win[k0:k0+s+1] whenever
+    k0+s+1 <= SY (guaranteed by the clip), wrap-around never reaches the
+    kept rows.  Like the resident kernel, the current-image window is
+    loaded once per feature; out-of-window iterates clamp at the window
+    edge and die by the caller's error gate (same border contract as the
+    other variants).
     """
     hw = win // 2
     pwin = win + 2
@@ -287,9 +294,10 @@ def _make_kernel_fma(
             fx = (x0f - x0).astype(jnp.float32)
             k0 = jnp.clip(y0.astype(jnp.int32) - jy0, 0, SY - size - 1)
             l0 = jnp.clip(x0.astype(jnp.int32) - jx0, 0, SX - size - 1)
-            rows = jax.lax.dynamic_slice(win_, (k0, 0), (size + 1, SX))
+            # dynamic start -> rotate + static slice (see docstring)
+            rows = pltpu.roll(win_, -k0, 0)[: size + 1]        # (size+1, SX)
             rw = rows[:size] * (1.0 - fy) + rows[1:] * fy      # (size, SX)
-            cols = jax.lax.dynamic_slice(rw, (0, l0), (size, size + 1))
+            cols = pltpu.roll(rw, -l0, 1)[:, : size + 1]
             return cols[:, :size] * (1.0 - fx) + cols[:, 1:] * fx
 
         base = pl.program_id(0) * feat_block

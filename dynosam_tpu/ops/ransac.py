@@ -127,13 +127,32 @@ def rigid_from_minimal(src3: jax.Array, dst3: jax.Array):
     return SE3(R, t), ok_e & ok_f
 
 
-def _sample_minimal_sets(key, valid, iters: int):
-    """(iters, 3) distinct indices drawn from valid slots (Gumbel top-3)."""
+def sample_valid_indices(key, valid, iters: int, k: int):
+    """(iters, k) hypothesis indices drawn uniformly from the valid slots
+    by inverse-CDF on the cumulative valid count — sort-free.
+
+    The previous Gumbel-top-k sampler lowered to an (iters, N) stable
+    variadic SORT per RANSAC call (~0.6 ms/frame across the per-object
+    solves on the TPU device trace); the rank lookup here is one
+    compare-and-count VPU reduction.  Draws are independent, so a minimal
+    set may repeat a slot with probability ~k(k-1)/(2m) — a repeated row
+    makes the minimal solve degenerate, which the callers' collinearity
+    gates / inlier votes already reject (the same fate OpenGV hands a
+    degenerate sample), so distinctness is not worth a sort."""
     n = valid.shape[-1]
-    g = jax.random.gumbel(key, (iters, n))
-    logits = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(logits, _MIN_SET)
-    return idx
+    c = jnp.cumsum(valid.astype(jnp.int32))            # rank of slot i
+    m = c[-1]
+    u = jax.random.randint(key, (iters, k), 0, jnp.maximum(m, 1))
+    # index of the (u+1)-th valid slot == #[prefix counts <= u]
+    idx = jnp.sum(
+        (c[None, None, :] <= u[..., None]).astype(jnp.int32), axis=-1
+    )
+    return jnp.minimum(idx, n - 1)
+
+
+def _sample_minimal_sets(key, valid, iters: int):
+    """(iters, 3) indices drawn uniformly from valid slots."""
+    return sample_valid_indices(key, valid, iters, _MIN_SET)
 
 
 def ransac_rigid(
