@@ -101,8 +101,10 @@ def _inv3(M: jax.Array) -> jax.Array:
 
     Inside the block-Thomas scan an LU `linalg.solve` per step is
     dispatch-bound on TPU; the adjugate turns each step into a handful of
-    fused elementwise ops.  Conditioning is bounded by the capped ternary
-    weight (<= ~1e5 in f32), well within adjugate accuracy.
+    fused elementwise ops.  The chain blocks carry the TRUE ternary weight
+    (~1e10; the Hessian cap is intentionally disengaged — see the NEGATIVE
+    RESULT note in `world_motion_blocks`), so low-lambda eliminations can
+    go near-singular; the LM loop's NaN-step reject handles that case.
     """
     a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
@@ -415,16 +417,16 @@ def build_normal_system(
     wgt_tern = sqrt_w[4] ** 2 * masks.ternary[1:].astype(dtype)
     wgt_smooth = masks.smoothing[1:].astype(dtype)
 
-    # f32 guard (same rationale as varpro._chain_blocks): the true ternary
-    # information (1/sigma^2 ~ 1e10) swamps the observation terms and makes
-    # the chain elimination catastrophically cancel in f32.  Cap the ternary
-    # weight used in the HESSIAN blocks; the GRADIENT keeps the true weight,
-    # so the step remains a descent direction of the true cost (any SPD
-    # model Hessian does) and LM's accept test guards convergence.
-    cap = cfg.dynamic_point_noise_sigma**2 * 1e3 / (
-        cfg.motion_ternary_factor_noise_sigma**2
-    )
-    wgt_tern_h = wgt_tern * jnp.minimum(jnp.asarray(cap, dtype), 1.0)
+    # NEGATIVE RESULT (2026-08-19, do not retry): a ternary Hessian-weight
+    # cap was tried here to bound f32 chain-elimination conditioning (the
+    # ternary information 1/sigma^2 ~ 1e10 swamps the observation terms).
+    # The formula as written (dyn_sigma^2 * 1e3 / sig_t^2 ~ 3.9e10, then
+    # min(cap, 1)) never engaged — and ENGAGING a real cap with the
+    # gradient unmatched stalls convergence completely (err stuck at 5e4
+    # for 7 iters; BENCH_NOTES session 8).  The Hessian therefore uses the
+    # TRUE ternary weight; near-singular low-lambda eliminations are
+    # handled by the NaN-step reject in the LM loop.
+    wgt_tern_h = wgt_tern
 
     # ---- hand-derived point-family Jacobians -----------------------------
     Jx_s, Jp_s, _ = _pose_point_jacobians(
@@ -553,11 +555,11 @@ def build_normal_system_pose(
     wgt_mp = sqrt_w[4] ** 2 * masks.ternary[1:].astype(dtype)
     triple = (masks.smoothing[1:-1] & masks.smoothing[2:]).astype(dtype)
 
-    # same f32 conditioning guard as WorldMotion (the motion-pose factor
-    # shares the ternary sigma)
+    # No Hessian cap here either — see the NEGATIVE RESULT note in
+    # `world_motion_blocks` (the motion-pose factor shares the ternary
+    # sigma and the same finding).
     sig_t = cfg.motion_ternary_factor_noise_sigma
-    cap = cfg.dynamic_point_noise_sigma**2 * 1e3 / sig_t**2
-    wgt_mp_h = wgt_mp * jnp.minimum(jnp.asarray(cap, dtype), 1.0)
+    wgt_mp_h = wgt_mp
 
     Jx_s, Jp_s, _ = _pose_point_jacobians(
         X, jnp.broadcast_to(sp[None], (W_, *sp.shape)),
@@ -767,8 +769,7 @@ def assemble_reduced(sys: NormalSystem, Hcc_d, Dmm_d,
     return Hred, bred
 
 
-def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
-               lmk_lambda_floor: float = 0.0):
+def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     """One damped Gauss-Newton step via landmark elimination.
 
     Returns the tangent delta dict {X (W,6), P (W,O,6), sp (NS,3),
@@ -793,14 +794,12 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
     dtype = sys.Hcc.dtype
     nc = 6 * W_
 
-    # ---- damp the full-system diagonal first (Schur of the damped system)
-    # `lmk_lambda_floor` (experiment knob): damp the LANDMARK blocks by at
-    # least this much regardless of lam, keeping the f32 chain elimination
-    # in its numerically-stable regime while the pose blocks track the true
-    # LM lambda (non-uniform damping is still an SPD model Hessian).
-    lam_lmk = jnp.maximum(lam, lmk_lambda_floor) if lmk_lambda_floor else lam
-    Ad = _damp_blocks(sys.Ad, lam_lmk, floor)
-    Hll_s = _damp_blocks(sys.Hll_s, lam_lmk, floor)
+    # ---- damp the full-system diagonal first (Schur of the damped system).
+    # (A landmark-only lambda floor was tried and removed: like the global
+    # floor it sacrificed the occasional lambda=1e-7 GN-quality steps that
+    # the final accuracy depends on — BENCH_NOTES session 8.)
+    Ad = _damp_blocks(sys.Ad, lam, floor)
+    Hll_s = _damp_blocks(sys.Hll_s, lam, floor)
     idx = jnp.arange(W_)
     diag_cc = sys.Hcc[idx, :, idx, :]                       # (W, 6, 6)
     Hcc = sys.Hcc.at[idx, :, idx, :].set(_damp_blocks(diag_cc, lam, floor))

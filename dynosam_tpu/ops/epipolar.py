@@ -224,10 +224,15 @@ def ransac_translation_given_rot(
     from .ransac import sample_valid_indices
 
     idx = sample_valid_indices(key, valid, iters, 2)       # sort-free
-    t_hyp = jnp.cross(rows[idx[:, 0]], rows[idx[:, 1]])    # (K, 3)
-    t_hyp = t_hyp / jnp.maximum(
-        jnp.linalg.norm(t_hyp, axis=-1, keepdims=True), 1e-12
-    )
+    t_raw = jnp.cross(rows[idx[:, 0]], rows[idx[:, 1]])    # (K, 3)
+    # A duplicate draw (idx[:,0]==idx[:,1], prob ~1/m per hypothesis) gives
+    # cross(r, r) = 0, which would survive normalization as t = 0 and make
+    # E = hat(0) R = 0 score EVERY point as an inlier (sampson 0/eps = 0).
+    # Unlike the 3-point rigid solver there is no collinearity gate here,
+    # so degenerate hypotheses must be excluded from the vote explicitly.
+    t_norm = jnp.linalg.norm(t_raw, axis=-1, keepdims=True)
+    ok_h = t_norm[:, 0] > 1e-9                             # (K,)
+    t_hyp = t_raw / jnp.maximum(t_norm, 1e-12)
 
     def hat(t):
         z = jnp.zeros_like(t[..., 0])
@@ -243,7 +248,7 @@ def ransac_translation_given_rot(
     Es = jnp.einsum("kij,jl->kil", hat(t_hyp), R)          # (K, 3, 3)
     err = sampson_error(Es, p[None], q[None])
     inl = (err < threshold) & valid[None]
-    scores = jnp.sum(inl, axis=-1)
+    scores = jnp.where(ok_h, jnp.sum(inl, axis=-1), -1)
     best = jnp.argmax(scores)
 
     # least-squares refit of t on the best inliers: min |diag(w) rows t|

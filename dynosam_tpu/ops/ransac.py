@@ -131,16 +131,23 @@ def sample_valid_indices(key, valid, iters: int, k: int):
     """(iters, k) hypothesis indices drawn uniformly from the valid slots
     by inverse-CDF on the cumulative valid count — sort-free.
 
+    `valid` must be 1-D (asserted); batched calls should vmap.  If NO slot
+    is valid (m == 0) the returned indices are arbitrary in-range slots —
+    callers must gate on their own validity/inlier counts (all do: the
+    minimal solvers' votes see zero valid inliers and the result is
+    discarded upstream by min_inliers).
+
     The previous Gumbel-top-k sampler lowered to an (iters, N) stable
     variadic SORT per RANSAC call (~0.6 ms/frame across the per-object
     solves on the TPU device trace); the rank lookup here is one
     compare-and-count VPU reduction.  Draws are independent, so a minimal
     set may repeat a slot with probability ~k(k-1)/(2m) — a repeated row
-    makes the minimal solve degenerate, which the callers' collinearity
-    gates / inlier votes already reject (the same fate OpenGV hands a
-    degenerate sample), so distinctness is not worth a sort."""
+    makes the minimal solve degenerate, which the callers must reject via
+    collinearity gates / degeneracy-masked votes (the same fate OpenGV
+    hands a degenerate sample), so distinctness is not worth a sort."""
+    assert valid.ndim == 1, "sample_valid_indices expects a 1-D mask; vmap for batches"
     n = valid.shape[-1]
-    c = jnp.cumsum(valid.astype(jnp.int32))            # rank of slot i
+    c = jnp.cumsum(valid.astype(jnp.int32), axis=-1)   # rank of slot i
     m = c[-1]
     u = jax.random.randint(key, (iters, k), 0, jnp.maximum(m, 1))
     # index of the (u+1)-th valid slot == #[prefix counts <= u]
