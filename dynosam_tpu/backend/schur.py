@@ -79,6 +79,22 @@ import os as _os
 
 _CHAIN_LANES = _os.environ.get("DYNO_SCHUR_LANES", "1") == "1"
 
+# NaN-ratchet on lambda (default ON): at lambda <= 1e-7 the f32 chain
+# elimination of the ~1e10-weight ternary blocks cancels catastrophically
+# and the reduced system comes back indefinite -> the Cholesky NaNs and the
+# iteration is a pure reject.  Measured schedule (window-10): after ONE
+# successful 1e-7 step early on, every later low-lambda retry NaNs — 4/10
+# iterations wasted re-probing the same failing lambda.  The ratchet
+# remembers the largest lambda that ever produced a NaN step and never
+# lets the schedule go below factor x that again, converting the repeat
+# rejects into accepted (1e-6-quality) steps.  The FIRST low-lambda
+# attempt still happens, so the occasional GN-quality step that final
+# accuracy depends on is preserved (an f64 retry branch was tried instead
+# and rejected: under vmap `lax.cond` lowers to `select`, so the emulated
+# -f64 elimination would execute on EVERY iteration of EVERY window).
+# DYNO_SCHUR_NAN_RATCHET=0 reverts to the plain NaN-reject schedule.
+_NAN_RATCHET = _os.environ.get("DYNO_SCHUR_NAN_RATCHET", "1") == "1"
+
 
 # --------------------------------------------------------------------------
 # Block-tridiagonal chain solve (matrix RHS)
@@ -1006,11 +1022,11 @@ def lm_optimize_schur(
     sys0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), sys_shapes)
 
     def cond(state):
-        vals, res_c, sys_c, rebuild, lam, err, prev_err, it, done = state
+        vals, res_c, sys_c, rebuild, lam, lam_min, err, prev_err, it, done = state
         return (it < lm_cfg.max_iterations) & (~done)
 
     def body(state):
-        vals, res_c, sys_c, rebuild, lam, err, prev_err, it, done = state
+        vals, res_c, sys_c, rebuild, lam, lam_min, err, prev_err, it, done = state
         sys = jax.lax.cond(rebuild, lambda: build(vals, res_c), lambda: sys_c)
         delta = schur_step(sys, lam, lm_cfg.diag_floor, chain_solver)
         delta = {
@@ -1021,8 +1037,16 @@ def lm_optimize_schur(
         new_res = residual_fn(new_vals)
         new_err = total_error(new_res, specs)
         # a failed Cholesky (NaN step) must reject, not poison the state
-        new_err = jnp.where(jnp.isfinite(new_err), new_err, jnp.inf)
+        step_nan = ~jnp.isfinite(new_err)
+        new_err = jnp.where(step_nan, jnp.inf, new_err)
         accept = new_err < err
+
+        if _NAN_RATCHET:
+            lam_min = jnp.where(
+                step_nan,
+                jnp.maximum(lam_min, lam * lm_cfg.lambda_factor),
+                lam_min,
+            )
 
         vals_out = jax.tree.map(
             lambda a, b_: jnp.where(accept, a, b_), new_vals, vals
@@ -1033,7 +1057,7 @@ def lm_optimize_schur(
         err_out = jnp.where(accept, new_err, err)
         lam_out = jnp.where(
             accept,
-            jnp.maximum(lam / lm_cfg.lambda_factor, lm_cfg.min_lambda),
+            jnp.maximum(lam / lm_cfg.lambda_factor, lam_min),
             jnp.minimum(lam * lm_cfg.lambda_factor, lm_cfg.max_lambda),
         )
         rel_ok = jnp.abs(err - err_out) < lm_cfg.rel_error_tol * jnp.maximum(
@@ -1042,16 +1066,17 @@ def lm_optimize_schur(
         abs_ok = jnp.abs(err - err_out) < lm_cfg.abs_error_tol
         done_out = (accept & (rel_ok | abs_ok)) | (lam_out >= lm_cfg.max_lambda)
         return (
-            vals_out, res_out, sys, accept, lam_out, err_out, err, it + 1,
-            done_out,
+            vals_out, res_out, sys, accept, lam_out, lam_min, err_out, err,
+            it + 1, done_out,
         )
 
     lam0 = jnp.asarray(lm_cfg.initial_lambda, jnp.float32)
+    lam_min0 = jnp.asarray(lm_cfg.min_lambda, jnp.float32)
     state = (
-        values, list(res_init), sys0, jnp.asarray(True), lam0, err_init,
-        err_init, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        values, list(res_init), sys0, jnp.asarray(True), lam0, lam_min0,
+        err_init, err_init, jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
-    vals, _, _, _, lam, err, _, iters, done = jax.lax.while_loop(
+    vals, _, _, _, lam, _, err, _, iters, done = jax.lax.while_loop(
         cond, body, state
     )
     return LMResult(
