@@ -294,11 +294,15 @@ def _make_kernel_fma(
             fx = (x0f - x0).astype(jnp.float32)
             k0 = jnp.clip(y0.astype(jnp.int32) - jy0, 0, SY - size - 1)
             l0 = jnp.clip(x0.astype(jnp.int32) - jx0, 0, SX - size - 1)
-            # dynamic start -> rotate + static slice (see docstring)
-            rows = pltpu.roll(win_, -k0, 0)[: size + 1]        # (size+1, SX)
-            rw = rows[:size] * (1.0 - fy) + rows[1:] * fy      # (size, SX)
-            cols = pltpu.roll(rw, -l0, 1)[:, : size + 1]
-            return cols[:, :size] * (1.0 - fx) + cols[:, 1:] * fx
+            # dynamic start -> rotate + static slice (see docstring).  BOTH
+            # rotates run on the full (8, 128)-aligned window shapes and the
+            # fy/fx blends come after: Mosaic's dynamic_rotate rejects
+            # unaligned operands ("unsupported unaligned shape" for a
+            # (size, SX) mid-blend row stack).
+            rows = pltpu.roll(win_, -k0, 0)                    # (SY, SX)
+            cols = pltpu.roll(rows, -l0, 1)[: size + 1, : size + 1]
+            rw = cols[:size] * (1.0 - fy) + cols[1:] * fy      # (size, size+1)
+            return rw[:, :size] * (1.0 - fx) + rw[:, 1:] * fx
 
         base = pl.program_id(0) * feat_block
         if feat_block % 8 == 0:
@@ -601,6 +605,18 @@ def lk_level(
 
     `valid` freezes inactive pool slots: an all-inactive feature block
     exits the joint loop before its first iteration."""
+    v = variant or _LK_VARIANT
+    if v == "fma":
+        # Mosaic's dynamic_rotate (pltpu.roll) requires (8, 128)-aligned
+        # operands; pyramid level widths like 320 (=1280/4) are not.  Edge
+        # padding is VALUE-IDENTICAL to the kernels' clamp-to-border
+        # sampling (a clamped coordinate reads the border pixel; a padded
+        # coordinate reads its replica), so this changes no output.
+        hpad = (-prev_img.shape[0]) % 8
+        wpad = (-prev_img.shape[1]) % 128
+        if hpad or wpad:
+            prev_img = jnp.pad(prev_img, ((0, hpad), (0, wpad)), mode="edge")
+            cur_img = jnp.pad(cur_img, ((0, hpad), (0, wpad)), mode="edge")
     h, w = prev_img.shape
     n = p_lvl.shape[0]
     if valid is None:
@@ -614,7 +630,6 @@ def lk_level(
     np_ = p_lvl.shape[0]
     grid = (np_ // feat_block,)
 
-    v = variant or _LK_VARIANT
     if v == "resident":
         kernel = _make_kernel_resident(h, w, win, iters, feat_block, eps)
     elif v == "fma":
@@ -657,7 +672,7 @@ def lk_level(
 @functools.partial(
     jax.jit,
     static_argnames=("win", "levels", "iters", "eps", "interpret",
-                     "variant")
+                     "variant", "feat_block")
 )
 def klt_track_pallas(
     prev_gray: jax.Array,
@@ -672,6 +687,7 @@ def klt_track_pallas(
     interpret: bool = False,
     g0: jax.Array | None = None,
     variant: str | None = None,
+    feat_block: int = 8,
 ) -> KLTResult:
     """Drop-in replacement for `ops.klt.klt_track` backed by the Pallas
     level kernel (same pyramid, same update equations, same result
@@ -694,6 +710,7 @@ def klt_track_pallas(
         g, err = lk_level(
             pyr_prev[lvl], pyr_cur[lvl], p_lvl, g, valid, win=win,
             iters=iters, eps=eps, interpret=interpret, variant=variant,
+            feat_block=feat_block,
         )
         if lvl > 0:
             g = g * 2.0

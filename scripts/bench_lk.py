@@ -5,7 +5,7 @@ Times `klt_track_pallas` configurations with the fetch-barrier protocol
 (chained reps whose inputs depend on the previous output, one scalar fetch
 at the end — `jax.block_until_ready` does not wait under the axon tunnel).
 
-Usage:  python scripts/bench_lk.py [n_feats]
+Usage:  python scripts/bench_lk.py [n_feats] [feat_block]
 """
 
 import os
@@ -45,6 +45,7 @@ def timed(fn, *args, reps=10, label=""):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    fb = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     h, w = 384, 1280
     rng = np.random.default_rng(0)
     base = rng.uniform(0, 1, (h + 8, w + 8)).astype(np.float32)
@@ -68,19 +69,20 @@ def main():
 
     def warm_fn(i0, i1, p, v):
         r = lk.klt_track_pallas(
-            i0, i1, p, v, levels=1, iters=10, eps=0.01, g0=g0
+            i0, i1, p, v, levels=1, iters=10, eps=0.01, g0=g0,
+            feat_block=fb,
         )
         return (r.uv, r.error)
 
     timed(warm_fn, img0, img1, uv, valid,
-          label="lk warm-start 1x10 eps=0.01")
+          label=f"lk warm-start 1x10 eps=0.01 fb={fb}")
 
     def cold_fn(i0, i1, p, v):
-        r = lk.klt_track_pallas(i0, i1, p, v, eps=0.01)
+        r = lk.klt_track_pallas(i0, i1, p, v, eps=0.01, feat_block=fb)
         return (r.uv, r.error)
 
     timed(cold_fn, img0, img1, uv, valid,
-          label="lk cold 3x30 eps=0.01")
+          label=f"lk cold 3x30 eps=0.01 fb={fb}")
 
     print("done", file=sys.stderr)
 
