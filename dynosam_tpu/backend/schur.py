@@ -325,10 +325,11 @@ def _pose_sigmas(cfg: BackendConfig, dtype):
     return pose_sigma, smooth_sigma
 
 
-def _camera_blocks(X, w, masks, cfg, anchor, r_anchor, r_odo, r_static,
-                   r_dyn, wgt_static, wgt_dyn, Jx_s, Jx_d, dtype):
-    """Direct camera-camera blocks + camera gradient (shared by both
-    formulations).  Odometry/anchor Jacobians via jacfwd (tiny grids)."""
+def _odo_anchor_blocks(X, w, masks, cfg, anchor, r_anchor, r_odo, dtype):
+    """Odometry + anchor contributions to the camera-camera Hessian and
+    gradient — the REPLICATED-cheap part of `_camera_blocks` (poses only, no
+    point grids), shared with the explicit distributed path where every
+    device computes it redundantly from the replicated pose estimates."""
     W_ = masks.frame.shape[0]
     z6 = jnp.zeros(6, dtype)
     pose_sigma, _ = _pose_sigmas(cfg, dtype)
@@ -372,18 +373,82 @@ def _camera_blocks(X, w, masks, cfg, anchor, r_anchor, r_odo, r_static,
     Hcc = Hcc.at[idx[1:], :, idx[1:], :].add(Hbb)
     Hcc = Hcc.at[idx[:-1], :, idx[1:], :].add(Hab)
     Hcc = Hcc.at[idx[1:], :, idx[:-1], :].add(jnp.swapaxes(Hab, -1, -2))
-    Dcam = _es("kn,knra,knrb->kab", wgt_static, Jx_s, Jx_s) + _es(
-        "kn,knra,knrb->kab", wgt_dyn, Jx_d, Jx_d
-    )
-    Hcc = Hcc.at[idx, :, idx, :].add(Dcam)
 
     g_cam = jnp.zeros((W_, 6), dtype)
     g_cam = g_cam.at[0].add(_es("ra,r->a", J_anchor, r_anchor[0]))
     g_cam = g_cam.at[:-1].add(_es("k,kra,kr->ka", wgt_odo, Ja_o, r_odo))
     g_cam = g_cam.at[1:].add(_es("k,kra,kr->ka", wgt_odo, Jb_o, r_odo))
+    return Hcc, g_cam
+
+
+def _camera_blocks(X, w, masks, cfg, anchor, r_anchor, r_odo, r_static,
+                   r_dyn, wgt_static, wgt_dyn, Jx_s, Jx_d, dtype):
+    """Direct camera-camera blocks + camera gradient (shared by both
+    formulations).  Odometry/anchor Jacobians via jacfwd (tiny grids)."""
+    W_ = masks.frame.shape[0]
+    Hcc, g_cam = _odo_anchor_blocks(
+        X, w, masks, cfg, anchor, r_anchor, r_odo, dtype
+    )
+    idx = jnp.arange(W_)
+    Dcam = _es("kn,knra,knrb->kab", wgt_static, Jx_s, Jx_s) + _es(
+        "kn,knra,knrb->kab", wgt_dyn, Jx_d, Jx_d
+    )
+    Hcc = Hcc.at[idx, :, idx, :].add(Dcam)
     g_cam = g_cam + _es("kn,knra,knr->ka", wgt_static, Jx_s, r_static)
     g_cam = g_cam + _es("kn,knra,knr->ka", wgt_dyn, Jx_d, r_dyn)
     return Hcc, -g_cam
+
+
+def _ternary_jacobians(Hc_sel: SE3, dp_cur, sig_t):
+    """Whitened ternary-factor Jacobians wrt (motion tangent, m_cur) for
+    e = m_prev - H^-1 m_cur:  J_H = [-hat(y)|I],  J_mc = -R_H^T,
+    y = H^-1 m_cur (J_mp = I folds into scalars at the call sites).
+    `Hc_sel`/`dp_cur` are the selected motion and current point per factor
+    row — shape-polymorphic so the distributed path can feed ghost-extended
+    rows."""
+    Rt_H = jnp.swapaxes(Hc_sel.R, -1, -2)
+    y_t = _es("...ab,...b->...a", Rt_H, dp_cur - Hc_sel.t)
+    eyeJ = jnp.broadcast_to(
+        jnp.eye(3, dtype=dp_cur.dtype), (*y_t.shape, 3)
+    )
+    Jh = jnp.concatenate([-so3_hat(y_t), eyeJ], axis=-1) / sig_t
+    Jc = -Rt_H / sig_t
+    return Jh, Jc, y_t
+
+
+def _smoothing_blocks(H: SE3, wgt_smooth, r_smooth, smooth_sigma, dtype):
+    """Motion-smoothing contributions (W, O, 6, 6)/(W-1, O, 6, 6)/(W, O, 6)
+    — replicated-cheap (pose-family jacfwd on the small motion grid), shared
+    with the explicit distributed path."""
+    z6 = jnp.zeros(6, dtype)
+
+    def _j_smooth(Ha: SE3, Hb: SE3):
+        def f(a, b):
+            return (
+                factors.motion_smoothing_residual(
+                    se3_retract(Ha, a), se3_retract(Hb, b)
+                )
+                / smooth_sigma
+            )
+
+        return jax.jacfwd(f, argnums=(0, 1))(z6, z6)
+
+    Ja_s, Jb_s = jax.vmap(jax.vmap(_j_smooth))(
+        SE3(H.R[:-1], H.t[:-1]), SE3(H.R[1:], H.t[1:])
+    )                                                      # (W-1, O, 6, 6)
+    W_, O = H.batch_shape
+    Dmm = jnp.zeros((W_, O, 6, 6), dtype)
+    Dmm = Dmm.at[:-1].add(_es("ko,kora,korb->koab", wgt_smooth, Ja_s, Ja_s))
+    Dmm = Dmm.at[1:].add(_es("ko,kora,korb->koab", wgt_smooth, Jb_s, Jb_s))
+    Omm1 = _es("ko,kora,korb->koab", wgt_smooth, Ja_s, Jb_s)
+    g_mot = jnp.zeros((W_, O, 6), dtype)
+    g_mot = g_mot.at[:-1].add(
+        _es("ko,kora,kor->koa", wgt_smooth, Ja_s, r_smooth)
+    )
+    g_mot = g_mot.at[1:].add(
+        _es("ko,kora,kor->koa", wgt_smooth, Jb_s, r_smooth)
+    )
+    return Dmm, Omm1, g_mot
 
 
 def _static_blocks(wgt_static, Jx_s, Jp_s, r_static, dtype):
@@ -454,11 +519,7 @@ def build_normal_system(
     sig_t = cfg.motion_ternary_factor_noise_sigma
     H_sel, onehot = _select_poses(H, masks, w)
     Hc = SE3(H_sel.R[1:], H_sel.t[1:])                     # (W-1, ND)
-    Rt_H = jnp.swapaxes(Hc.R, -1, -2)
-    y_t = _es("wnab,wnb->wna", Rt_H, dp[1:] - Hc.t)        # H^-1 m_cur
-    eyeJ = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (*y_t.shape, 3))
-    Jh = jnp.concatenate([-so3_hat(y_t), eyeJ], axis=-1) / sig_t
-    Jc = -Rt_H / sig_t                                     # (W-1, ND, 3, 3)
+    Jh, Jc, y_t = _ternary_jacobians(Hc, dp[1:], sig_t)
     # Jp (wrt m_prev) = I / sig_t — folded into the scalars below.
 
     # ---- direct camera blocks -------------------------------------------
@@ -468,40 +529,16 @@ def build_normal_system(
     )
 
     # ---- direct motion blocks -------------------------------------------
-    def _j_smooth(Ha: SE3, Hb: SE3):
-        def f(a, b):
-            return (
-                factors.motion_smoothing_residual(
-                    se3_retract(Ha, a), se3_retract(Hb, b)
-                )
-                / smooth_sigma
-            )
-
-        return jax.jacfwd(f, argnums=(0, 1))(z6, z6)
-
-    Ja_s, Jb_s = jax.vmap(jax.vmap(_j_smooth))(
-        SE3(H.R[:-1], H.t[:-1]), SE3(H.R[1:], H.t[1:])
-    )                                                      # (W-1, O, 6, 6)
-
+    Dmm_sm, Omm1, g_mot_sm = _smoothing_blocks(
+        H, wgt_smooth, r_smooth, smooth_sigma, dtype
+    )
     oh1 = onehot[1:]                                       # (W-1, ND, O)
-    Dmm = jnp.zeros((W_, O, 6, 6), dtype)
-    Dmm = Dmm.at[1:].add(
+    Dmm = Dmm_sm.at[1:].add(
         _es("jd,jdo,jdra,jdrb->joab", wgt_tern_h, oh1, Jh, Jh)
     )
-    Dmm = Dmm.at[:-1].add(_es("ko,kora,korb->koab", wgt_smooth, Ja_s, Ja_s))
-    Dmm = Dmm.at[1:].add(_es("ko,kora,korb->koab", wgt_smooth, Jb_s, Jb_s))
-    Omm1 = _es("ko,kora,korb->koab", wgt_smooth, Ja_s, Jb_s)
     Omm2 = jnp.zeros((max(W_ - 2, 0), O, 6, 6), dtype)
-
-    g_mot = jnp.zeros((W_, O, 6), dtype)
-    g_mot = g_mot.at[1:].add(
+    g_mot = g_mot_sm.at[1:].add(
         _es("jd,jdo,jdra,jdr->joa", wgt_tern, oh1, Jh, r_tern)
-    )
-    g_mot = g_mot.at[:-1].add(
-        _es("ko,kora,kor->koa", wgt_smooth, Ja_s, r_smooth)
-    )
-    g_mot = g_mot.at[1:].add(
-        _es("ko,kora,kor->koa", wgt_smooth, Jb_s, r_smooth)
     )
 
     # ---- static landmark blocks -----------------------------------------
@@ -980,6 +1017,7 @@ def lm_optimize_schur(
     anchor: SE3,
     formulation: int = 0,
     chain_solver=None,
+    overrides: dict | None = None,
 ) -> LMResult:
     """Levenberg-Marquardt with direct Schur steps (both formulations).
 
@@ -991,7 +1029,16 @@ def lm_optimize_schur(
     changes lambda, not the linearization point), saving the whole Jacobian/
     einsum build on every retry.  The whole optimization is one
     `lax.while_loop` XLA program.
+
+    `overrides` may replace the per-iteration pieces while keeping this LM
+    schedule byte-identical — used by the explicit distributed path
+    (`parallel/schur_dist.py`), whose residual/build/step work on
+    shard-local arrays with hand-placed collectives:
+      residual_fn(vals) -> res list; error_fn(res) -> scalar;
+      build_fn(vals, sqrt_w, res0) -> system pytree;
+      step_fn(sys, lam) -> delta dict {X, P, sp, dp}.
     """
+    ov = overrides or {}
     if formulation == 0:
         spec = world_motion_families(cfg)
         residual_fn = lambda v: world_motion_residuals(v, w, masks, cfg, anchor)
@@ -1003,20 +1050,31 @@ def lm_optimize_schur(
         build_fn = build_normal_system_pose
         pose_key = "L"
     specs = spec.robust
+    residual_fn = ov.get("residual_fn", residual_fn)
+    error_fn = ov.get("error_fn", lambda res: total_error(res, specs))
 
-    def build(vals, res0):
-        # res0 = residual_fn(vals), carried by the LM loop: an accepted
-        # step's trial sweep doubles as the next linearization's residual
-        # evaluation (1 residual sweep per iteration instead of 2)
-        sqrt_w = [
-            robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
-            else jnp.ones(r.shape[:-1], r.dtype)
-            for r, s in zip(res0, specs)
-        ]
-        return build_fn(vals, sqrt_w, w, masks, cfg, anchor, res0)
+    if "build_fn" in ov:
+        def build(vals, res0):
+            sqrt_w = [
+                robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
+                else jnp.ones(r.shape[:-1], r.dtype)
+                for r, s in zip(res0, specs)
+            ]
+            return ov["build_fn"](vals, sqrt_w, res0)
+    else:
+        def build(vals, res0):
+            # res0 = residual_fn(vals), carried by the LM loop: an accepted
+            # step's trial sweep doubles as the next linearization's residual
+            # evaluation (1 residual sweep per iteration instead of 2)
+            sqrt_w = [
+                robust_sqrt_weights(r, s.k, s.kind) if s.kind != "none"
+                else jnp.ones(r.shape[:-1], r.dtype)
+                for r, s in zip(res0, specs)
+            ]
+            return build_fn(vals, sqrt_w, w, masks, cfg, anchor, res0)
 
     res_init = residual_fn(values)
-    err_init = total_error(res_init, specs)
+    err_init = error_fn(res_init)
 
     sys_shapes = jax.eval_shape(build, values, res_init)
     sys0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), sys_shapes)
@@ -1025,17 +1083,22 @@ def lm_optimize_schur(
         vals, res_c, sys_c, rebuild, lam, lam_min, err, prev_err, it, done = state
         return (it < lm_cfg.max_iterations) & (~done)
 
+    step_fn = ov.get(
+        "step_fn",
+        lambda sys, lam: schur_step(sys, lam, lm_cfg.diag_floor, chain_solver),
+    )
+
     def body(state):
         vals, res_c, sys_c, rebuild, lam, lam_min, err, prev_err, it, done = state
         sys = jax.lax.cond(rebuild, lambda: build(vals, res_c), lambda: sys_c)
-        delta = schur_step(sys, lam, lm_cfg.diag_floor, chain_solver)
+        delta = step_fn(sys, lam)
         delta = {
             "X": delta["X"], pose_key: delta["P"],
             "sp": delta["sp"], "dp": delta["dp"],
         }
         new_vals = retract_tree(vals, delta)
         new_res = residual_fn(new_vals)
-        new_err = total_error(new_res, specs)
+        new_err = error_fn(new_res)
         # a failed Cholesky (NaN step) must reject, not poison the state
         step_nan = ~jnp.isfinite(new_err)
         new_err = jnp.where(step_nan, jnp.inf, new_err)

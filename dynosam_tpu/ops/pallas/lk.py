@@ -232,7 +232,7 @@ def _make_kernel_resident(
 
 def _make_kernel_fma(
     h: int, w: int, win: int, iters: int, feat_block: int, eps: float,
-    margin: int = 8,
+    margin: int | None = None,
 ):
     """V3 kernel: bilinear sampling WITHOUT matmuls.
 
@@ -260,6 +260,13 @@ def _make_kernel_fma(
     """
     hw = win // 2
     pwin = win + 2
+    # margin: resident-window drift headroom in rows.  0 keeps the rotate
+    # operand minimal (SY = 32 for win = 21); iterates that drift more than
+    # the anchor's 8-row alignment slack clamp at the window edge and die
+    # by the caller's error gate, exactly like the >margin case at
+    # margin = 8.
+    if margin is None:
+        margin = _LK_FMA_MARGIN
     SY = min(h, ((pwin + 1 + 2 * margin + 7) + 7) // 8 * 8)
     SX = min(w, ((pwin + 1 + 127) + 127) // 128 * 128)
     if SY != h and (h - SY) % 8 != 0:
@@ -294,12 +301,15 @@ def _make_kernel_fma(
             fx = (x0f - x0).astype(jnp.float32)
             k0 = jnp.clip(y0.astype(jnp.int32) - jy0, 0, SY - size - 1)
             l0 = jnp.clip(x0.astype(jnp.int32) - jx0, 0, SX - size - 1)
-            # dynamic start -> rotate + static slice (see docstring).  BOTH
-            # rotates run on the full (8, 128)-aligned window shapes and the
-            # fy/fx blends come after: Mosaic's dynamic_rotate rejects
-            # unaligned operands ("unsupported unaligned shape" for a
-            # (size, SX) mid-blend row stack).
-            rows = pltpu.roll(win_, -k0, 0)                    # (SY, SX)
+            # dynamic start -> rotate + static slice (see docstring).
+            # Mosaic's dynamic_rotate rejects unaligned operands
+            # ("unsupported unaligned shape"), so every roll operand keeps
+            # 8-aligned sublanes: the row roll runs on the full (SY, SX)
+            # window, is sliced to the 8-ALIGNED size+1=24 rows (win=21),
+            # and only then does the lane roll run — (24, SX) instead of
+            # (SY, SX), halving the second rotate's register footprint.
+            srows = (size + 1 + 7) // 8 * 8
+            rows = pltpu.roll(win_, -k0, 0)[:srows]            # (srows, SX)
             cols = pltpu.roll(rows, -l0, 1)[: size + 1, : size + 1]
             rw = cols[:size] * (1.0 - fy) + cols[1:] * fy      # (size, size+1)
             return rw[:, :size] * (1.0 - fx) + rw[:, 1:] * fx
@@ -578,6 +588,8 @@ def _make_kernel(
 # production); "resident" loads one margin-padded window per feature and
 # iterates within it (round-3 candidate — A/B on the TPU before switching)
 _LK_VARIANT = _os.environ.get("DYNO_LK_VARIANT", "reload")
+# fma resident-window row headroom (see _make_kernel_fma)
+_LK_FMA_MARGIN = int(_os.environ.get("DYNO_LK_MARGIN", "8"))
 
 
 @functools.partial(

@@ -8,27 +8,32 @@ replacing the reference's single-threaded gtsam optimizer
 per-iteration work scales with devices (SURVEY §2.31 / §5.7 keyframe-block
 partitioning).
 
-What is communicated, and how (the parts GSPMD cannot derive):
+Two implementations:
 
-  * The per-tracklet block-tridiagonal chain systems run along the FRAME
-    axis — a `lax.scan`, which XLA cannot partition over its scan axis.  We
-    substructure it by hand inside `shard_map` (`chain_solve_spike`): each
-    frame block eliminates its interior with the local block-Thomas solve,
-    the cross-block coupling blocks are halo-exchanged with
-    `lax.ppermute`, the per-block boundary rows ("spikes") are
-    `all_gather`ed over the frame axis, every device solves the small
-    per-chain interface system redundantly (6*B dims, B = frame shards),
-    and interiors are corrected locally.  Scan length drops from W to
-    W/B + O(1); per-device flops drop by ~B.
-  * Everything else — the normal-system build (pure einsums after the
-    hand-derived Jacobians), the psum of the reduced {X, H|L} Hessian
-    corrections over frame blocks, the static-landmark reduction, and the
-    replicated few-hundred-dim Cholesky — is expressed with sharding
-    annotations and partitioned by GSPMD, which inserts the psum/all-gather
-    collectives over ICI (SURVEY §5.8).
+  * **Explicit-collective path (default, WorldMotion)** — the whole LM loop
+    runs inside ONE `shard_map` with hand-placed collectives: 6 per
+    iteration (2 dp-ghost ppermutes, 1 error psum, 1 SPIKE halo ppermute,
+    1 packed SPIKE all_gather, 1 packed psum of every contracted small
+    quantity), independent of pool size.  See the section comment at
+    `_optimize_schur_explicit` for the domain decomposition.
+  * **Legacy GSPMD path** (`DYNO_DIST_GSPMD=1`, and WorldPose) — sharding
+    annotations + the shard_map SPIKE chain solver, everything else left to
+    GSPMD.  Measured ~97 GSPMD-inserted collectives per LM iteration on the
+    8-device mesh (frame-axis band shifts on small tensors each lower to a
+    permute/gather), which is what motivated the explicit path.
 
-The tracks axis needs no communication at all: chains are independent, so
-the track dimension of every chain/spike tensor stays sharded end-to-end.
+Shared core: the per-tracklet block-tridiagonal chain systems run along the
+FRAME axis — a `lax.scan`, which XLA cannot partition over its scan axis.
+`spike_chain_solve_local` substructures it by hand: each frame block
+eliminates its interior with the local block-Thomas solve, the cross-block
+coupling blocks are halo-exchanged with `lax.ppermute`, the per-block
+boundary rows ("spikes") are `all_gather`ed over the frame axis (one packed
+buffer), every device solves the small per-chain interface system
+redundantly (6*B dims, B = frame shards), and interiors are corrected
+locally.  Scan length drops from W to W/B + O(1); per-device flops drop by
+~B.  The tracks axis needs no communication at all: chains are independent,
+so the track dimension of every chain/spike tensor stays sharded
+end-to-end.
 """
 
 from __future__ import annotations
@@ -55,9 +60,134 @@ _mm = functools.partial(jnp.matmul, precision="highest")
 # --------------------------------------------------------------------------
 
 
+def spike_chain_solve_local(A, B, rhs, n_blocks):
+    """Shard-LOCAL SPIKE solve of the (W, N) block-tridiagonal chains with
+    the frame axis split into `n_blocks` — call INSIDE a `shard_map` whose
+    mesh has `FRAME_AXIS` (the legacy GSPMD path wraps it via
+    `make_spike_chain_solver`; the explicit LM path calls it directly).
+
+    Local shapes: A, B (S, n, 3, 3) with B[0] the coupling to the LEFT
+    block's last row; rhs (S, n, 3, M).  Exactly TWO collectives: one halo
+    `ppermute` and one packed boundary `all_gather`.  Requires S >= 2.
+    """
+    S = A.shape[0]
+    b_idx = jax.lax.axis_index(FRAME_AXIS)
+
+    # split the cross-block coupling out of the local system
+    B0 = B[0]                                   # couples to left block
+    B_int = B.at[0].set(jnp.zeros_like(B0))
+    # halo: fetch the RIGHT neighbour's B0 (this block's right coupling);
+    # the last block receives zeros (ppermute fills missing sources)
+    B_next = jax.lax.ppermute(
+        B0, FRAME_AXIS, [(i, i - 1) for i in range(1, n_blocks)]
+    )
+
+    # augment the RHS with the two spike columns:
+    #   V-col: row 0 gets B0^T   (coupling to x_last of the left block)
+    #   W-col: row S-1 gets B_next (coupling to x_first of the right)
+    M = rhs.shape[-1]
+    Bt0 = jnp.swapaxes(B0, -1, -2)
+    v_col = jnp.zeros((S, *Bt0.shape), Bt0.dtype).at[0].set(Bt0)
+    w_col = jnp.zeros_like(v_col).at[S - 1].set(B_next)
+    rhs_aug = jnp.concatenate([rhs, v_col, w_col], axis=-1)
+
+    Y = chain_solve(A, B_int, rhs_aug)          # (S, n, 3, M+6)
+
+    # gather the boundary (first/last) rows of y and the spikes — ONE
+    # packed all_gather (y, V, W ride the same column axis they already
+    # share in Y)
+    bnd = jnp.stack([Y[0], Y[S - 1]])           # (2, n, 3, M+6)
+    bb = jax.lax.all_gather(bnd, FRAME_AXIS)    # (Bb, 2, n, 3, M+6)
+    y, V, Wm = Y[..., :M], Y[..., M : M + 3], Y[..., M + 3 :]
+    yb = bb[..., :M]                            # (Bb, 2, n, 3, M)
+    Vb = bb[..., M : M + 3]                     # (Bb, 2, n, 3, 3)
+    Wb = bb[..., M + 3 :]
+
+    # ---- per-chain interface system over u = [f_0,l_0,...,f_{B-1},l_{B-1}]
+    #   f_b + V0_b l_{b-1} + W0_b f_{b+1} = y0_b
+    #   l_b + V1_b l_{b-1} + W1_b f_{b+1} = y1_b
+    # This is 6x6-BLOCK TRIDIAGONAL (identity diagonal,
+    # lower L_b = [0 V0_b; 0 V1_b], upper U_b = [W0_b 0; W1_b 0]): a
+    # batched dense LU (`jnp.linalg.solve` on (n, 6B, 6B)) is a
+    # serialized small-LAPACK kernel on TPU (CLAUDE.md rule), so solve
+    # with an unrolled LANE-MAJOR block-Thomas over the B blocks —
+    # every step is broadcast mul+reduce at full 128-lane occupancy.
+    from ..ops.linalg import _mm_lanes, inv6_lanes
+
+    n = A.shape[1]
+    Bb = n_blocks
+    dt = A.dtype
+    z33 = jnp.zeros((3, 3, n), dt)
+
+    def _l(b):                                  # (6, 6, n)
+        v0 = jnp.transpose(Vb[b, 0], (1, 2, 0))
+        v1 = jnp.transpose(Vb[b, 1], (1, 2, 0))
+        return jnp.concatenate(
+            [
+                jnp.concatenate([z33, v0], axis=1),
+                jnp.concatenate([z33, v1], axis=1),
+            ],
+            axis=0,
+        )
+
+    def _u(b):
+        w0 = jnp.transpose(Wb[b, 0], (1, 2, 0))
+        w1 = jnp.transpose(Wb[b, 1], (1, 2, 0))
+        return jnp.concatenate(
+            [
+                jnp.concatenate([w0, z33], axis=1),
+                jnp.concatenate([w1, z33], axis=1),
+            ],
+            axis=0,
+        )
+
+    def _y(b):                                  # (6, M, n)
+        return jnp.concatenate(
+            [
+                jnp.transpose(yb[b, 0], (1, 2, 0)),
+                jnp.transpose(yb[b, 1], (1, 2, 0)),
+            ],
+            axis=0,
+        )
+
+    eye6 = jnp.broadcast_to(jnp.eye(6, dtype=dt)[..., None], (6, 6, n))
+    Dinvs, yps = [], []
+    for b in range(Bb):
+        if b == 0:
+            Dp, yp = eye6, _y(0)
+        else:
+            G = _mm_lanes(_l(b), Dinvs[b - 1])
+            Dp = eye6 - _mm_lanes(G, _u(b - 1))
+            yp = _y(b) - _mm_lanes(G, yps[b - 1])
+        Dinvs.append(inv6_lanes(Dp) if b > 0 else eye6)
+        yps.append(yp)
+    xs = [None] * Bb
+    xs[Bb - 1] = _mm_lanes(Dinvs[Bb - 1], yps[Bb - 1])
+    for b in range(Bb - 2, -1, -1):
+        xs[b] = _mm_lanes(
+            Dinvs[b], yps[b] - _mm_lanes(_u(b), xs[b + 1])
+        )
+    u = jnp.transpose(jnp.stack(xs), (3, 0, 1, 2))  # (n, Bb, 6, M)
+    u = u.reshape(n, Bb, 2, 3, M)
+
+    # neighbour boundary values for this block (clamped indices are
+    # multiplied by zero spikes at the edges)
+    x_last_prev = u[:, jnp.maximum(b_idx - 1, 0), 1]          # (n, 3, M)
+    x_first_next = u[:, jnp.minimum(b_idx + 1, Bb - 1), 0]
+
+    # local correction: x = y - V x_last_prev - W x_first_next
+    x = (
+        y
+        - _mm(V, x_last_prev[None])
+        - _mm(Wm, x_first_next[None])
+    )
+    return x
+
+
 def make_spike_chain_solver(mesh):
     """Returns chain_solver(A, B, rhs) solving the (W, N) block-tridiagonal
-    chain systems with W sharded over `frames` and N over `tracks`.
+    chain systems with W sharded over `frames` and N over `tracks` — the
+    legacy GSPMD-path wrapper around `spike_chain_solve_local`.
 
     A (W, N, 3, 3) SPD diagonal blocks, B (W, N, 3, 3) with B[k] the
     (row k-1, col k) coupling (B[0] == 0), rhs (W, N, 3, M).  Requires the
@@ -65,126 +195,11 @@ def make_spike_chain_solver(mesh):
     distinct).
     """
     n_blocks = mesh.shape[FRAME_AXIS]
-
-    def local_solve(A, B, rhs):
-        # local shapes: A, B (S, n, 3, 3); rhs (S, n, 3, M)
-        S = A.shape[0]
-        b_idx = jax.lax.axis_index(FRAME_AXIS)
-
-        # split the cross-block coupling out of the local system
-        B0 = B[0]                                   # couples to left block
-        B_int = B.at[0].set(jnp.zeros_like(B0))
-        # halo: fetch the RIGHT neighbour's B0 (this block's right coupling);
-        # the last block receives zeros (ppermute fills missing sources)
-        B_next = jax.lax.ppermute(
-            B0, FRAME_AXIS, [(i, i - 1) for i in range(1, n_blocks)]
-        )
-
-        # augment the RHS with the two spike columns:
-        #   V-col: row 0 gets B0^T   (coupling to x_last of the left block)
-        #   W-col: row S-1 gets B_next (coupling to x_first of the right)
-        M = rhs.shape[-1]
-        Bt0 = jnp.swapaxes(B0, -1, -2)
-        v_col = jnp.zeros((S, *Bt0.shape), Bt0.dtype).at[0].set(Bt0)
-        w_col = jnp.zeros_like(v_col).at[S - 1].set(B_next)
-        rhs_aug = jnp.concatenate([rhs, v_col, w_col], axis=-1)
-
-        Y = chain_solve(A, B_int, rhs_aug)          # (S, n, 3, M+6)
-        y, V, Wm = Y[..., :M], Y[..., M : M + 3], Y[..., M + 3 :]
-
-        # gather the boundary (first/last) rows of y and the spikes
-        def gather(x):                              # (2, n, 3, c) -> (Bb, ...)
-            return jax.lax.all_gather(x, FRAME_AXIS)
-
-        yb = gather(jnp.stack([y[0], y[S - 1]]))    # (Bb, 2, n, 3, M)
-        Vb = gather(jnp.stack([V[0], V[S - 1]]))    # (Bb, 2, n, 3, 3)
-        Wb = gather(jnp.stack([Wm[0], Wm[S - 1]]))
-
-        # ---- per-chain interface system over u = [f_0,l_0,...,f_{B-1},l_{B-1}]
-        #   f_b + V0_b l_{b-1} + W0_b f_{b+1} = y0_b
-        #   l_b + V1_b l_{b-1} + W1_b f_{b+1} = y1_b
-        # This is 6x6-BLOCK TRIDIAGONAL (identity diagonal,
-        # lower L_b = [0 V0_b; 0 V1_b], upper U_b = [W0_b 0; W1_b 0]): a
-        # batched dense LU (`jnp.linalg.solve` on (n, 6B, 6B)) is a
-        # serialized small-LAPACK kernel on TPU (CLAUDE.md rule), so solve
-        # with an unrolled LANE-MAJOR block-Thomas over the B blocks —
-        # every step is broadcast mul+reduce at full 128-lane occupancy.
-        from ..ops.linalg import _mm_lanes, inv6_lanes
-
-        n = A.shape[1]
-        Bb = n_blocks
-        dt = A.dtype
-        z33 = jnp.zeros((3, 3, n), dt)
-
-        def _l(b):                                  # (6, 6, n)
-            v0 = jnp.transpose(Vb[b, 0], (1, 2, 0))
-            v1 = jnp.transpose(Vb[b, 1], (1, 2, 0))
-            return jnp.concatenate(
-                [
-                    jnp.concatenate([z33, v0], axis=1),
-                    jnp.concatenate([z33, v1], axis=1),
-                ],
-                axis=0,
-            )
-
-        def _u(b):
-            w0 = jnp.transpose(Wb[b, 0], (1, 2, 0))
-            w1 = jnp.transpose(Wb[b, 1], (1, 2, 0))
-            return jnp.concatenate(
-                [
-                    jnp.concatenate([w0, z33], axis=1),
-                    jnp.concatenate([w1, z33], axis=1),
-                ],
-                axis=0,
-            )
-
-        def _y(b):                                  # (6, M, n)
-            return jnp.concatenate(
-                [
-                    jnp.transpose(yb[b, 0], (1, 2, 0)),
-                    jnp.transpose(yb[b, 1], (1, 2, 0)),
-                ],
-                axis=0,
-            )
-
-        eye6 = jnp.broadcast_to(jnp.eye(6, dtype=dt)[..., None], (6, 6, n))
-        Dinvs, yps = [], []
-        for b in range(Bb):
-            if b == 0:
-                Dp, yp = eye6, _y(0)
-            else:
-                G = _mm_lanes(_l(b), Dinvs[b - 1])
-                Dp = eye6 - _mm_lanes(G, _u(b - 1))
-                yp = _y(b) - _mm_lanes(G, yps[b - 1])
-            Dinvs.append(inv6_lanes(Dp) if b > 0 else eye6)
-            yps.append(yp)
-        xs = [None] * Bb
-        xs[Bb - 1] = _mm_lanes(Dinvs[Bb - 1], yps[Bb - 1])
-        for b in range(Bb - 2, -1, -1):
-            xs[b] = _mm_lanes(
-                Dinvs[b], yps[b] - _mm_lanes(_u(b), xs[b + 1])
-            )
-        u = jnp.transpose(jnp.stack(xs), (3, 0, 1, 2))  # (n, Bb, 6, M)
-        u = u.reshape(n, Bb, 2, 3, M)
-
-        # neighbour boundary values for this block (clamped indices are
-        # multiplied by zero spikes at the edges)
-        x_last_prev = u[:, jnp.maximum(b_idx - 1, 0), 1]          # (n, 3, M)
-        x_first_next = u[:, jnp.minimum(b_idx + 1, Bb - 1), 0]
-
-        # local correction: x = y - V x_last_prev - W x_first_next
-        x = (
-            y
-            - _mm(V, x_last_prev[None])
-            - _mm(Wm, x_first_next[None])
-        )
-        return x
-
     spec = P(FRAME_AXIS, TRACK_AXIS, None, None)
 
     def solver(A, B, rhs):
         return jax.shard_map(
-            local_solve,
+            lambda a, b, r: spike_chain_solve_local(a, b, r, n_blocks),
             mesh=mesh,
             in_specs=(spec, spec, spec),
             out_specs=spec,
@@ -210,6 +225,8 @@ def _optimize_schur_sharded(
     updater: int,
     mesh,
 ):
+    if updater == 0 and not _DIST_GSPMD:
+        return _optimize_schur_explicit(m, window, cfg, lm_cfg, mesh)
     w = slice_window(m, 0, window)
     masks = fm.build_masks(w, cfg)
     if updater == 0:
@@ -247,3 +264,555 @@ def distributed_schur_optimize(
     lm_cfg = lm_cfg or LMConfig(max_iterations=cfg.lm_max_iterations)
     m_sharded = shard_map_data(m, mesh)
     return _optimize_schur_sharded(m_sharded, window, cfg, lm_cfg, updater, mesh)
+
+
+# --------------------------------------------------------------------------
+# Explicit-collective distributed LM (WorldMotion) — default dist path
+# --------------------------------------------------------------------------
+#
+# The legacy path above annotates shardings and lets GSPMD insert the
+# collectives.  Measured on the 8-virtual-device mesh, that compiles to ~97
+# collective instructions PER LM ITERATION inside the while body (every
+# frame-axis band shift / scatter-add on the small (W, O, 6, 6)-class
+# tensors lowers to its own permute/gather), which makes multi-host scaling
+# latency-bound regardless of byte volume (VERDICT r3 weak #5;
+# `scripts/collective_census.py`).  This path runs the WHOLE LM loop inside
+# ONE `shard_map` with hand-placed collectives:
+#
+#   per iteration (F frame blocks x T track blocks):
+#     2x ppermute      dp boundary-row ghosts (the ternary motion factor is
+#                      the only LARGE family coupling consecutive frames)
+#     1x psum          total_error scalar
+#     1x ppermute +
+#     1x all_gather    SPIKE chain-elimination boundaries (packed: y/V/W
+#                      spikes ride one gathered buffer)
+#     1x psum          ONE packed flat vector carrying EVERY track/frame-
+#                      contracted small quantity: the normal-system partials
+#                      (Dcam, g_pts, ternary Dmm/g_mot) AND the Schur
+#                      corrections (d_cc, d_bc, d_cm, d_mm, d_bm)
+#   = 6 collectives per iteration (4 when F == 1), independent of pool size.
+#
+# Domain decomposition:
+#   * X, H (poses/motions) and every pose-family quantity are REPLICATED —
+#     tiny, and recomputing them redundantly deletes all small-tensor comm.
+#   * dynamic grids shard (frames x tracks); each block owns ternary factor
+#     slot s <-> global current frame fi*S+s (slot 0 needs the LEFT
+#     neighbour's last dp row; the boundary factor owned by the right
+#     neighbour is recomputed locally from the RIGHT ghost row instead of
+#     halo-adding its contributions back).
+#   * static grids shard tracks only (frame-replicated): the static family
+#     couples every frame to the same landmark, and at W <= 16 frames the
+#     replicated copy is ~100 KB; its psum contributions scale by 1/F.
+#   * the object one-hot table is mask-derived (constant across LM
+#     iterations) and gathered ONCE in the prologue — no per-iteration mask
+#     communication at all.
+#
+# The LM schedule itself (accept/reject, lambda, NaN ratchet, system cache)
+# is byte-identical to the single-chip solver: `lm_optimize_schur` runs
+# inside the shard_map with residual/build/step overrides.  The system
+# cached across rejected steps stores PRE-psum partials, so the psum can sit
+# OUTSIDE the rebuild `cond` (collectives under a divergent conditional are
+# illegal SPMD; the pre-reduction partials make the unconditional psum
+# idempotent across cache hits).
+
+from types import SimpleNamespace
+
+from ..backend.schur import (
+    _CHAIN_LANES,
+    _damp_blocks,
+    _floor_consts,
+    _inv3,
+    _odo_anchor_blocks,
+    _pose_point_jacobians,
+    _pose_sigmas,
+    _smoothing_blocks,
+    _static_blocks,
+    _ternary_jacobians,
+    assemble_reduced,
+    chain_solve_lanes,
+)
+from ..backend.formulation import world_motion_families
+from ..backend.solver import robust_loss
+from ..core.lie import se3_compose, se3_inverse
+from ..ops import factors
+
+import os as _os
+
+_DIST_GSPMD = _os.environ.get("DYNO_DIST_GSPMD", "0") == "1"
+
+_es = functools.partial(jnp.einsum, precision="highest")
+
+
+def _pack_psum(tree: dict, axes):
+    """psum a pytree of same-dtype arrays as ONE flat vector (one collective
+    instead of one per leaf)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    flat = jnp.concatenate([l.reshape(-1) for l in leaves])
+    flat = jax.lax.psum(flat, axes)
+    out, off = [], 0
+    for l in leaves:
+        out.append(flat[off : off + l.size].reshape(l.shape))
+        off += l.size
+    return jax.tree.unflatten(treedef, out)
+
+
+def _embed_rows(part, n_rows: int, start):
+    """Place local frame-block rows at their global positions (zeros
+    elsewhere) so a cross-device psum assembles the full array."""
+    z = jnp.zeros((n_rows, *part.shape[1:]), part.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(z, part, start, 0)
+
+
+def _embed_rows_shift1(part, n_rows: int, start):
+    """Like `_embed_rows` but at rows start+1.. — the band term computed at
+    chain row k that belongs to pose row k+1.  Embeds into n_rows+1 rows and
+    drops the last, reproducing `out.at[1:].add(term[:-1])` semantics (the
+    would-be row n_rows is the masked ghost slot)."""
+    z = jnp.zeros((n_rows + 1, *part.shape[1:]), part.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(z, part, start + 1, 0)[:n_rows]
+
+
+def _optimize_schur_explicit(
+    m: MeasurementMap,
+    window: int,
+    cfg: BackendConfig,
+    lm_cfg: LMConfig,
+    mesh,
+) -> LMResult:
+    """WorldMotion window solve with hand-placed collectives (see the
+    section comment).  Equivalent to the single-chip `lm_optimize_schur`
+    (f64 cross-check in tests/test_schur_dist_explicit.py)."""
+    FA, TA = FRAME_AXIS, TRACK_AXIS
+    F = mesh.shape[FA]
+    T = mesh.shape[TA]
+    w = slice_window(m, 0, window)
+    masks = fm.build_masks(w, cfg)
+    values = fm.init_values(w, masks, cfg)
+
+    W_ = window
+    NS = w.static_xyz.shape[1]
+    ND = w.dyn_xyz.shape[1]
+    O = w.motion_init.batch_shape[1]
+    if W_ % F != 0 or W_ // F < 2:
+        raise ValueError(f"window {W_} must split into >=2-frame blocks / {F}")
+    if NS % T or ND % T:
+        raise ValueError(f"track pools ({NS}, {ND}) must divide {T}")
+    S = W_ // F
+    dtype = values["sp"].dtype
+
+    def cons(x, *spec):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec))
+        )
+
+    def cons_se3(x: SE3) -> SE3:
+        return SE3(cons(x.R), cons(x.t))
+
+    args = dict(
+        vals={
+            "X": cons_se3(values["X"]),
+            "H": cons_se3(values["H"]),
+            "sp": cons(values["sp"], TA, None),
+            "dp": cons(values["dp"], FA, TA, None),
+        },
+        static_xyz=cons(w.static_xyz, None, TA, None),
+        static_obs=cons(masks.static_obs, None, TA),
+        dyn_xyz=cons(w.dyn_xyz, FA, TA, None),
+        dyn_obj=cons(w.dyn_obj, FA, TA),
+        dyn_obs=cons(masks.dyn_obs, FA, TA),
+        ternary=cons(masks.ternary, FA, TA),
+        X_init=cons_se3(w.X_init),
+        odometry=cons(masks.odometry),
+        smoothing=cons(masks.smoothing),
+        frame=cons(masks.frame),
+        anchor=cons_se3(w.X_init[0]),
+    )
+    in_specs = dict(
+        vals={
+            "X": SE3(P(), P()),
+            "H": SE3(P(), P()),
+            "sp": P(TA, None),
+            "dp": P(FA, TA, None),
+        },
+        static_xyz=P(None, TA, None),
+        static_obs=P(None, TA),
+        dyn_xyz=P(FA, TA, None),
+        dyn_obj=P(FA, TA),
+        dyn_obs=P(FA, TA),
+        ternary=P(FA, TA),
+        X_init=SE3(P(), P()),
+        odometry=P(),
+        smoothing=P(),
+        frame=P(),
+        anchor=SE3(P(), P()),
+    )
+    out_specs = LMResult(
+        values={
+            "X": SE3(P(), P()),
+            "H": SE3(P(), P()),
+            "sp": P(TA, None),
+            "dp": P(FA, TA, None),
+        },
+        error=P(),
+        initial_error=P(),
+        iterations=P(),
+        lam=P(),
+        converged=P(),
+    )
+
+    spec = world_motion_families(cfg)
+    sig_s = cfg.static_point_noise_sigma
+    sig_d = cfg.dynamic_point_noise_sigma
+    sig_t = cfg.motion_ternary_factor_noise_sigma
+    nc = 6 * W_
+
+    def run(vals, static_xyz, static_obs, dyn_xyz, dyn_obj, dyn_obs,
+            ternary, X_init, odometry, smoothing, frame, anchor):
+        fi = jax.lax.axis_index(FA)
+        start = fi * S
+        pose_sigma, smooth_sigma = _pose_sigmas(cfg, dtype)
+        w_proxy = SimpleNamespace(X_init=X_init)
+        m_proxy = SimpleNamespace(odometry=odometry, frame=frame)
+        nd_ = dyn_obj.shape[1]
+
+        # ---- prologue (one-off): object one-hot table + ghosts ----------
+        if F > 1:
+            tern_r = jax.lax.ppermute(
+                ternary[0], FA, [(i, i - 1) for i in range(1, F)]
+            )
+        else:
+            tern_r = jnp.zeros_like(ternary[0])
+        tern_next = jnp.concatenate([ternary[1:], tern_r[None]], axis=0)
+        active = ternary | tern_next
+        oh_loc = jax.nn.one_hot(
+            jnp.where(active, dyn_obj, -1), O, dtype=dtype
+        )                                               # (S, nd, O)
+        if F > 1:
+            onehot_full = jax.lax.all_gather(oh_loc, FA, axis=0, tiled=True)
+        else:
+            onehot_full = oh_loc                         # (W, nd, O)
+        act_full_T = jnp.transpose(jnp.sum(onehot_full, -1))   # (nd, W)
+        ohp = jnp.concatenate(
+            [onehot_full, jnp.zeros_like(onehot_full[:1])], axis=0
+        )
+        oh_ext = jax.lax.dynamic_slice_in_dim(ohp, start, S + 1, 0)
+        oh_next = jax.lax.dynamic_slice_in_dim(ohp, start + 1, S, 0)
+        tern_ext = jnp.concatenate([ternary, tern_r[None]], axis=0)
+
+        eyeO = jnp.eye(3, dtype=dtype)
+        Hp_pad_R = jnp.broadcast_to(eyeO, (1, O, 3, 3))
+        rows_gl = start + jnp.arange(S)
+        eye_rows = (
+            jnp.arange(W_)[None, :] == rows_gl[:, None]
+        ).astype(dtype)                                  # (S, W)
+        up_rows = (
+            jnp.arange(W_)[None, :] == (rows_gl + 1)[:, None]
+        ).astype(dtype)
+
+        def _x_loc(X: SE3) -> SE3:
+            return SE3(
+                jax.lax.dynamic_slice_in_dim(X.R, start, S, 0),
+                jax.lax.dynamic_slice_in_dim(X.t, start, S, 0),
+            )
+
+        def _select_H_ext(H: SE3) -> SE3:
+            """H at the S+1 extended current-frame rows, object-selected by
+            the one-hot (identity where no object is active)."""
+            Hp = SE3(
+                jnp.concatenate([H.R, Hp_pad_R], axis=0),
+                jnp.concatenate([H.t, jnp.zeros((1, O, 3), dtype)], axis=0),
+            )
+            H_ext = SE3(
+                jax.lax.dynamic_slice_in_dim(Hp.R, start, S + 1, 0),
+                jax.lax.dynamic_slice_in_dim(Hp.t, start, S + 1, 0),
+            )
+            Rk = _es("sno,soij->snij", oh_ext, H_ext.R)
+            tk = _es("sno,soj->snj", oh_ext, H_ext.t)
+            sel = jnp.any(oh_ext > 0, axis=-1)[..., None, None]
+            return SE3(jnp.where(sel, Rk, eyeO), tk)
+
+        def _dp_ext(dp, dp_l, dp_r):
+            dp_prev = jnp.concatenate([dp_l[None], dp], axis=0)
+            dp_cur = jnp.concatenate([dp, dp_r[None]], axis=0)
+            return dp_prev, dp_cur
+
+        # ---- residuals (2 ppermutes; ghosts ride the res list) ----------
+        def residual_fn(v):
+            X, H, sp, dp = v["X"], v["H"], v["sp"], v["dp"]
+            r_anchor = factors.prior_residual(X[0], anchor)[None, :] / (
+                cfg.initial_pose_prior_sigma
+            )
+            odo_meas = jax.vmap(lambda a, b: se3_compose(se3_inverse(a), b))(
+                X_init[:-1], X_init[1:]
+            )
+            r_odo = factors.between_residual(X[:-1], X[1:], odo_meas) / (
+                pose_sigma
+            )
+            r_odo = jnp.where(odometry[1:, None], r_odo, 0.0)
+            r_smooth = factors.motion_smoothing_residual(
+                SE3(H.R[:-1], H.t[:-1]), SE3(H.R[1:], H.t[1:])
+            ) / smooth_sigma
+            r_smooth = jnp.where(smoothing[1:, ..., None], r_smooth, 0.0)
+
+            r_static = jax.vmap(
+                lambda Xk, zk: factors.pose_to_point_residual(Xk, sp, zk)
+            )(X, static_xyz) / sig_s
+            r_static = jnp.where(static_obs[..., None], r_static, 0.0)
+
+            X_loc = _x_loc(X)
+            r_dyn = jax.vmap(
+                lambda Xk, mk, zk: factors.pose_to_point_residual(Xk, mk, zk)
+            )(X_loc, dp, dyn_xyz) / sig_d
+            r_dyn = jnp.where(dyn_obs[..., None], r_dyn, 0.0)
+
+            if F > 1:
+                dp_l = jax.lax.ppermute(
+                    dp[-1], FA, [(i, i + 1) for i in range(F - 1)]
+                )
+                dp_r = jax.lax.ppermute(
+                    dp[0], FA, [(i, i - 1) for i in range(1, F)]
+                )
+            else:
+                dp_l = jnp.zeros_like(dp[0])
+                dp_r = jnp.zeros_like(dp[0])
+            dp_prev, dp_cur = _dp_ext(dp, dp_l, dp_r)
+            r_tern = factors.landmark_motion_ternary_residual(
+                dp_prev, dp_cur, _select_H_ext(H)
+            ) / sig_t
+            r_tern = jnp.where(tern_ext[..., None], r_tern, 0.0)
+            # dp ghosts ride along (ignored by the spec zip) so the build
+            # reuses them without re-permuting
+            return [r_anchor, r_odo, r_static, r_dyn, r_tern, r_smooth,
+                    dp_l, dp_r]
+
+        def error_fn(res):
+            loc = (
+                jnp.sum(robust_loss(res[3], spec.robust[3]))
+                + jnp.sum(robust_loss(res[4][:S], spec.robust[4]))
+                + jnp.sum(robust_loss(res[2], spec.robust[2])) / F
+            )
+            tot = jax.lax.psum(loc, (FA, TA))
+            repl = (
+                jnp.sum(robust_loss(res[0], spec.robust[0]))
+                + jnp.sum(robust_loss(res[1], spec.robust[1]))
+                + jnp.sum(robust_loss(res[5], spec.robust[5]))
+            )
+            return tot + repl
+
+        # ---- build: all partials LOCAL (psum deferred to the step) ------
+        def build_fn(v, sqrt_w, res0):
+            X, H, sp, dp = v["X"], v["H"], v["sp"], v["dp"]
+            r_anchor, r_odo, r_static, r_dyn, r_tern, r_smooth, dp_l, dp_r = (
+                res0
+            )
+            wgt_static = sqrt_w[2] ** 2 * static_obs.astype(dtype)
+            wgt_dyn = sqrt_w[3] ** 2 * dyn_obs.astype(dtype)
+            wt = sqrt_w[4] ** 2 * tern_ext.astype(dtype)   # (S+1, nd)
+            wgt_smooth = smoothing[1:].astype(dtype)
+
+            Hcc0, g_cam0 = _odo_anchor_blocks(
+                X, w_proxy, m_proxy, cfg, anchor, r_anchor, r_odo, dtype
+            )
+            Dmm_sm, Omm1, g_mot_sm = _smoothing_blocks(
+                H, wgt_smooth, r_smooth, smooth_sigma, dtype
+            )
+
+            Jx_s, Jp_s, _ = _pose_point_jacobians(
+                X, jnp.broadcast_to(sp[None], (W_, *sp.shape)), sig_s
+            )
+            X_loc = _x_loc(X)
+            Jx_d, Jp_d, _ = _pose_point_jacobians(X_loc, dp, sig_d)
+            _, dp_cur = _dp_ext(dp, dp_l, dp_r)
+            Jh, Jc, _ = _ternary_jacobians(_select_H_ext(H), dp_cur, sig_t)
+
+            # psum partials (static family is frame-replicated -> 1/F)
+            Dcam = _embed_rows(
+                _es("kn,knra,knrb->kab", wgt_dyn, Jx_d, Jx_d), W_, start
+            ) + _es("kn,knra,knrb->kab", wgt_static, Jx_s, Jx_s) / F
+            g_pts = _embed_rows(
+                _es("kn,knra,knr->ka", wgt_dyn, Jx_d, r_dyn), W_, start
+            ) + _es("kn,knra,knr->ka", wgt_static, Jx_s, r_static) / F
+            Dmm_t = _embed_rows(
+                _es("jd,jdo,jdra,jdrb->joab",
+                    wt[:S], oh_ext[:S], Jh[:S], Jh[:S]),
+                W_, start,
+            )
+            g_mot_t = _embed_rows(
+                _es("jd,jdo,jdra,jdr->joa",
+                    wt[:S], oh_ext[:S], Jh[:S], r_tern[:S]),
+                W_, start,
+            )
+
+            # local chain/static blocks (ghost slot S covers the boundary
+            # factor owned by the right neighbour)
+            Hll_s, Us, b_sp = _static_blocks(
+                wgt_static, Jx_s, Jp_s, r_static, dtype
+            )
+            eye3 = jnp.eye(3, dtype=dtype)
+            diag_scalar = (
+                wgt_dyn / sig_d**2 + wt[:S] / sig_t**2 + wt[1:] / sig_t**2
+            )
+            Ad = (
+                diag_scalar[..., None, None] * eye3
+                + _floor_consts(dtype)[1] * eye3
+            )
+            Bd = (wt[:S] / sig_t)[..., None, None] * Jc[:S]
+            Rc = _es("kd,kra,kdrb->kdab", wgt_dyn, Jp_d, Jx_d)
+            diag_b = _es("jd,jdra,jdrb->jdab", wt[:S], Jc[:S], Jh[:S])
+            up_b = (wt[1:] / sig_t)[..., None, None] * Jh[1:]
+            g_dp = _es("kd,kra,kdr->kda", wgt_dyn, Jp_d, r_dyn)
+            g_dp = g_dp + (wt[1:] / sig_t)[..., None] * r_tern[1:]
+            g_dp = g_dp + _es(
+                "jd,jdra,jdr->jda", wt[:S], Jc[:S], r_tern[:S]
+            )
+
+            return {
+                "part": {
+                    "Dcam": Dcam, "g_pts": g_pts,
+                    "Dmm_t": Dmm_t, "g_mot_t": g_mot_t,
+                },
+                "loc": {
+                    "Hll_s": Hll_s, "Us": Us, "b_sp": b_sp,
+                    "Ad": Ad, "Bd": Bd, "Rc": Rc,
+                    "diag_b": diag_b, "up_b": up_b, "b_dp": -g_dp,
+                },
+                "repl": {
+                    "Hcc0": Hcc0, "g_cam0": g_cam0, "Dmm_sm": Dmm_sm,
+                    "Omm1": Omm1, "g_mot_sm": g_mot_sm,
+                },
+            }
+
+        # ---- step: SPIKE chains + ONE packed psum ------------------------
+        def step_fn(sys, lam):
+            loc, repl = sys["loc"], sys["repl"]
+            floor = lm_cfg.diag_floor
+            Ad = _damp_blocks(loc["Ad"], lam, floor)
+            Hll_s = _damp_blocks(loc["Hll_s"], lam, floor)
+
+            # static elimination (frame-replicated, track-local)
+            Us = loc["Us"]
+            ns_ = Us.shape[1]
+            Us_t = jnp.swapaxes(Us, -1, -2)
+            Us_cols = jnp.transpose(Us_t, (1, 2, 0, 3)).reshape(ns_, 3, nc)
+            rhs_s = jnp.concatenate([Us_cols, loc["b_sp"][..., None]], -1)
+            Ys = _mm(_inv3(Hll_s), rhs_s)
+            Yc_s, yb_s = Ys[..., :nc], Ys[..., nc]
+            d_cc_s = _es("knam,nmq->kaq", Us, Yc_s)        # (W, 6, nc)
+            d_bc_s = _es("knam,nm->ka", Us, yb_s)          # (W, 6)
+
+            # chain solve over the frame-sharded SPIKE
+            rhs_cam = (
+                loc["Rc"][:, :, :, None, :]
+                * eye_rows[:, None, None, :, None]
+            ).reshape(S, nd_, 3, nc)
+            CC = (
+                loc["diag_b"][:, :, :, None, :]
+                * eye_rows[:, None, None, :, None]
+                + loc["up_b"][:, :, :, None, :]
+                * up_rows[:, None, None, :, None]
+            ).reshape(S, nd_, 3, nc)
+            rhs_d = jnp.concatenate(
+                [rhs_cam, CC, loc["b_dp"][..., None]], axis=-1
+            )
+            if F > 1:
+                Tsol = spike_chain_solve_local(Ad, loc["Bd"], rhs_d, F)
+            else:
+                solve = chain_solve_lanes if _CHAIN_LANES else chain_solve
+                Tsol = solve(Ad, loc["Bd"], rhs_d)
+            Tc = Tsol[..., :nc]
+            Tm = Tsol[..., nc : 2 * nc].reshape(S, nd_, 3, W_, 6)
+            tb = Tsol[..., -1]
+
+            d_cc_d = _es("kdic,kdib->kcb", loc["Rc"], Tc)  # (S, 6, nc)
+            d_bc_d = _es("kdic,kdi->kc", loc["Rc"], tb)
+
+            # coupling dots (see schur.schur_step for the algebra; rows are
+            # LOCAL frames here, columns global)
+            Tm_act = Tm * act_full_T[None, :, None, :, None]
+            Rdot = Tm_act.reshape(S, nd_ * 3, nc)
+            oh_row0 = oh_ext[:S]
+
+            def _couple_dot(Brow, oh_row):
+                oh_i = jnp.repeat(oh_row, 3, axis=1)
+                L = jnp.tile(Brow.reshape(S, nd_ * 3, 6), (1, 1, O)) * (
+                    jnp.repeat(oh_i, 6, axis=2)
+                )
+                out = jax.lax.dot_general(
+                    L, Rdot, (((1,), (1,)), ((0,), (0,))),
+                    precision="highest",
+                )
+                return out.reshape(S, O, 6, W_, 6)
+
+            d_cm_p = _couple_dot(loc["Rc"], oh_row0)
+            d_mm_diag = _couple_dot(loc["diag_b"], oh_row0)
+            d_mm_up = _couple_dot(loc["up_b"], oh_next)
+            b_diag = _es("kdia,kdi,kdo->koa", loc["diag_b"], tb, oh_row0)
+            b_up = _es("kdia,kdi,kdo->koa", loc["up_b"], tb, oh_next)
+
+            pk = _pack_psum(
+                {
+                    **sys["part"],
+                    "d_cc": _embed_rows(d_cc_d, W_, start) + d_cc_s / F,
+                    "d_bc": _embed_rows(d_bc_d, W_, start) + d_bc_s / F,
+                    "d_cm": _embed_rows(d_cm_p, W_, start),
+                    "d_mm": _embed_rows(d_mm_diag, W_, start)
+                    + _embed_rows_shift1(d_mm_up, W_, start),
+                    "d_bm": _embed_rows(b_diag, W_, start)
+                    + _embed_rows_shift1(b_up, W_, start),
+                },
+                (FA, TA),
+            )
+
+            # replicated assembly + Cholesky (redundant on every device)
+            idx = jnp.arange(W_)
+            Hcc = repl["Hcc0"].at[idx, :, idx, :].add(pk["Dcam"])
+            b_cam = -(g0 := repl["g_cam0"] + pk["g_pts"])
+            Dmm = repl["Dmm_sm"] + pk["Dmm_t"]
+            b_mot = -(repl["g_mot_sm"] + pk["g_mot_t"])
+            diag_cc = Hcc[idx, :, idx, :]
+            Hcc_d = Hcc.at[idx, :, idx, :].set(
+                _damp_blocks(diag_cc, lam, floor)
+            )
+            Dmm_d = _damp_blocks(Dmm, lam, floor)
+            d_cm = pk["d_cm"].transpose(0, 2, 3, 1, 4).reshape(
+                nc, W_, O, 6
+            )
+            sys_proxy = SimpleNamespace(
+                Omm1=repl["Omm1"],
+                Omm2=jnp.zeros((max(W_ - 2, 0), O, 6, 6), dtype),
+                b_cam=b_cam, b_mot=b_mot,
+            )
+            Hred, bred = assemble_reduced(
+                sys_proxy, Hcc_d, Dmm_d,
+                pk["d_cc"].reshape(nc, nc), pk["d_bc"].reshape(nc),
+                d_cm, pk["d_mm"], pk["d_bm"],
+            )
+            cho = jax.scipy.linalg.cho_factor(Hred)
+            delta_p = jax.scipy.linalg.cho_solve(cho, bred)
+            dc = delta_p[:nc]
+            dm = delta_p[nc:].reshape(W_, O, 6)
+
+            # back-substitution (local)
+            d_sp = yb_s - _es("nmq,q->nm", Yc_s, dc)
+            dm_sel = _es("gdo,gob->gdb", onehot_full, dm)   # (W, nd, 6)
+            d_dp = tb - _es("kdiq,q->kdi", Tc, dc) - _es(
+                "kdigb,gdb->kdi", Tm, dm_sel
+            )
+            return {"X": dc.reshape(W_, 6), "P": dm, "sp": d_sp, "dp": d_dp}
+
+        return lm_optimize_schur(
+            vals, None, None, cfg, lm_cfg, anchor, formulation=0,
+            overrides={
+                "residual_fn": residual_fn,
+                "error_fn": error_fn,
+                "build_fn": build_fn,
+                "step_fn": step_fn,
+            },
+        )
+
+    return jax.shard_map(
+        run, mesh=mesh,
+        in_specs=tuple(in_specs.values()),
+        out_specs=out_specs,
+        check_vma=False,
+    )(*args.values())

@@ -147,20 +147,36 @@ def check_distributed_vs_single():
     from dynosam_tpu.parallel.schur_dist import distributed_schur_optimize
     from dynosam_tpu.utils.config import BackendConfig
 
+    from dynosam_tpu.backend import formulation as fm
+    from dynosam_tpu.backend.map import slice_window
+    from dynosam_tpu.backend.schur import lm_optimize_schur
+
     m = _problem_f64()
     cfg = BackendConfig()
     lm = LMConfig(max_iterations=8)
     res1 = distributed_schur_optimize(m, 8, cfg, mesh=make_mesh(1), lm_cfg=lm)
     res8 = distributed_schur_optimize(m, 8, cfg, mesh=make_mesh(8), lm_cfg=lm)
+    # reference: the single-chip production solver on the same window (pins
+    # the explicit shard_map path against independently-written algebra, not
+    # just against its own 1-device instantiation)
+    w = slice_window(m, 0, 8)
+    masks = fm.build_masks(w, cfg)
+    vals0 = fm.init_values(w, masks, cfg)
+    res_ref = lm_optimize_schur(vals0, w, masks, cfg, lm, w.X_init[0])
     assert np.isfinite(float(res1.error)) and np.isfinite(float(res8.error))
-    np.testing.assert_allclose(
-        np.asarray(res1.values["X"].t), np.asarray(res8.values["X"].t),
-        atol=1e-6,
-    )
-    np.testing.assert_allclose(
-        np.asarray(res1.values["H"].t), np.asarray(res8.values["H"].t),
-        atol=1e-6,
-    )
+    for res_d in (res1, res8):
+        np.testing.assert_allclose(
+            np.asarray(res_ref.values["X"].t), np.asarray(res_d.values["X"].t),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_ref.values["H"].t), np.asarray(res_d.values["H"].t),
+            atol=1e-6,
+        )
+        # reduction order differs (psum tree vs local sums): ~1e-8 relative
+        np.testing.assert_allclose(
+            float(res_ref.error), float(res_d.error), rtol=1e-6
+        )
     print("distributed-vs-single f64 ok")
 
 
