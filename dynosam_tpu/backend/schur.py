@@ -79,6 +79,12 @@ import os as _os
 
 _CHAIN_LANES = _os.environ.get("DYNO_SCHUR_LANES", "1") == "1"
 
+# ternary-structured scalar chain elimination (chain_solve_ternary) default
+# ON: cancellation-free, cheaper than the generic block-Thomas, and removes
+# the low-lambda NaN-rejected iterations at the root.
+# DYNO_SCHUR_TERNARY=0 reverts to the generic lane-major solve.
+_TERNARY_CHAIN = _os.environ.get("DYNO_SCHUR_TERNARY", "1") == "1"
+
 # NaN-ratchet on lambda (default ON): at lambda <= 1e-7 the f32 chain
 # elimination of the ~1e10-weight ternary blocks cancels catastrophically
 # and the reduced system comes back indefinite -> the Cholesky NaNs and the
@@ -233,6 +239,75 @@ def chain_solve(A: jax.Array, B: jax.Array, rhs: jax.Array) -> jax.Array:
     return x
 
 
+def chain_solve_ternary(c, T, B, rhs):
+    """Chain solve exploiting the WorldMotion ternary structure — the ROOT
+    FIX for the low-lambda NaN-rejected LM iterations (round-3 weak #3).
+
+    The WorldMotion dynamic-point chain blocks are EXACTLY
+        A_k = alpha_k I,        alpha_k = c_k + T_k + T_{k+1}
+        B_k = -T_k R_k^T,       R_k the selected motion rotation (orthogonal)
+    with c_k = observation weight / sigma_d^2 (+ damping + tiny floor) and
+    T_k = ternary weight / sigma_t^2 (~1e10; zero at chain cuts).  The
+    block-Thomas diagonal therefore stays SCALAR:
+        D_k = delta_k I,   delta_k = alpha_k - T_k^2 / delta_{k-1},
+    and because delta_{k-1} = T_k + gamma_{k-1}, the recursion rewrites
+    WITHOUT SUBTRACTION as
+        delta_k = T_{k+1} + gamma_k,
+        gamma_k = c_k + T_k * gamma_{k-1} / (T_k + gamma_{k-1}).
+    Every term is nonnegative (harmonic composition of information), so the
+    f32 elimination can no longer cancel catastrophically — previously
+    `alpha - T^2/delta` subtracted near-equal ~1e10 quantities and went
+    INDEFINITE at lambda <= 1e-7, NaN-rejecting 4/10 window-10 LM
+    iterations (BENCH_NOTES session 8).  It is also CHEAPER than the
+    generic block solve: no 3x3 inverses, one (3,3)@(3,M) product per scan
+    step instead of two plus an adjugate.
+
+    c, T: (W, N) with T[0] == 0 (or B[0] zeroed by the SPIKE caller, which
+    must then fold the cross coupling via c[0] += T[0] and T[0] = 0);
+    B: (W, N, 3, 3) = -T_k R_k^T as built; rhs: (W, N, 3, M).
+    """
+    from ..ops.linalg import _mm_lanes
+
+    N = c.shape[1]
+    m = rhs.shape[-1]
+    dtype = rhs.dtype
+    B_l = jnp.transpose(B, (0, 2, 3, 1))            # (W, 3, 3, N)
+    Bt_l = jnp.swapaxes(B_l, 1, 2)
+    rhs_l = jnp.transpose(rhs, (0, 2, 3, 1))        # (W, 3, M, N)
+
+    T_next = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
+
+    def gscan(g_prev, inp):
+        c_k, T_k = inp
+        g = c_k + T_k * g_prev / (T_k + g_prev)
+        return g, g
+
+    _, gam = jax.lax.scan(gscan, jnp.ones((N,), dtype), (c, T))
+    delta = T_next + gam                             # (W, N)
+
+    def fwd(carry, inp):
+        y_prev, d_prev = carry
+        Bt_k, r_k, d_k = inp
+        y_k = r_k - _mm_lanes(Bt_k, y_prev / d_prev[None, None, :])
+        return (y_k, d_k), y_k
+
+    init = (jnp.zeros((3, m, N), dtype), jnp.ones((N,), dtype))
+    (_, _), y_all = jax.lax.scan(fwd, init, (Bt_l, rhs_l, delta))
+
+    B_shift = jnp.concatenate([B_l[1:], jnp.zeros_like(B_l[:1])], axis=0)
+
+    def bwd(x_next, inp):
+        y_k, Bn_k, d_k = inp
+        x_k = (y_k - _mm_lanes(Bn_k, x_next)) / d_k[None, None, :]
+        return x_k, x_k
+
+    _, x = jax.lax.scan(
+        bwd, jnp.zeros((3, m, N), dtype), (y_all, B_shift, delta),
+        reverse=True,
+    )
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
 # --------------------------------------------------------------------------
 # Normal system (hand-derived Jacobian blocks + IRLS weights)
 # --------------------------------------------------------------------------
@@ -267,6 +342,11 @@ class NormalSystem(NamedTuple):
     Rcc: jax.Array      # (W-1, ND, 3, 6)
     b_dp: jax.Array     # (W, ND, 3)
     onehot: jax.Array   # (W, ND, O) object one-hot per (frame, track)
+    # WorldMotion scalar chain structure (chain_solve_ternary): Ad =
+    # (chain_c + chain_T + chain_T[next]) I, Bd = -chain_T R^T.  Both zero
+    # for WorldPose, whose chain blocks are not scalar (generic path).
+    chain_c: jax.Array  # (W, ND) base diag scalar (obs weight + tiny floor)
+    chain_T: jax.Array  # (W, ND) ternary info scalar aligned with Bd rows
 
 
 def _select_poses(P: SE3, masks: WindowMasks, w: WindowData):
@@ -565,11 +645,17 @@ def build_normal_system(
     g_dp = g_dp.at[:-1].add((wgt_tern / sig_t)[..., None] * r_tern)
     g_dp = g_dp.at[1:].add(_es("jd,jdra,jdr->jda", wgt_tern, Jc, r_tern))
 
+    chain_T = jnp.concatenate(
+        [jnp.zeros_like(wgt_tern_h[:1]), wgt_tern_h / sig_t**2], axis=0
+    )
+    chain_c = (
+        wgt_dyn / cfg.dynamic_point_noise_sigma**2 + _floor_consts(dtype)[1]
+    )
     return NormalSystem(
         Hcc=Hcc, Dmm=Dmm, Omm1=Omm1, Omm2=Omm2, b_cam=b_cam, b_mot=-g_mot,
         Hll_s=Hll_s, Us=Us, b_sp=b_sp,
         Ad=Ad, Bd=Bd, Rc=Rc, Rpp=Rz, Rpc=Rpc, Rcp=Rz, Rcc=Rcc,
-        b_dp=-g_dp, onehot=onehot,
+        b_dp=-g_dp, onehot=onehot, chain_c=chain_c, chain_T=chain_T,
     )
 
 
@@ -728,11 +814,19 @@ def build_normal_system_pose(
     g_dp = g_dp.at[:-1].add(_es("jd,jdra,jdr->jda", wgt_mp, J_mp, r_mp))
     g_dp = g_dp.at[1:].add((wgt_mp / sig_t)[..., None] * r_mp)
 
+    # the LandmarkMotionPose chain shares the scalar/rotation structure
+    # (J_mp is a rotation): Ad = (c + T + T[next]) I, Bd = -T rel_R^T
+    chain_T = jnp.concatenate(
+        [jnp.zeros_like(wgt_mp_h[:1]), wgt_mp_h / sig_t**2], axis=0
+    )
+    chain_c = (
+        wgt_dyn / cfg.dynamic_point_noise_sigma**2 + _floor_consts(dtype)[1]
+    )
     return NormalSystem(
         Hcc=Hcc, Dmm=Dmm, Omm1=Omm1, Omm2=Omm2, b_cam=b_cam, b_mot=-g_mot,
         Hll_s=Hll_s, Us=Us, b_sp=b_sp,
         Ad=Ad, Bd=Bd, Rc=Rc, Rpp=Rpp, Rpc=Rpc, Rcp=Rcp, Rcc=Rcc,
-        b_dp=-g_dp, onehot=onehot,
+        b_dp=-g_dp, onehot=onehot, chain_c=chain_c, chain_T=chain_T,
     )
 
 
@@ -829,14 +923,16 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     dp (W,ND,3)} solving (H + lam D) delta = b; "P" is the per-object
     reduced pose (H for WorldMotion, L for WorldPose).
 
-    `chain_solver(A, B, rhs)` solves the per-tracklet block-tridiagonal
-    systems; defaults to the single-device block-Thomas `chain_solve`
-    (`DYNO_SCHUR_LANES=1` selects the lane-major variant pending the TPU
-    A/B).  The distributed path substitutes the frame-sharded SPIKE solve
-    (`parallel/schur_dist.py`) — everything else in the step is einsums and
-    small replicated dense algebra that GSPMD partitions from the input
-    shardings.
+    The per-tracklet block-tridiagonal chains default to
+    `chain_solve_ternary` (both formulations build scalar-diagonal /
+    scaled-rotation chain blocks — see `NormalSystem.chain_c/chain_T`),
+    whose cancellation-free elimination cannot go indefinite at small
+    lambda.  `chain_solver(A, B, rhs)` overrides with a generic solver
+    (`DYNO_SCHUR_TERNARY=0` selects the generic lane-major block-Thomas for
+    A/B); the legacy distributed path substitutes the frame-sharded SPIKE
+    solve (`parallel/schur_dist.py`).
     """
+    use_ternary = chain_solver is None and _TERNARY_CHAIN
     if chain_solver is None:
         chain_solver = (
             chain_solve_lanes if _CHAIN_LANES else chain_solve
@@ -851,7 +947,6 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     # (A landmark-only lambda floor was tried and removed: like the global
     # floor it sacrificed the occasional lambda=1e-7 GN-quality steps that
     # the final accuracy depends on — BENCH_NOTES session 8.)
-    Ad = _damp_blocks(sys.Ad, lam, floor)
     Hll_s = _damp_blocks(sys.Hll_s, lam, floor)
     idx = jnp.arange(W_)
     diag_cc = sys.Hcc[idx, :, idx, :]                       # (W, 6, 6)
@@ -888,7 +983,17 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     rhs_d = jnp.concatenate(
         [rhs_cam, CC.reshape(W_, ND, 3, nc), sys.b_dp[..., None]], axis=-1
     )                                                       # (W, ND, 3, 2nc+1)
-    T = chain_solver(Ad, sys.Bd, rhs_d)
+    if use_ternary:
+        # damp the scalar diagonal exactly like _damp_blocks would
+        Tn = jnp.concatenate(
+            [sys.chain_T[1:], jnp.zeros_like(sys.chain_T[:1])], axis=0
+        )
+        alpha = sys.chain_c + sys.chain_T + Tn
+        c_damped = sys.chain_c + lam * jnp.maximum(alpha, floor)
+        T = chain_solve_ternary(c_damped, sys.chain_T, sys.Bd, rhs_d)
+    else:
+        Ad = _damp_blocks(sys.Ad, lam, floor)
+        T = chain_solver(Ad, sys.Bd, rhs_d)
     Tc = T[..., :nc]                                        # (W, ND, 3, nc)
     Tm = T[..., nc : 2 * nc].reshape(W_, ND, 3, W_, 6)
     tb = T[..., -1]                                         # (W, ND, 3)

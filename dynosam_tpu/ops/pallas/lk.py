@@ -56,9 +56,69 @@ _DOT_PRECISION = {
 }[_os.environ.get("DYNO_LK_PRECISION", "highest")]
 
 
+def _run_iters(step, feat_block: int, iters: int, eps: float, gu0, gv0, vv,
+               unroll: int = 1):
+    """Shared LK iteration loop over one feature block (all kernel
+    variants).
+
+    `unroll` > 1 advances `unroll` LK steps per `while_loop` iteration and
+    checks the eps gate once per group: every loop iteration on TPU carries
+    a fixed scheduling cost that the device trace showed FLAT across all
+    kernel-body variants, so fewer/fatter iterations amortize it.  A
+    feature frozen at group entry stays frozen for the group (identical to
+    unroll=1); an active feature may take up to unroll-1 refinement steps
+    past its eps crossing — extra Newton steps on an already-converged
+    iterate, inside the same `iters` budget the eps=0 path would run
+    anyway."""
+    if eps > 0.0:
+        eps2 = jnp.float32(eps * eps)
+
+        def cond(c):
+            it, _, _, d2 = c
+            return jnp.logical_and(it < iters, jnp.max(d2) > eps2)
+
+        def wbody(c):
+            it, gu, gv_, d2 = c
+            act = [d2[f] > eps2 for f in range(feat_block)]
+            for _ in range(unroll):
+                dus, dvs = [], []
+                for f in range(feat_block):
+                    du_f, dv_f = step(f, gu[f], gv_[f])
+                    dus.append(jnp.where(act[f], du_f, 0.0))
+                    dvs.append(jnp.where(act[f], dv_f, 0.0))
+                du = jnp.stack(dus)
+                dv = jnp.stack(dvs)
+                gu = gu + du
+                gv_ = gv_ + dv
+            return (it + unroll, gu, gv_, du * du + dv * dv)
+
+        # inactive pool slots start frozen (d2 = 0): an all-inactive
+        # block never enters the loop, a mixed block stops with its
+        # last ACTIVE feature instead of iterating on stale positions
+        _, gu, gv_, _ = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), gu0, gv0, vv * 1e9),
+        )
+        return gu, gv_
+
+    def body(_, c):
+        gu, gv_ = c
+        for _ in range(unroll):
+            dus, dvs = [], []
+            for f in range(feat_block):
+                du_f, dv_f = step(f, gu[f], gv_[f])
+                dus.append(du_f * vv[f])
+                dvs.append(dv_f * vv[f])
+            gu = gu + jnp.stack(dus)
+            gv_ = gv_ + jnp.stack(dvs)
+        return (gu, gv_)
+
+    n_groups = (iters + unroll - 1) // unroll
+    return jax.lax.fori_loop(0, n_groups, body, (gu0, gv0))
+
+
 def _make_kernel_resident(
     h: int, w: int, win: int, iters: int, feat_block: int, eps: float,
-    margin: int = 8,
+    margin: int = 8, unroll: int = 1,
 ):
     """V2 kernel: the CURRENT-image window is loaded ONCE per feature
     (anchored at the warm-start position with ±`margin` rows of headroom)
@@ -184,41 +244,9 @@ def _make_kernel_resident(
             dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
             return du, dv
 
-        gu0 = gv[:, 0]
-        gv0 = gv[:, 1]
-        if eps > 0.0:
-            eps2 = jnp.float32(eps * eps)
-
-            def cond(c):
-                it, _, _, d2 = c
-                return jnp.logical_and(it < iters, jnp.max(d2) > eps2)
-
-            def wbody(c):
-                it, gu, gv_, d2 = c
-                dus, dvs = [], []
-                for f in range(feat_block):
-                    du_f, dv_f = step(f, gu[f], gv_[f])
-                    act = d2[f] > eps2
-                    dus.append(jnp.where(act, du_f, 0.0))
-                    dvs.append(jnp.where(act, dv_f, 0.0))
-                du = jnp.stack(dus)
-                dv = jnp.stack(dvs)
-                return (it + 1, gu + du, gv_ + dv, du * du + dv * dv)
-
-            _, gu, gv_, _ = jax.lax.while_loop(
-                cond, wbody, (jnp.int32(0), gu0, gv0, vv * 1e9),
-            )
-        else:
-            def body(_, c):
-                gu, gv_ = c
-                dus, dvs = [], []
-                for f in range(feat_block):
-                    du_f, dv_f = step(f, gu[f], gv_[f])
-                    dus.append(du_f * vv[f])
-                    dvs.append(dv_f * vv[f])
-                return (gu + jnp.stack(dus), gv_ + jnp.stack(dvs))
-
-            gu, gv_ = jax.lax.fori_loop(0, iters, body, (gu0, gv0))
+        gu, gv_ = _run_iters(
+            step, feat_block, iters, eps, gv[:, 0], gv[:, 1], vv, unroll
+        )
 
         errs = [
             jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
@@ -232,7 +260,7 @@ def _make_kernel_resident(
 
 def _make_kernel_fma(
     h: int, w: int, win: int, iters: int, feat_block: int, eps: float,
-    margin: int | None = None,
+    margin: int | None = None, unroll: int = 1,
 ):
     """V3 kernel: bilinear sampling WITHOUT matmuls.
 
@@ -366,41 +394,9 @@ def _make_kernel_fma(
             dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
             return du, dv
 
-        gu0 = gv[:, 0]
-        gv0 = gv[:, 1]
-        if eps > 0.0:
-            eps2 = jnp.float32(eps * eps)
-
-            def cond(c):
-                it, _, _, d2 = c
-                return jnp.logical_and(it < iters, jnp.max(d2) > eps2)
-
-            def wbody(c):
-                it, gu, gv_, d2 = c
-                dus, dvs = [], []
-                for f in range(feat_block):
-                    du_f, dv_f = step(f, gu[f], gv_[f])
-                    act = d2[f] > eps2
-                    dus.append(jnp.where(act, du_f, 0.0))
-                    dvs.append(jnp.where(act, dv_f, 0.0))
-                du = jnp.stack(dus)
-                dv = jnp.stack(dvs)
-                return (it + 1, gu + du, gv_ + dv, du * du + dv * dv)
-
-            _, gu, gv_, _ = jax.lax.while_loop(
-                cond, wbody, (jnp.int32(0), gu0, gv0, vv * 1e9),
-            )
-        else:
-            def body(_, c):
-                gu, gv_ = c
-                dus, dvs = [], []
-                for f in range(feat_block):
-                    du_f, dv_f = step(f, gu[f], gv_[f])
-                    dus.append(du_f * vv[f])
-                    dvs.append(dv_f * vv[f])
-                return (gu + jnp.stack(dus), gv_ + jnp.stack(dvs))
-
-            gu, gv_ = jax.lax.fori_loop(0, iters, body, (gu0, gv0))
+        gu, gv_ = _run_iters(
+            step, feat_block, iters, eps, gv[:, 0], gv[:, 1], vv, unroll
+        )
 
         errs = [
             jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
@@ -413,7 +409,8 @@ def _make_kernel_fma(
 
 
 def _make_kernel(
-    h: int, w: int, win: int, iters: int, feat_block: int, eps: float
+    h: int, w: int, win: int, iters: int, feat_block: int, eps: float,
+    unroll: int = 1,
 ):
     hw = win // 2
     pwin = win + 2          # template+gradient patch extent
@@ -532,47 +529,11 @@ def _make_kernel(
         # mask for the eps gate) instead of F sequential per-feature
         # loops: the F samples inside one body are independent, so their
         # window loads/matmuls pipeline, and the sequential depth drops
-        # from sum_f(iters_f) to max_f(iters_f).  Trajectories are
-        # IDENTICAL to the per-feature loops (a frozen feature's update is
-        # where'd to zero, exactly like exiting its own loop).
-        gu0 = gv[:, 0]
-        gv0 = gv[:, 1]
-        if eps > 0.0:
-            eps2 = jnp.float32(eps * eps)
-
-            def cond(c):
-                it, _, _, d2 = c
-                return jnp.logical_and(it < iters, jnp.max(d2) > eps2)
-
-            def wbody(c):
-                it, gu, gv_, d2 = c
-                dus, dvs = [], []
-                for f in range(feat_block):
-                    du_f, dv_f = step(f, gu[f], gv_[f])
-                    act = d2[f] > eps2
-                    dus.append(jnp.where(act, du_f, 0.0))
-                    dvs.append(jnp.where(act, dv_f, 0.0))
-                du = jnp.stack(dus)
-                dv = jnp.stack(dvs)
-                return (it + 1, gu + du, gv_ + dv, du * du + dv * dv)
-
-            # inactive pool slots start frozen (d2 = 0): an all-inactive
-            # block never enters the loop, a mixed block stops with its
-            # last ACTIVE feature instead of iterating on stale positions
-            _, gu, gv_, _ = jax.lax.while_loop(
-                cond, wbody, (jnp.int32(0), gu0, gv0, vv * 1e9),
-            )
-        else:
-            def body(_, c):
-                gu, gv_ = c
-                dus, dvs = [], []
-                for f in range(feat_block):
-                    du_f, dv_f = step(f, gu[f], gv_[f])
-                    dus.append(du_f * vv[f])
-                    dvs.append(dv_f * vv[f])
-                return (gu + jnp.stack(dus), gv_ + jnp.stack(dvs))
-
-            gu, gv_ = jax.lax.fori_loop(0, iters, body, (gu0, gv0))
+        # from sum_f(iters_f) to max_f(iters_f).  See _run_iters for the
+        # unroll semantics.
+        gu, gv_ = _run_iters(
+            step, feat_block, iters, eps, gv[:, 0], gv[:, 1], vv, unroll
+        )
 
         errs = [
             jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
@@ -590,12 +551,14 @@ def _make_kernel(
 _LK_VARIANT = _os.environ.get("DYNO_LK_VARIANT", "reload")
 # fma resident-window row headroom (see _make_kernel_fma)
 _LK_FMA_MARGIN = int(_os.environ.get("DYNO_LK_MARGIN", "8"))
+# LK steps per while-loop iteration (see _run_iters)
+_LK_UNROLL = int(_os.environ.get("DYNO_LK_UNROLL", "1"))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("win", "iters", "feat_block", "eps", "interpret",
-                     "variant")
+                     "variant", "unroll")
 )
 def lk_level(
     prev_img: jax.Array,
@@ -612,6 +575,7 @@ def lk_level(
     eps: float = 0.0,
     interpret: bool = False,
     variant: str | None = None,
+    unroll: int | None = None,
 ):
     """One pyramid level of LK for all features.  Returns (g, err).
 
@@ -642,12 +606,15 @@ def lk_level(
     np_ = p_lvl.shape[0]
     grid = (np_ // feat_block,)
 
+    u = unroll if unroll is not None else _LK_UNROLL
     if v == "resident":
-        kernel = _make_kernel_resident(h, w, win, iters, feat_block, eps)
+        kernel = _make_kernel_resident(h, w, win, iters, feat_block, eps,
+                                       unroll=u)
     elif v == "fma":
-        kernel = _make_kernel_fma(h, w, win, iters, feat_block, eps)
+        kernel = _make_kernel_fma(h, w, win, iters, feat_block, eps,
+                                  unroll=u)
     else:
-        kernel = _make_kernel(h, w, win, iters, feat_block, eps)
+        kernel = _make_kernel(h, w, win, iters, feat_block, eps, unroll=u)
     g, err = pl.pallas_call(
         kernel,
         grid=grid,
@@ -684,7 +651,7 @@ def lk_level(
 @functools.partial(
     jax.jit,
     static_argnames=("win", "levels", "iters", "eps", "interpret",
-                     "variant", "feat_block")
+                     "variant", "feat_block", "unroll")
 )
 def klt_track_pallas(
     prev_gray: jax.Array,
@@ -700,6 +667,7 @@ def klt_track_pallas(
     g0: jax.Array | None = None,
     variant: str | None = None,
     feat_block: int = 8,
+    unroll: int | None = None,
 ) -> KLTResult:
     """Drop-in replacement for `ops.klt.klt_track` backed by the Pallas
     level kernel (same pyramid, same update equations, same result
@@ -722,7 +690,7 @@ def klt_track_pallas(
         g, err = lk_level(
             pyr_prev[lvl], pyr_cur[lvl], p_lvl, g, valid, win=win,
             iters=iters, eps=eps, interpret=interpret, variant=variant,
-            feat_block=feat_block,
+            feat_block=feat_block, unroll=unroll,
         )
         if lvl > 0:
             g = g * 2.0

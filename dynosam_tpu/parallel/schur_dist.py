@@ -60,7 +60,7 @@ _mm = functools.partial(jnp.matmul, precision="highest")
 # --------------------------------------------------------------------------
 
 
-def spike_chain_solve_local(A, B, rhs, n_blocks):
+def spike_chain_solve_local(A, B, rhs, n_blocks, scalars=None):
     """Shard-LOCAL SPIKE solve of the (W, N) block-tridiagonal chains with
     the frame axis split into `n_blocks` — call INSIDE a `shard_map` whose
     mesh has `FRAME_AXIS` (the legacy GSPMD path wraps it via
@@ -69,8 +69,14 @@ def spike_chain_solve_local(A, B, rhs, n_blocks):
     Local shapes: A, B (S, n, 3, 3) with B[0] the coupling to the LEFT
     block's last row; rhs (S, n, 3, M).  Exactly TWO collectives: one halo
     `ppermute` and one packed boundary `all_gather`.  Requires S >= 2.
+
+    `scalars=(c_damped, T)` selects the cancellation-free ternary interior
+    elimination (`backend.schur.chain_solve_ternary`; c must include the
+    lambda damping): the interior system zeroes the cross coupling B[0], so
+    its scalar diagonal keeps the TRUE alpha by folding T[0] into c[0].
+    `A` is then ignored.
     """
-    S = A.shape[0]
+    S = B.shape[0]
     b_idx = jax.lax.axis_index(FRAME_AXIS)
 
     # split the cross-block coupling out of the local system
@@ -91,7 +97,13 @@ def spike_chain_solve_local(A, B, rhs, n_blocks):
     w_col = jnp.zeros_like(v_col).at[S - 1].set(B_next)
     rhs_aug = jnp.concatenate([rhs, v_col, w_col], axis=-1)
 
-    Y = chain_solve(A, B_int, rhs_aug)          # (S, n, 3, M+6)
+    if scalars is not None:
+        c_dmp, T_s = scalars
+        c_loc = c_dmp.at[0].add(T_s[0])
+        T_loc = T_s.at[0].set(jnp.zeros_like(T_s[0]))
+        Y = chain_solve_ternary(c_loc, T_loc, B_int, rhs_aug)
+    else:
+        Y = chain_solve(A, B_int, rhs_aug)      # (S, n, 3, M+6)
 
     # gather the boundary (first/last) rows of y and the spikes — ONE
     # packed all_gather (y, V, W ride the same column axis they already
@@ -318,7 +330,6 @@ def distributed_schur_optimize(
 from types import SimpleNamespace
 
 from ..backend.schur import (
-    _CHAIN_LANES,
     _damp_blocks,
     _floor_consts,
     _inv3,
@@ -329,7 +340,7 @@ from ..backend.schur import (
     _static_blocks,
     _ternary_jacobians,
     assemble_reduced,
-    chain_solve_lanes,
+    chain_solve_ternary,
 )
 from ..backend.formulation import world_motion_families
 from ..backend.solver import robust_loss
@@ -648,14 +659,12 @@ def _optimize_schur_explicit(
             Hll_s, Us, b_sp = _static_blocks(
                 wgt_static, Jx_s, Jp_s, r_static, dtype
             )
-            eye3 = jnp.eye(3, dtype=dtype)
-            diag_scalar = (
-                wgt_dyn / sig_d**2 + wt[:S] / sig_t**2 + wt[1:] / sig_t**2
-            )
-            Ad = (
-                diag_scalar[..., None, None] * eye3
-                + _floor_consts(dtype)[1] * eye3
-            )
+            # scalar ternary chain structure (see schur.chain_solve_ternary;
+            # row k's "next" coupling wt[k+1] is the ghost slot at the block
+            # boundary — exactly why wt is ghost-extended)
+            ch_c = wgt_dyn / sig_d**2 + _floor_consts(dtype)[1]
+            ch_T = wt[:S] / sig_t**2
+            ch_Tn = wt[1:] / sig_t**2
             Bd = (wt[:S] / sig_t)[..., None, None] * Jc[:S]
             Rc = _es("kd,kra,kdrb->kdab", wgt_dyn, Jp_d, Jx_d)
             diag_b = _es("jd,jdra,jdrb->jdab", wt[:S], Jc[:S], Jh[:S])
@@ -673,7 +682,8 @@ def _optimize_schur_explicit(
                 },
                 "loc": {
                     "Hll_s": Hll_s, "Us": Us, "b_sp": b_sp,
-                    "Ad": Ad, "Bd": Bd, "Rc": Rc,
+                    "ch_c": ch_c, "ch_T": ch_T, "ch_Tn": ch_Tn,
+                    "Bd": Bd, "Rc": Rc,
                     "diag_b": diag_b, "up_b": up_b, "b_dp": -g_dp,
                 },
                 "repl": {
@@ -686,7 +696,8 @@ def _optimize_schur_explicit(
         def step_fn(sys, lam):
             loc, repl = sys["loc"], sys["repl"]
             floor = lm_cfg.diag_floor
-            Ad = _damp_blocks(loc["Ad"], lam, floor)
+            alpha = loc["ch_c"] + loc["ch_T"] + loc["ch_Tn"]
+            c_dmp = loc["ch_c"] + lam * jnp.maximum(alpha, floor)
             Hll_s = _damp_blocks(loc["Hll_s"], lam, floor)
 
             # static elimination (frame-replicated, track-local)
@@ -715,10 +726,14 @@ def _optimize_schur_explicit(
                 [rhs_cam, CC, loc["b_dp"][..., None]], axis=-1
             )
             if F > 1:
-                Tsol = spike_chain_solve_local(Ad, loc["Bd"], rhs_d, F)
+                Tsol = spike_chain_solve_local(
+                    None, loc["Bd"], rhs_d, F,
+                    scalars=(c_dmp, loc["ch_T"]),
+                )
             else:
-                solve = chain_solve_lanes if _CHAIN_LANES else chain_solve
-                Tsol = solve(Ad, loc["Bd"], rhs_d)
+                Tsol = chain_solve_ternary(
+                    c_dmp, loc["ch_T"], loc["Bd"], rhs_d
+                )
             Tc = Tsol[..., :nc]
             Tm = Tsol[..., nc : 2 * nc].reshape(S, nd_, 3, W_, 6)
             tb = Tsol[..., -1]
