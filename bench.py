@@ -156,6 +156,77 @@ def bench_frontend_scan(frames, cam, label, cfg, reps=6):
     return fps
 
 
+def bench_frontend_batch(frames, cam, cfg, nseq: int, reps=4):
+    """Multi-sequence data parallelism on ONE chip: the steady-state
+    frontend step vmapped over `nseq` sequences inside the frame scan —
+    BASELINE.md's "multi-sequence batch" configuration (the reference
+    processes one sequence per PROCESS; batching is how a TPU chip is
+    actually filled).  Returns aggregate frames/s/chip."""
+    from dynosam_tpu.frontend.frontend import FrontendState, frontend_step
+
+    def one_state():
+        st = FrontendState.create(2048, 4096, 16)
+        st, *_ = frontend_step(
+            st, frames[0], frames[0], cam, cfg, jax.random.PRNGKey(0),
+            use_klt=True, first_frame=True,
+        )
+        return st
+
+    st0 = one_state()
+    states0 = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (nseq, *a.shape)), st0
+    )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+    stackedN = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (nseq, *a.shape)), stacked
+    )
+    n_steps = len(frames) - 1
+    keys = jax.random.split(jax.random.PRNGKey(7), nseq * n_steps).reshape(
+        nseq, n_steps, -1
+    )
+
+    @jax.jit
+    def run(states, stackedN, keys):
+        prev = jax.tree.map(lambda a: a[:, :-1], stackedN)
+        cur = jax.tree.map(lambda a: a[:, 1:], stackedN)
+
+        def step(st, inp):
+            pf, cf, key = inp
+            st, pkt, _, _ = frontend_step(
+                st, pf, cf, cam, cfg, key, use_klt=True, first_frame=False,
+            )
+            chk = sum(
+                jnp.sum(x.astype(jnp.float32))
+                for x in jax.tree.leaves(pkt)
+            )
+            return st, chk
+
+        def seq_scan(st, prev_s, cur_s, keys_s):
+            return jax.lax.scan(step, st, (prev_s, cur_s, keys_s))
+
+        states, ts = jax.vmap(seq_scan)(states, prev, cur, keys)
+        return states, ts
+
+    compiled = run.lower(states0, stackedN, keys).compile()
+    flops = _program_flops(compiled)
+    states, ts = run(states0, stackedN, keys)
+    float(np.asarray(ts[0, -1]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        states, ts = run(states, stackedN, keys)
+    float(np.asarray(ts[0, -1]))
+    dt = time.perf_counter() - t0
+    fps = nseq * n_steps * reps / dt
+    mfu = flops * reps / dt / PEAK_FLOPS * 100.0
+    print(
+        f"frontend batch x{nseq} sequences: {fps:.1f} frames/s/chip "
+        f"aggregate ({dt / (n_steps * reps) * 1e3:.2f} ms/step-of-{nseq}; "
+        f"MFU {mfu:.2f}% of bf16 peak)",
+        file=sys.stderr,
+    )
+    return fps
+
+
 def bench_frontend(frames, cam, label, cfg, n_iter=10):
     from dynosam_tpu.frontend.frontend import FrontendState, frontend_step
 
@@ -229,7 +300,11 @@ def bench_pipeline_sustained(reps=2, n=100, h=384, w=1280):
         frontend=FrontendConfig(
             tracker=TrackerConfig(max_features_per_frame=1000)
         ),
-        backend=BackendConfig(use_full_batch_opt=False, lm_max_iterations=10),
+        # 7 LM iterations: the stable (Woodbury) solver accepts every step, so
+        # the budget is a pure quality knob — @7 the window-population
+        # median err (1.185) already beats the legacy solver @10 (1.259);
+        # BENCH_NOTES session 9.
+        backend=BackendConfig(use_full_batch_opt=False, lm_max_iterations=7),
         capacity=CapacityConfig(
             max_static_tracks=2048, max_dynamic_tracks=4096,
             max_objects=16, max_frames=n,
@@ -341,7 +416,11 @@ def bench_pipeline_streaming(n=100, h=384, w=1280, ns=2048, nd=4096,
         frontend=FrontendConfig(
             tracker=TrackerConfig(max_features_per_frame=max_feat)
         ),
-        backend=BackendConfig(use_full_batch_opt=False, lm_max_iterations=10),
+        # 7 LM iterations: the stable (Woodbury) solver accepts every step, so
+        # the budget is a pure quality knob — @7 the window-population
+        # median err (1.185) already beats the legacy solver @10 (1.259);
+        # BENCH_NOTES session 9.
+        backend=BackendConfig(use_full_batch_opt=False, lm_max_iterations=7),
         capacity=CapacityConfig(
             max_static_tracks=ns, max_dynamic_tracks=nd,
             max_objects=16, max_frames=n,
@@ -439,8 +518,8 @@ def bench_backend_window(reps=20):
     m = MeasurementMap.create(10, 1024, 1024, 8)
     for k, pkt in enumerate(sc.frontend_outputs()):
         m = update_map(m, pkt, k)
-    bcfg = BackendConfig(lm_max_iterations=10)
-    lm_cfg = LMConfig(max_iterations=10)
+    bcfg = BackendConfig(lm_max_iterations=7)
+    lm_cfg = LMConfig(max_iterations=7)  # see pipeline cfg note
     anchor = se3_identity((), jnp.float32)
     args = (m, 0, 10, bcfg, lm_cfg, anchor, jnp.asarray(False), 0)
     flops = _program_flops(optimize_window_jit.lower(*args).compile())
@@ -514,7 +593,11 @@ def main():
     # whole-pipeline sustained number (VERDICT r2 item 4): frontend +
     # sliding-window backend with real triggers over 100 frames, printed as
     # a SECOND JSON line after the headline (its compile is the largest
-    # program we build; the headline must never wait for it)
+    # program we build; the headline must never wait for it).
+    # DYNO_BENCH_SKIP_PIPELINE=1 skips it so diagnostic variants (batch,
+    # stream) fit the driver's wall budget.
+    if os.environ.get("DYNO_BENCH_SKIP_PIPELINE") == "1":
+        return _bench_extras(frames, cam, full_cfg)
     try:
         pfps = bench_pipeline_sustained()
         print(
@@ -531,6 +614,10 @@ def main():
     except Exception as e:
         print(f"pipeline sustained bench failed: {e}", file=sys.stderr)
 
+    _bench_extras(frames, cam, full_cfg)
+
+
+def _bench_extras(frames, cam, full_cfg):
     if os.environ.get("DYNO_BENCH_STREAM") == "1":
         # decode-in-the-loop variant (native PNG pool + per-segment
         # dispatch) — opt-in: one extra remote compile
@@ -538,6 +625,27 @@ def main():
             bench_pipeline_streaming()
         except Exception as e:
             print(f"pipeline streaming bench failed: {e}", file=sys.stderr)
+
+    nseq = int(os.environ.get("DYNO_BENCH_BATCH", "0"))
+    if nseq > 1:
+        # multi-sequence DP aggregate (VERDICT r3 item 6) — opt-in: one
+        # extra remote compile per batch size
+        try:
+            bfps = bench_frontend_batch(frames, cam, full_cfg, nseq)
+            print(
+                json.dumps(
+                    {
+                        "metric": "batch_frontend_frames_per_s_per_chip",
+                        "value": round(bfps, 3),
+                        "unit": "frames/s",
+                        "vs_baseline": round(bfps / REF_BASELINE_FPS, 3),
+                        "n_sequences": nseq,
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as e:
+            print(f"batch frontend bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -85,6 +85,13 @@ _CHAIN_LANES = _os.environ.get("DYNO_SCHUR_LANES", "1") == "1"
 # DYNO_SCHUR_TERNARY=0 reverts to the generic lane-major solve.
 _TERNARY_CHAIN = _os.environ.get("DYNO_SCHUR_TERNARY", "1") == "1"
 
+# STABLE (Woodbury) dynamic elimination for WorldMotion: never forms the
+# ~1e10-scale ternary normal blocks whose f32 representation error makes
+# the reduced system indefinite at lambda <= 1e-7 (the NaN-rejected LM
+# iterations).  See `schur_step`'s stable branch.  DYNO_SCHUR_STABLE=0
+# reverts to the subtractive elimination.
+_SCHUR_STABLE = _os.environ.get("DYNO_SCHUR_STABLE", "1") == "1"
+
 # NaN-ratchet on lambda (default ON): at lambda <= 1e-7 the f32 chain
 # elimination of the ~1e10-weight ternary blocks cancels catastrophically
 # and the reduced system comes back indefinite -> the Cholesky NaNs and the
@@ -266,15 +273,8 @@ def chain_solve_ternary(c, T, B, rhs):
     must then fold the cross coupling via c[0] += T[0] and T[0] = 0);
     B: (W, N, 3, 3) = -T_k R_k^T as built; rhs: (W, N, 3, M).
     """
-    from ..ops.linalg import _mm_lanes
-
     N = c.shape[1]
-    m = rhs.shape[-1]
     dtype = rhs.dtype
-    B_l = jnp.transpose(B, (0, 2, 3, 1))            # (W, 3, 3, N)
-    Bt_l = jnp.swapaxes(B_l, 1, 2)
-    rhs_l = jnp.transpose(rhs, (0, 2, 3, 1))        # (W, 3, M, N)
-
     T_next = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
 
     def gscan(g_prev, inp):
@@ -284,6 +284,45 @@ def chain_solve_ternary(c, T, B, rhs):
 
     _, gam = jax.lax.scan(gscan, jnp.ones((N,), dtype), (c, T))
     delta = T_next + gam                             # (W, N)
+    return _chain_scalar_core(delta, B, rhs)
+
+
+def chain_solve_scalar(alpha, B, rhs):
+    """Chain solve for scalar-diagonal / scaled-orthogonal-coupling systems
+    given the diagonal scalars directly: A_k = alpha_k I, B_k = b_k Q_k
+    (Q orthogonal).  Used for the Woodbury capacitance chain M = I +
+    A~ Kobs^-1 A~^T of the stable elimination, whose diagonal does not
+    decompose into the `chain_solve_ternary` gamma form.  The scalar Thomas
+    recursion delta_k = alpha_k - b_k^2/delta_{k-1} DOES subtract, but for
+    M the survivor scale is ~sqrt(x) of the x-scale operands (x = s^2/c),
+    so f32 keeps ~1e-3 relative accuracy and positivity — unlike the raw
+    normal-equation chain where the survivor was ~1e-6 of the operands."""
+    b2 = jnp.sum(B[:, :, 0, :] ** 2, axis=-1)        # (W, N): |b Q row|^2
+
+    def dscan(d_prev, inp):
+        a_k, b2_k = inp
+        d = a_k - b2_k / d_prev
+        return d, d
+
+    N = alpha.shape[1]
+    _, delta = jax.lax.scan(
+        dscan, jnp.ones((N,), alpha.dtype), (alpha, b2)
+    )
+    return _chain_scalar_core(delta, B, rhs)
+
+
+def _chain_scalar_core(delta, B, rhs):
+    """Forward/backward substitution of the scalar-diagonal block-Thomas
+    given precomputed pivots `delta` (W, N): one (3,3)@(3,M) rotation apply
+    per scan step, no 3x3 inverses (lane-major layouts)."""
+    from ..ops.linalg import _mm_lanes
+
+    N = delta.shape[1]
+    m = rhs.shape[-1]
+    dtype = rhs.dtype
+    B_l = jnp.transpose(B, (0, 2, 3, 1))            # (W, 3, 3, N)
+    Bt_l = jnp.swapaxes(B_l, 1, 2)
+    rhs_l = jnp.transpose(rhs, (0, 2, 3, 1))        # (W, 3, M, N)
 
     def fwd(carry, inp):
         y_prev, d_prev = carry
@@ -347,6 +386,16 @@ class NormalSystem(NamedTuple):
     # for WorldPose, whose chain blocks are not scalar (generic path).
     chain_c: jax.Array  # (W, ND) base diag scalar (obs weight + tiny floor)
     chain_T: jax.Array  # (W, ND) ternary info scalar aligned with Bd rows
+    # Stable-elimination ingredients (WorldMotion; see schur_step's stable
+    # branch): the ternary factor's SQUARE-ROOT pieces, all ~sqrt(wt)/sigma
+    # scale (~1e5) so f32 keeps full relative accuracy.  Row k = factor
+    # with current frame k (row 0 structurally empty).  When
+    # `_SCHUR_STABLE`, Dmm/b_mot/b_dp above hold the smoothing/observation
+    # parts ONLY — the ternary information lives here exclusively.
+    st_s: jax.Array     # (W, ND) sqrt(wt_k)/sigma_t
+    st_R: jax.Array     # (W, ND, 3, 3) selected motion rotation (I inactive)
+    st_G: jax.Array     # (W, ND, 3, 6) sigma_t * Jh = [-hat(y) | I]
+    st_phi: jax.Array   # (W, ND, 3) whitened sqrt-weighted residual
 
 
 def _select_poses(P: SE3, masks: WindowMasks, w: WindowData):
@@ -613,13 +662,20 @@ def build_normal_system(
         H, wgt_smooth, r_smooth, smooth_sigma, dtype
     )
     oh1 = onehot[1:]                                       # (W-1, ND, O)
-    Dmm = Dmm_sm.at[1:].add(
-        _es("jd,jdo,jdra,jdrb->joab", wgt_tern_h, oh1, Jh, Jh)
-    )
     Omm2 = jnp.zeros((max(W_ - 2, 0), O, 6, 6), dtype)
-    g_mot = g_mot_sm.at[1:].add(
-        _es("jd,jdo,jdra,jdr->joa", wgt_tern, oh1, Jh, r_tern)
-    )
+    if _SCHUR_STABLE:
+        # ternary information is carried in square-root form (st_* fields);
+        # Dmm/b_mot stay smoothing-only so the 1e10-scale blocks are never
+        # formed (see schur_step's stable branch)
+        Dmm = Dmm_sm
+        g_mot = g_mot_sm
+    else:
+        Dmm = Dmm_sm.at[1:].add(
+            _es("jd,jdo,jdra,jdrb->joab", wgt_tern_h, oh1, Jh, Jh)
+        )
+        g_mot = g_mot_sm.at[1:].add(
+            _es("jd,jdo,jdra,jdr->joa", wgt_tern, oh1, Jh, r_tern)
+        )
 
     # ---- static landmark blocks -----------------------------------------
     Hll_s, Us, b_sp = _static_blocks(wgt_static, Jx_s, Jp_s, r_static, dtype)
@@ -628,22 +684,34 @@ def build_normal_system(
     # J_mc^T J_mc = I/sig^2 and J_mp^T J_mp = I/sig^2 (orthonormal), so the
     # diagonal is a scalar field times I; the (k-1,k) coupling is
     # J_mp^T J_mc = -R_H^T / sig^2.
-    eye3 = jnp.eye(3, dtype=dtype)
-    diag_scalar = wgt_dyn / cfg.dynamic_point_noise_sigma**2
-    diag_scalar = diag_scalar.at[:-1].add(wgt_tern_h / sig_t**2)
-    diag_scalar = diag_scalar.at[1:].add(wgt_tern_h / sig_t**2)
-    Ad = diag_scalar[..., None, None] * eye3 + _floor_consts(dtype)[1] * eye3
-    Tpc = (wgt_tern_h / sig_t)[..., None, None] * Jc       # J_mp^T J_mc
-    Bd = jnp.concatenate([jnp.zeros_like(Tpc[:1]), Tpc], axis=0)
-
     Rc = _es("kd,kra,kdrb->kdab", wgt_dyn, Jp_d, Jx_d)     # (W, ND, 3, 6)
-    Rpc = (wgt_tern_h / sig_t)[..., None, None] * Jh       # row j -> col j+1
-    Rcc = _es("jd,jdra,jdrb->jdab", wgt_tern_h, Jc, Jh)    # row j+1 -> col j+1
-    Rz = jnp.zeros_like(Rpc)
+    if _SCHUR_STABLE:
+        # the stable step never touches the 1e10-scale chain blocks —
+        # carry zeros (free) in the shared NormalSystem layout
+        Ad = jnp.zeros((W_, ND, 3, 3), dtype)
+        Bd = jnp.zeros((W_, ND, 3, 3), dtype)
+        Rpc = jnp.zeros((W_ - 1, ND, 3, 6), dtype)
+        Rcc = jnp.zeros((W_ - 1, ND, 3, 6), dtype)
+        Rz = Rpc
+    else:
+        eye3 = jnp.eye(3, dtype=dtype)
+        diag_scalar = wgt_dyn / cfg.dynamic_point_noise_sigma**2
+        diag_scalar = diag_scalar.at[:-1].add(wgt_tern_h / sig_t**2)
+        diag_scalar = diag_scalar.at[1:].add(wgt_tern_h / sig_t**2)
+        Ad = (
+            diag_scalar[..., None, None] * eye3
+            + _floor_consts(dtype)[1] * eye3
+        )
+        Tpc = (wgt_tern_h / sig_t)[..., None, None] * Jc   # J_mp^T J_mc
+        Bd = jnp.concatenate([jnp.zeros_like(Tpc[:1]), Tpc], axis=0)
+        Rpc = (wgt_tern_h / sig_t)[..., None, None] * Jh   # row j -> col j+1
+        Rcc = _es("jd,jdra,jdrb->jdab", wgt_tern_h, Jc, Jh)
+        Rz = jnp.zeros_like(Rpc)
 
     g_dp = _es("kd,kra,kdr->kda", wgt_dyn, Jp_d, r_dyn)
-    g_dp = g_dp.at[:-1].add((wgt_tern / sig_t)[..., None] * r_tern)
-    g_dp = g_dp.at[1:].add(_es("jd,jdra,jdr->jda", wgt_tern, Jc, r_tern))
+    if not _SCHUR_STABLE:
+        g_dp = g_dp.at[:-1].add((wgt_tern / sig_t)[..., None] * r_tern)
+        g_dp = g_dp.at[1:].add(_es("jd,jdra,jdr->jda", wgt_tern, Jc, r_tern))
 
     chain_T = jnp.concatenate(
         [jnp.zeros_like(wgt_tern_h[:1]), wgt_tern_h / sig_t**2], axis=0
@@ -651,11 +719,26 @@ def build_normal_system(
     chain_c = (
         wgt_dyn / cfg.dynamic_point_noise_sigma**2 + _floor_consts(dtype)[1]
     )
+
+    # square-root ternary pieces for the stable elimination (~1e5 scale)
+    sqw_t = sqrt_w[4] * masks.ternary[1:].astype(dtype)    # (W-1, ND)
+    st_s = jnp.concatenate(
+        [jnp.zeros_like(sqw_t[:1]), sqw_t / sig_t], axis=0
+    )
+    eyeR = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Hc.R[:1].shape)
+    st_R = jnp.concatenate([eyeR, Hc.R], axis=0)           # (W, ND, 3, 3)
+    eyeG = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (*y_t.shape, 3))
+    G = jnp.concatenate([-so3_hat(y_t), eyeG], axis=-1)    # sigma_t * Jh
+    st_G = jnp.concatenate([jnp.zeros_like(G[:1]), G], axis=0)
+    st_phi = jnp.concatenate(
+        [jnp.zeros_like(r_tern[:1]), sqw_t[..., None] * r_tern], axis=0
+    )
     return NormalSystem(
         Hcc=Hcc, Dmm=Dmm, Omm1=Omm1, Omm2=Omm2, b_cam=b_cam, b_mot=-g_mot,
         Hll_s=Hll_s, Us=Us, b_sp=b_sp,
         Ad=Ad, Bd=Bd, Rc=Rc, Rpp=Rz, Rpc=Rpc, Rcp=Rz, Rcc=Rcc,
         b_dp=-g_dp, onehot=onehot, chain_c=chain_c, chain_T=chain_T,
+        st_s=st_s, st_R=st_R, st_G=st_G, st_phi=st_phi,
     )
 
 
@@ -822,11 +905,17 @@ def build_normal_system_pose(
     chain_c = (
         wgt_dyn / cfg.dynamic_point_noise_sigma**2 + _floor_consts(dtype)[1]
     )
+    W2, ND2 = chain_c.shape
     return NormalSystem(
         Hcc=Hcc, Dmm=Dmm, Omm1=Omm1, Omm2=Omm2, b_cam=b_cam, b_mot=-g_mot,
         Hll_s=Hll_s, Us=Us, b_sp=b_sp,
         Ad=Ad, Bd=Bd, Rc=Rc, Rpp=Rpp, Rpc=Rpc, Rcp=Rcp, Rcc=Rcc,
         b_dp=-g_dp, onehot=onehot, chain_c=chain_c, chain_T=chain_T,
+        # stable-elimination fields unused by WorldPose (generic path)
+        st_s=jnp.zeros((W2, ND2), dtype),
+        st_R=jnp.zeros((W2, ND2, 3, 3), dtype),
+        st_G=jnp.zeros((W2, ND2, 3, 6), dtype),
+        st_phi=jnp.zeros((W2, ND2, 3), dtype),
     )
 
 
@@ -916,7 +1005,8 @@ def assemble_reduced(sys: NormalSystem, Hcc_d, Dmm_d,
     return Hred, bred
 
 
-def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
+def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
+               stable: bool | None = None):
     """One damped Gauss-Newton step via landmark elimination.
 
     Returns the tangent delta dict {X (W,6), P (W,O,6), sp (NS,3),
@@ -932,6 +1022,11 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     A/B); the legacy distributed path substitutes the frame-sharded SPIKE
     solve (`parallel/schur_dist.py`).
     """
+    if stable is None:
+        # WorldMotion callers default to the module flag; WorldPose systems
+        # (whose chain blocks carry the motion-pose coupling in Bd, not the
+        # st_* square-root fields) MUST pass stable=False.
+        stable = _SCHUR_STABLE
     use_ternary = chain_solver is None and _TERNARY_CHAIN
     if chain_solver is None:
         chain_solver = (
@@ -951,7 +1046,6 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     idx = jnp.arange(W_)
     diag_cc = sys.Hcc[idx, :, idx, :]                       # (W, 6, 6)
     Hcc = sys.Hcc.at[idx, :, idx, :].set(_damp_blocks(diag_cc, lam, floor))
-    Dmm = _damp_blocks(sys.Dmm, lam, floor)
 
     # ---- static elimination (cameras only) ------------------------------
     # RHS columns: all 6W camera couplings + the gradient column
@@ -963,74 +1057,13 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     d_cc_s = _es("knam,nmq->kaq", sys.Us, Yc_s).reshape(nc, nc)
     d_bc_s = _es("knam,nm->ka", sys.Us, yb_s).reshape(nc)
 
-    # ---- dynamic chain elimination --------------------------------------
-    # RHS columns: 6W cameras (block l of chain-row k is Rc[k] iff l == k)
-    # + 6W pose-frames via the 4-coupling tensor (chain_pose_columns)
-    # + gradient.
-    # NEGATIVE RESULT (tried 2026-08-19, do not retry): replacing the 121
-    # columns with the 3W identity columns and reconstructing Tc/Tm from
-    # the tridiagonal-inverse blocks (Tc = G Rc, Tm = G x CC bands) is
-    # exact in f64 but BOTH slower (64.8 vs 39.6 ms window-10: the
-    # (3x3)@(3x6) reconstruction einsums lower as serialized batched tiny
-    # matmuls) and less accurate in f32 (final err 0.793 vs 0.603 at the
-    # 10-iteration budget: explicit-inverse multiplication loses the
-    # backward stability of solving against the actual columns).
-    eyeW = jnp.eye(W_, dtype=dtype)
-    rhs_cam = (
-        sys.Rc[:, :, :, None, :] * eyeW[:, None, None, :, None]
-    ).reshape(W_, ND, 3, nc)
-    CC = chain_pose_columns(sys)                            # (W, ND, 3, W, 6)
-    rhs_d = jnp.concatenate(
-        [rhs_cam, CC.reshape(W_, ND, 3, nc), sys.b_dp[..., None]], axis=-1
-    )                                                       # (W, ND, 3, 2nc+1)
-    if use_ternary:
-        # damp the scalar diagonal exactly like _damp_blocks would
-        Tn = jnp.concatenate(
-            [sys.chain_T[1:], jnp.zeros_like(sys.chain_T[:1])], axis=0
-        )
-        alpha = sys.chain_c + sys.chain_T + Tn
-        c_damped = sys.chain_c + lam * jnp.maximum(alpha, floor)
-        T = chain_solve_ternary(c_damped, sys.chain_T, sys.Bd, rhs_d)
-    else:
-        Ad = _damp_blocks(sys.Ad, lam, floor)
-        T = chain_solver(Ad, sys.Bd, rhs_d)
-    Tc = T[..., :nc]                                        # (W, ND, 3, nc)
-    Tm = T[..., nc : 2 * nc].reshape(W_, ND, 3, W_, 6)
-    tb = T[..., -1]                                         # (W, ND, 3)
-
-    # camera-camera correction: row block (k, c) is Rc[k]
-    d_cc_d = _es("kdic,kdib->kcb", sys.Rc, Tc).reshape(nc, nc)
-    d_bc_d = _es("kdic,kdi->kc", sys.Rc, tb).reshape(nc)
-
-    # camera-pose and pose-pose corrections.  Cross-object entries are
-    # exactly zero (a track's chain decouples where the factor mask cuts
-    # it — Bd is zero across the cut, so the block-Thomas inverse never
-    # propagates between segments).  That property lets every one-hot land
-    # on the ROW side of a single batched MXU dot per term:
-    #
-    #   out[k, (a,o), (g,b)] = sum_{d,i} (Bs[k,d,i,a] oh_row[k,d,o])
-    #                                  * (Tm[k,d,i,g,b] act[g,d])
-    #
-    # The column-side filter oh[g,d,o] collapses to the activity mask
-    # act[g,d]: wherever Tm couples row-frame k to column-frame g they sit
-    # in the same chain segment, so the column object equals the row
-    # object already selected by oh_row.  Writing each term as one
-    # dot_general (batch k, contract d*3) keeps everything on the MXU; the
-    # naive einsum lowered to broadcast-multiply fusions materializing
-    # (W, ND, W, 6, 6) intermediates + relayout copies — ~half of the
-    # whole window-10 solve on the device trace (round 3).
-    # DISTRIBUTION NOTE: the track axis (d) is contracted inside each dot
-    # and only the small (W, O, 6, W, 6) partials shift across frames —
-    # shifting pre-contraction (W, ND, ...) tensors makes GSPMD all-gather
-    # ~10 MB over the frame axis EVERY LM iteration (measured via
-    # compiled-HLO collective dump, round 3).
     oh = sys.onehot                                         # (W, ND, O)
     act = jnp.sum(oh, axis=-1)                              # (W, ND) 0/1
-    Tm_act = Tm * jnp.swapaxes(act, 0, 1)[None, :, None, :, None]
-    Rdot = Tm_act.reshape(W_, ND * 3, nc)                   # (k, d*i, g*b)
+    eyeW = jnp.eye(W_, dtype=dtype)
 
-    def _couple_dot(Brow, oh_row):
-        # Brow (W, ND, 3, 6) row blocks, oh_row (W, ND, O) row one-hot.
+    def _couple_dot(Brow, oh_row, Rdot):
+        # Brow (W, ND, 3, 6) row blocks, oh_row (W, ND, O) row one-hot,
+        # Rdot (W, ND*3, nc) activity-masked column operand.
         # The left operand is built DIRECTLY at its merged (k, d*i, o*a)
         # shape with tile/repeat index arithmetic:
         #     L[k, d*3+i, o*6+a] = Brow[k, d, i, a] * oh[k, d, o]
@@ -1040,7 +1073,11 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
         # plus an equally large relayout reshape; the device trace showed
         # the four L builds + reshapes at ~40% of the whole window-10
         # solve.  All shapes here stay rank-3 with the merged minor on
-        # lanes (48 -> 128 pad only).
+        # lanes (48 -> 128 pad only).  Cross-object entries are exactly
+        # zero (chains decouple where the factor mask cuts them), so the
+        # single row-side one-hot selects the COLUMN object too — the
+        # column side needs only the activity mask already folded into
+        # Rdot.
         oh_i = jnp.repeat(oh_row, 3, axis=1)                # (k, d*i, O)
         Brow_r = Brow.reshape(W_, ND * 3, 6)
         L = jnp.tile(Brow_r, (1, 1, O)) * jnp.repeat(oh_i, 6, axis=2)
@@ -1049,45 +1086,213 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
         )                                                   # (k, o*a, g*b)
         return out.reshape(W_, O, 6, W_, 6)
 
-    diag_b, up_b, down_b = chain_pose_bands(sys)
-    zoh = jnp.zeros_like(oh[:1])
-    oh_next = jnp.concatenate([oh[1:], zoh], axis=0)    # oh[k+1] at row k
-    oh_prev = jnp.concatenate([zoh, oh[:-1]], axis=0)   # oh[k-1] at row k
+    if stable:
+        # ---- STABLE dynamic elimination (Woodbury on the ternary factors)
+        #
+        # The subtractive elimination below forms Dmm/d_mm at the ternary
+        # information scale wt/sigma_t^2 ~ 1e10 and cancels them in the
+        # reduced assembly; the survivor is the observation-bounded motion
+        # marginal (~1e4), below f32's ~1e3 absolute representation error
+        # of the operands, so at lambda <= 1e-7 the reduced system goes
+        # INDEFINITE and the LM iteration NaN-rejects (measured 4/10;
+        # BENCH_NOTES sessions 8-9 — an f64 solve of the f32-built system
+        # NaNs identically, proving the corruption happens at BUILD).
+        #
+        # This branch never forms the 1e10-scale blocks.  With the ternary
+        # factor in square-root form (A~ z + B~ h + phi, all ~sqrt(wt)/
+        # sigma ~ 1e5, exact in f32 to relative 1e-7) and Klam the damped
+        # OBSERVATION-only z diagonal, the Woodbury identity on
+        # Kz = Klam + A~^T A~ gives every reduced term as PRODUCTS through
+        # the capacitance chain M = I + A~ Klam^-1 A~^T:
+        #
+        #   S_hh corr  = -B~^T M^-1 B~                      (additive PSD)
+        #   S_xh corr  = -(A~ Klam^-1 U)^T M^-1 B~
+        #   S_xx corr  = -U^T Klam^-1 U + (A~Klam^-1 U)^T M^-1 (A~Klam^-1 U)
+        #   b_h  corr  = -B~^T M^-1 phi_hat,   phi_hat = A~Klam^-1 b_zo + phi
+        #   b_x  corr  = -U^T Klam^-1 b_zo + (A~Klam^-1 U)^T M^-1 phi_hat
+        #   dz = Klam^-1 [ (b_zo - U dx)
+        #                  - A~^T M^-1 (A~Klam^-1(b_zo - U dx) + phi + B~ dh) ]
+        #
+        # (U = chain-to-camera obs coupling Rc, b_zo = observation-only z
+        # gradient; every 1e10-scale cancellation above is resolved
+        # ANALYTICALLY, so f32 carries only relative error of the final
+        # quantities.)  M shares the scalar-diagonal/scaled-rotation block
+        # structure, so its solve is the same lane-major machinery
+        # (`chain_solve_scalar`), and the M-solve carries ALL columns at
+        # once exactly like the old chain solve (2nc+1 columns).
+        s = sys.st_s                                        # (W, ND)
+        Rt = jnp.swapaxes(sys.st_R, -1, -2)
+        Tn = jnp.concatenate(
+            [sys.chain_T[1:], jnp.zeros_like(sys.chain_T[:1])], axis=0
+        )
+        alpha_z = sys.chain_c + sys.chain_T + Tn
+        c_lam = sys.chain_c + lam * jnp.maximum(alpha_z, floor)
+        inv_c = 1.0 / c_lam
+        inv_c_prev = jnp.concatenate([inv_c[:1], inv_c[:-1]], axis=0)
 
-    # Rc[k,d] != 0 only for active chain rows, and any Tm-coupled column
-    # frame g shares row k's segment/object, so oh[k,·] stands in for the
-    # column one-hot oh[g,·] here too.
-    d_cm = _couple_dot(sys.Rc, oh).transpose(0, 2, 3, 1, 4).reshape(
-        nc, W_, O, 6
-    )
+        alpha_M = 1.0 + s * s * (inv_c_prev + inv_c)        # (W, ND)
+        s_prev = jnp.concatenate([jnp.zeros_like(s[:1]), s[:-1]], axis=0)
+        eyeR = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Rt[:1].shape)
+        R_prevT = jnp.concatenate([eyeR, Rt[:-1]], axis=0)
+        B_M = -(s_prev * s * inv_c_prev)[..., None, None] * R_prevT
 
-    def band_term(Bs, oh_row):
-        return _couple_dot(Bs, oh_row)                      # (W, O, 6, W, 6)
+        RcC = sys.Rc * inv_c[..., None, None]               # (W, ND, 3, 6)
+        RcC_prev = jnp.concatenate(
+            [jnp.zeros_like(RcC[:1]), RcC[:-1]], axis=0
+        )
+        AU_prev = s[..., None, None] * RcC_prev             # col frame k-1
+        AU_cur = -s[..., None, None] * _mm(Rt, RcC)         # col frame k
+        Bcol = s[..., None, None] * sys.st_G                # col frame k (h)
+        bzoC = sys.b_dp * inv_c[..., None]                  # (W, ND, 3)
+        bzoC_prev = jnp.concatenate(
+            [jnp.zeros_like(bzoC[:1]), bzoC[:-1]], axis=0
+        )
+        phi_hat = s[..., None] * (
+            bzoC_prev - _es("kdab,kdb->kda", Rt, bzoC)
+        ) + sys.st_phi
 
-    d_mm = band_term(diag_b, oh)
-    d_mm = d_mm.at[1:].add(band_term(up_b, oh_next)[:-1])
-    d_mm = d_mm.at[:-1].add(band_term(down_b, oh_prev)[1:])  # (W, O, 6, W, 6)
-    b_diag = _es("kdia,kdi,kdo->koa", diag_b, tb, oh)
-    b_up = _es("kdia,kdi,kdo->koa", up_b, tb, oh_next)
-    b_down = _es("kdia,kdi,kdo->koa", down_b, tb, oh_prev)
-    d_bm = b_diag.at[1:].add(b_up[:-1]).at[:-1].add(b_down[1:])
+        dnW = jnp.eye(W_, k=-1, dtype=dtype)                # [k, k-1] = 1
+        AU_nc = (
+            AU_prev[:, :, :, None, :] * dnW[:, None, None, :, None]
+            + AU_cur[:, :, :, None, :] * eyeW[:, None, None, :, None]
+        ).reshape(W_, ND, 3, nc)
+        Bcol_nc = (
+            Bcol[:, :, :, None, :] * eyeW[:, None, None, :, None]
+        ).reshape(W_, ND, 3, nc)
+        rhs_M = jnp.concatenate(
+            [AU_nc, Bcol_nc, phi_hat[..., None]], axis=-1
+        )                                                   # (W, ND, 3, 2nc+1)
+        Z = chain_solve_scalar(alpha_M, B_M, rhs_M)
+        Z_U = Z[..., :nc]                                   # (W, ND, 3, nc)
+        Nh = Z[..., nc : 2 * nc].reshape(W_, ND, 3, W_, 6)
+        Z_phi = Z[..., -1]                                  # (W, ND, 3)
+
+        d_cc1 = _es("kdia,kd,kdib->kab", sys.Rc, inv_c, sys.Rc)
+        d_cc1 = _es("kab,kl->kalb", d_cc1, eyeW).reshape(nc, nc)
+        d_cc2 = jax.lax.dot_general(
+            AU_nc.reshape(-1, nc), Z_U.reshape(-1, nc),
+            (((0,), (0,)), ((), ())), precision="highest",
+        )
+        d_cc_d = d_cc1 - d_cc2
+        d_bc1 = _es("kdia,kdi->ka", sys.Rc, bzoC).reshape(nc)
+        d_bc_d = d_bc1 - _es("kdic,kdi->c", AU_nc, Z_phi)
+
+        Nh_act = Nh * jnp.swapaxes(act, 0, 1)[None, :, None, :, None]
+        Rdot = Nh_act.reshape(W_, ND * 3, nc)
+        d_mm = -_couple_dot(Bcol, oh, Rdot)                 # -S_hh correction
+        cm_cur = _couple_dot(AU_cur, oh, Rdot)
+        cm_prev = _couple_dot(AU_prev, oh, Rdot)            # camera row k-1
+        d_cm = cm_cur.at[:-1].add(cm_prev[1:]).transpose(
+            0, 2, 3, 1, 4
+        ).reshape(nc, W_, O, 6)
+        d_bm = _es("kdia,kdi,kdo->koa", Bcol, Z_phi, oh)
+
+        # Dmm damping uses the FULL diagonal (smoothing + ternary) per
+        # damp-then-reduce semantics, but the matrix itself stays
+        # smoothing-only — the ternary marginal arrives additively via
+        # -d_mm = +B~^T M^-1 B~.
+        Gsq = jnp.sum(sys.st_G**2, axis=2)                  # (W, ND, 6)
+        ddiag_t = _es("kd,kdo,kda->koa", sys.chain_T, oh, Gsq)
+        diag_full = jnp.diagonal(sys.Dmm, axis1=-2, axis2=-1) + ddiag_t
+        Dmm = sys.Dmm + (
+            lam * jnp.maximum(diag_full, floor)
+        )[..., None] * jnp.eye(6, dtype=dtype)
+    else:
+        Dmm = _damp_blocks(sys.Dmm, lam, floor)
+
+        # ---- dynamic chain elimination (subtractive) ---------------------
+        # RHS columns: 6W cameras (block l of chain-row k is Rc[k] iff
+        # l == k) + 6W pose-frames via the 4-coupling tensor
+        # (chain_pose_columns) + gradient.
+        # NEGATIVE RESULT (tried 2026-08-19, do not retry): replacing the
+        # 121 columns with the 3W identity columns and reconstructing Tc/Tm
+        # from the tridiagonal-inverse blocks (Tc = G Rc, Tm = G x CC
+        # bands) is exact in f64 but BOTH slower (64.8 vs 39.6 ms
+        # window-10: the (3x3)@(3x6) reconstruction einsums lower as
+        # serialized batched tiny matmuls) and less accurate in f32 (final
+        # err 0.793 vs 0.603 at the 10-iteration budget: explicit-inverse
+        # multiplication loses the backward stability of solving against
+        # the actual columns).
+        rhs_cam = (
+            sys.Rc[:, :, :, None, :] * eyeW[:, None, None, :, None]
+        ).reshape(W_, ND, 3, nc)
+        CC = chain_pose_columns(sys)                        # (W, ND, 3, W, 6)
+        rhs_d = jnp.concatenate(
+            [rhs_cam, CC.reshape(W_, ND, 3, nc), sys.b_dp[..., None]],
+            axis=-1,
+        )                                                   # (W, ND, 3, 2nc+1)
+        # damp the scalar diagonal exactly like _damp_blocks would
+        Tn = jnp.concatenate(
+            [sys.chain_T[1:], jnp.zeros_like(sys.chain_T[:1])], axis=0
+        )
+        alpha = sys.chain_c + sys.chain_T + Tn
+        c_damped = sys.chain_c + lam * jnp.maximum(alpha, floor)
+        if use_ternary:
+            T = chain_solve_ternary(c_damped, sys.chain_T, sys.Bd, rhs_d)
+        else:
+            Ad = _damp_blocks(sys.Ad, lam, floor)
+            try:
+                # distributed SPIKE solvers take the scalar structure so
+                # their interior elimination matches the single-chip
+                # cancellation-free path bit-for-bit in spirit (the generic
+                # Thomas carries ~1e-8 RELATIVE f64 error at the ternary
+                # conditioning T/c ~ 1e8, which the 2-process equivalence
+                # test measures as 1e-4-scale dX divergence)
+                T = chain_solver(
+                    Ad, sys.Bd, rhs_d, scalars=(c_damped, sys.chain_T)
+                )
+            except TypeError:
+                T = chain_solver(Ad, sys.Bd, rhs_d)
+        Tc = T[..., :nc]                                    # (W, ND, 3, nc)
+        Tm = T[..., nc : 2 * nc].reshape(W_, ND, 3, W_, 6)
+        tb = T[..., -1]                                     # (W, ND, 3)
+
+        # camera-camera correction: row block (k, c) is Rc[k]
+        d_cc_d = _es("kdic,kdib->kcb", sys.Rc, Tc).reshape(nc, nc)
+        d_bc_d = _es("kdic,kdi->kc", sys.Rc, tb).reshape(nc)
+
+        # camera-pose and pose-pose corrections (see _couple_dot).
+        # DISTRIBUTION NOTE: the track axis (d) is contracted inside each
+        # dot and only the small (W, O, 6, W, 6) partials shift across
+        # frames — shifting pre-contraction (W, ND, ...) tensors makes
+        # GSPMD all-gather ~10 MB over the frame axis EVERY LM iteration
+        # (measured via compiled-HLO collective dump, round 3).
+        Tm_act = Tm * jnp.swapaxes(act, 0, 1)[None, :, None, :, None]
+        Rdot = Tm_act.reshape(W_, ND * 3, nc)               # (k, d*i, g*b)
+
+        diag_b, up_b, down_b = chain_pose_bands(sys)
+        zoh = jnp.zeros_like(oh[:1])
+        oh_next = jnp.concatenate([oh[1:], zoh], axis=0)    # oh[k+1] at k
+        oh_prev = jnp.concatenate([zoh, oh[:-1]], axis=0)   # oh[k-1] at k
+
+        # Rc[k,d] != 0 only for active chain rows, and any Tm-coupled
+        # column frame g shares row k's segment/object, so oh[k,·] stands
+        # in for the column one-hot oh[g,·] here too.
+        d_cm = _couple_dot(sys.Rc, oh, Rdot).transpose(0, 2, 3, 1, 4).reshape(
+            nc, W_, O, 6
+        )
+
+        d_mm = _couple_dot(diag_b, oh, Rdot)
+        d_mm = d_mm.at[1:].add(_couple_dot(up_b, oh_next, Rdot)[:-1])
+        d_mm = d_mm.at[:-1].add(_couple_dot(down_b, oh_prev, Rdot)[1:])
+        b_diag = _es("kdia,kdi,kdo->koa", diag_b, tb, oh)
+        b_up = _es("kdia,kdi,kdo->koa", up_b, tb, oh_next)
+        b_down = _es("kdia,kdi,kdo->koa", down_b, tb, oh_prev)
+        d_bm = b_diag.at[1:].add(b_up[:-1]).at[:-1].add(b_down[1:])
 
     # ---- assemble + solve the reduced system ----------------------------
     Hred, bred = assemble_reduced(
         sys, Hcc, Dmm, d_cc_s + d_cc_d, d_bc_s + d_bc_d, d_cm, d_mm, d_bm
     )
-    # NEGATIVE RESULT (2026-08-19, do not retry): at lambda <= 1e-7 the f32
-    # chain elimination cancels catastrophically (ternary chain blocks are
-    # ~1/sig_t^2 = 1e10-scale; the corrections subtract almost all of it)
-    # and the reduced system comes back INDEFINITE -> the Cholesky NaNs and
-    # LM rejects (measured: 4/10 window-10 iterations are NaN-rejects).  A
-    # PD "escape hatch" (boost the reduced diagonal until the factorization
-    # is finite) produces finite steps, but they are steps of the SAME
-    # corrupted elimination — still rejected, or worse, occasionally
-    # accepted with garbage directions that made algebraically-equivalent
-    # problems (compacted vs exact pools) diverge visibly.  Engaging the
-    # ternary Hessian cap (gradient unmatched) stalls convergence
-    # completely.  The NaN-reject behaviour is the correct cheap guard.
+    # NEGATIVE RESULT (2026-08-19, do not retry in the subtractive path):
+    # at lambda <= 1e-7 the f32 elimination cancels catastrophically and
+    # the reduced system comes back INDEFINITE -> the Cholesky NaNs and LM
+    # rejects.  A PD "escape hatch" (boost the reduced diagonal until the
+    # factorization is finite) produces steps of the SAME corrupted
+    # elimination — still rejected, or occasionally accepted garbage that
+    # made algebraically-equivalent problems diverge.  The NaN-reject +
+    # lambda ratchet is the correct guard THERE; the stable branch above
+    # removes the cancellation instead.
     cho = jax.scipy.linalg.cho_factor(Hred)
     delta_p = jax.scipy.linalg.cho_solve(cho, bred)
     dc = delta_p[:nc]
@@ -1096,9 +1301,24 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None):
     # ---- back-substitution ----------------------------------------------
     d_sp = yb_s - _es("nmq,q->nm", Yc_s, dc)
     dm_sel = _es("gdo,gob->gdb", oh, dm)                    # (W, ND, 6)
-    d_dp = tb - _es("kdiq,q->kdi", Tc, dc) - _es(
-        "kdigb,gdb->kdi", Tm, dm_sel
-    )
+    if stable:
+        v = (
+            Z_phi
+            - _es("kdic,c->kdi", Z_U, dc)
+            + _es("kdigb,gdb->kdi", Nh, dm_sel)
+        )
+        v_next = jnp.concatenate([v[1:], jnp.zeros_like(v[:1])], axis=0)
+        s_next = jnp.concatenate([s[1:], jnp.zeros_like(s[:1])], axis=0)
+        Atv = (
+            -s[..., None] * _es("kdab,kdb->kda", sys.st_R, v)
+            + s_next[..., None] * v_next
+        )
+        r1 = sys.b_dp - _es("kdia,ka->kdi", sys.Rc, dc.reshape(W_, 6))
+        d_dp = (r1 - Atv) * inv_c[..., None]
+    else:
+        d_dp = tb - _es("kdiq,q->kdi", Tc, dc) - _es(
+            "kdigb,gdb->kdi", Tm, dm_sel
+        )
 
     return {
         "X": dc.reshape(W_, 6),
@@ -1190,7 +1410,10 @@ def lm_optimize_schur(
 
     step_fn = ov.get(
         "step_fn",
-        lambda sys, lam: schur_step(sys, lam, lm_cfg.diag_floor, chain_solver),
+        lambda sys, lam: schur_step(
+            sys, lam, lm_cfg.diag_floor, chain_solver,
+            stable=(formulation == 0 and _SCHUR_STABLE),
+        ),
     )
 
     def body(state):

@@ -60,7 +60,7 @@ _mm = functools.partial(jnp.matmul, precision="highest")
 # --------------------------------------------------------------------------
 
 
-def spike_chain_solve_local(A, B, rhs, n_blocks, scalars=None):
+def spike_chain_solve_local(A, B, rhs, n_blocks, scalars=None, alpha=None):
     """Shard-LOCAL SPIKE solve of the (W, N) block-tridiagonal chains with
     the frame axis split into `n_blocks` — call INSIDE a `shard_map` whose
     mesh has `FRAME_AXIS` (the legacy GSPMD path wraps it via
@@ -74,7 +74,9 @@ def spike_chain_solve_local(A, B, rhs, n_blocks, scalars=None):
     elimination (`backend.schur.chain_solve_ternary`; c must include the
     lambda damping): the interior system zeroes the cross coupling B[0], so
     its scalar diagonal keeps the TRUE alpha by folding T[0] into c[0].
-    `A` is then ignored.
+    `alpha=` selects the generic scalar-diagonal interior solve
+    (`chain_solve_scalar`, used for the Woodbury capacitance chain M; the
+    diagonal is unaffected by zeroing B[0]).  `A` is ignored by both.
     """
     S = B.shape[0]
     b_idx = jax.lax.axis_index(FRAME_AXIS)
@@ -83,10 +85,21 @@ def spike_chain_solve_local(A, B, rhs, n_blocks, scalars=None):
     B0 = B[0]                                   # couples to left block
     B_int = B.at[0].set(jnp.zeros_like(B0))
     # halo: fetch the RIGHT neighbour's B0 (this block's right coupling);
-    # the last block receives zeros (ppermute fills missing sources)
-    B_next = jax.lax.ppermute(
-        B0, FRAME_AXIS, [(i, i - 1) for i in range(1, n_blocks)]
-    )
+    # the last block receives zeros (ppermute fills missing sources).  In
+    # ternary-scalars mode the neighbour's coupling SCALAR T[0] rides the
+    # same buffer: the local last row's TRUE diagonal includes it
+    # (alpha = c + T + T_next), and chain_solve_ternary's internal T_next
+    # truncates at the block edge — fold it into c[-1] instead.
+    perm = [(i, i - 1) for i in range(1, n_blocks)]
+    n0 = B0.shape[0]
+    if scalars is not None:
+        c_dmp, T_s = scalars
+        buf = jnp.concatenate([B0.reshape(n0, 9), T_s[0][:, None]], axis=-1)
+        buf = jax.lax.ppermute(buf, FRAME_AXIS, perm)
+        B_next = buf[:, :9].reshape(n0, 3, 3)
+        T_right = buf[:, 9]
+    else:
+        B_next = jax.lax.ppermute(B0, FRAME_AXIS, perm)
 
     # augment the RHS with the two spike columns:
     #   V-col: row 0 gets B0^T   (coupling to x_last of the left block)
@@ -97,9 +110,10 @@ def spike_chain_solve_local(A, B, rhs, n_blocks, scalars=None):
     w_col = jnp.zeros_like(v_col).at[S - 1].set(B_next)
     rhs_aug = jnp.concatenate([rhs, v_col, w_col], axis=-1)
 
-    if scalars is not None:
-        c_dmp, T_s = scalars
-        c_loc = c_dmp.at[0].add(T_s[0])
+    if alpha is not None:
+        Y = chain_solve_scalar(alpha, B_int, rhs_aug)
+    elif scalars is not None:
+        c_loc = c_dmp.at[0].add(T_s[0]).at[-1].add(T_right)
         T_loc = T_s.at[0].set(jnp.zeros_like(T_s[0]))
         Y = chain_solve_ternary(c_loc, T_loc, B_int, rhs_aug)
     else:
@@ -126,9 +140,9 @@ def spike_chain_solve_local(A, B, rhs, n_blocks, scalars=None):
     # every step is broadcast mul+reduce at full 128-lane occupancy.
     from ..ops.linalg import _mm_lanes, inv6_lanes
 
-    n = A.shape[1]
+    n = B.shape[1]
     Bb = n_blocks
-    dt = A.dtype
+    dt = B.dtype
     z33 = jnp.zeros((3, 3, n), dt)
 
     def _l(b):                                  # (6, 6, n)
@@ -208,8 +222,19 @@ def make_spike_chain_solver(mesh):
     """
     n_blocks = mesh.shape[FRAME_AXIS]
     spec = P(FRAME_AXIS, TRACK_AXIS, None, None)
+    sspec = P(FRAME_AXIS, TRACK_AXIS)
 
-    def solver(A, B, rhs):
+    def solver(A, B, rhs, scalars=None):
+        if scalars is not None:
+            return jax.shard_map(
+                lambda a, b, r, c, t: spike_chain_solve_local(
+                    a, b, r, n_blocks, scalars=(c, t)
+                ),
+                mesh=mesh,
+                in_specs=(spec, spec, spec, sspec, sspec),
+                out_specs=spec,
+                check_vma=False,
+            )(A, B, rhs, *scalars)
         return jax.shard_map(
             lambda a, b, r: spike_chain_solve_local(a, b, r, n_blocks),
             mesh=mesh,
@@ -340,11 +365,12 @@ from ..backend.schur import (
     _static_blocks,
     _ternary_jacobians,
     assemble_reduced,
+    chain_solve_scalar,
     chain_solve_ternary,
 )
 from ..backend.formulation import world_motion_families
 from ..backend.solver import robust_loss
-from ..core.lie import se3_compose, se3_inverse
+from ..core.lie import se3_compose, se3_inverse, so3_hat
 from ..ops import factors
 
 import os as _os
@@ -381,6 +407,14 @@ def _embed_rows_shift1(part, n_rows: int, start):
     would-be row n_rows is the masked ghost slot)."""
     z = jnp.zeros((n_rows + 1, *part.shape[1:]), part.dtype)
     return jax.lax.dynamic_update_slice_in_dim(z, part, start + 1, 0)[:n_rows]
+
+
+def _embed_rows_shiftm1(part, n_rows: int, start):
+    """Embed at rows start-1.. (the correction term computed at factor row
+    k that belongs to the PREVIOUS frame's camera row).  Row -1 (block 0's
+    slot 0) is dropped — it is the structurally-masked s=0 slot."""
+    z = jnp.zeros((n_rows + 1, *part.shape[1:]), part.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(z, part, start, 0)[1:]
 
 
 def _optimize_schur_explicit(
@@ -516,9 +550,6 @@ def _optimize_schur_explicit(
         eye_rows = (
             jnp.arange(W_)[None, :] == rows_gl[:, None]
         ).astype(dtype)                                  # (S, W)
-        up_rows = (
-            jnp.arange(W_)[None, :] == (rows_gl + 1)[:, None]
-        ).astype(dtype)
 
         def _x_loc(X: SE3) -> SE3:
             return SE3(
@@ -611,6 +642,13 @@ def _optimize_schur_explicit(
             return tot + repl
 
         # ---- build: all partials LOCAL (psum deferred to the step) ------
+        # STABLE (Woodbury) scheme, mirroring schur_step's stable branch:
+        # the ternary information is carried in square-root form (s, R, G,
+        # phi ~ 1e5 scale) and the 1e10-scale normal blocks are never
+        # formed — see backend/schur.py for the derivation and the NaN-
+        # reject pathology it removes.  Slot s <-> global factor with
+        # current frame start+s; the ghost slot S (owned by the right
+        # neighbour) supplies s/R for boundary quantities.
         def build_fn(v, sqrt_w, res0):
             X, H, sp, dp = v["X"], v["H"], v["sp"], v["dp"]
             r_anchor, r_odo, r_static, r_dyn, r_tern, r_smooth, dp_l, dp_r = (
@@ -618,7 +656,8 @@ def _optimize_schur_explicit(
             )
             wgt_static = sqrt_w[2] ** 2 * static_obs.astype(dtype)
             wgt_dyn = sqrt_w[3] ** 2 * dyn_obs.astype(dtype)
-            wt = sqrt_w[4] ** 2 * tern_ext.astype(dtype)   # (S+1, nd)
+            sqw_t = sqrt_w[4] * tern_ext.astype(dtype)     # (S+1, nd)
+            wt = sqw_t**2
             wgt_smooth = smoothing[1:].astype(dtype)
 
             Hcc0, g_cam0 = _odo_anchor_blocks(
@@ -633,8 +672,17 @@ def _optimize_schur_explicit(
             )
             X_loc = _x_loc(X)
             Jx_d, Jp_d, _ = _pose_point_jacobians(X_loc, dp, sig_d)
+            Hk_ext = _select_H_ext(H)
             _, dp_cur = _dp_ext(dp, dp_l, dp_r)
-            Jh, Jc, _ = _ternary_jacobians(_select_H_ext(H), dp_cur, sig_t)
+            _, _, y_ext = _ternary_jacobians(Hk_ext, dp_cur, sig_t)
+
+            # square-root ternary pieces (ext slots 0..S)
+            s_ext = sqw_t / sig_t                          # (S+1, nd)
+            eyeG = jnp.broadcast_to(
+                jnp.eye(3, dtype=dtype), (*y_ext.shape, 3)
+            )
+            G_ext = jnp.concatenate([-so3_hat(y_ext), eyeG], axis=-1)
+            phi_ext = sqw_t[..., None] * r_tern            # (S+1, nd, 3)
 
             # psum partials (static family is frame-replicated -> 1/F)
             Dcam = _embed_rows(
@@ -643,48 +691,32 @@ def _optimize_schur_explicit(
             g_pts = _embed_rows(
                 _es("kn,knra,knr->ka", wgt_dyn, Jx_d, r_dyn), W_, start
             ) + _es("kn,knra,knr->ka", wgt_static, Jx_s, r_static) / F
-            Dmm_t = _embed_rows(
-                _es("jd,jdo,jdra,jdrb->joab",
-                    wt[:S], oh_ext[:S], Jh[:S], Jh[:S]),
-                W_, start,
-            )
-            g_mot_t = _embed_rows(
-                _es("jd,jdo,jdra,jdr->joa",
-                    wt[:S], oh_ext[:S], Jh[:S], r_tern[:S]),
-                W_, start,
+            # ternary diagonal of the full Dmm (damping only — the matrix
+            # itself arrives additively via the Woodbury correction)
+            Gsq = jnp.sum(G_ext[:S] ** 2, axis=2)          # (S, nd, 6)
+            T_loc = wt[:S] / sig_t**2
+            ddiag_t = _embed_rows(
+                _es("kd,kdo,kda->koa", T_loc, oh_ext[:S], Gsq), W_, start
             )
 
-            # local chain/static blocks (ghost slot S covers the boundary
-            # factor owned by the right neighbour)
             Hll_s, Us, b_sp = _static_blocks(
                 wgt_static, Jx_s, Jp_s, r_static, dtype
             )
-            # scalar ternary chain structure (see schur.chain_solve_ternary;
-            # row k's "next" coupling wt[k+1] is the ghost slot at the block
-            # boundary — exactly why wt is ghost-extended)
             ch_c = wgt_dyn / sig_d**2 + _floor_consts(dtype)[1]
-            ch_T = wt[:S] / sig_t**2
-            ch_Tn = wt[1:] / sig_t**2
-            Bd = (wt[:S] / sig_t)[..., None, None] * Jc[:S]
             Rc = _es("kd,kra,kdrb->kdab", wgt_dyn, Jp_d, Jx_d)
-            diag_b = _es("jd,jdra,jdrb->jdab", wt[:S], Jc[:S], Jh[:S])
-            up_b = (wt[1:] / sig_t)[..., None, None] * Jh[1:]
-            g_dp = _es("kd,kra,kdr->kda", wgt_dyn, Jp_d, r_dyn)
-            g_dp = g_dp + (wt[1:] / sig_t)[..., None] * r_tern[1:]
-            g_dp = g_dp + _es(
-                "jd,jdra,jdr->jda", wt[:S], Jc[:S], r_tern[:S]
-            )
+            g_dp_obs = _es("kd,kra,kdr->kda", wgt_dyn, Jp_d, r_dyn)
 
             return {
                 "part": {
-                    "Dcam": Dcam, "g_pts": g_pts,
-                    "Dmm_t": Dmm_t, "g_mot_t": g_mot_t,
+                    "Dcam": Dcam, "g_pts": g_pts, "ddiag_t": ddiag_t,
                 },
                 "loc": {
                     "Hll_s": Hll_s, "Us": Us, "b_sp": b_sp,
-                    "ch_c": ch_c, "ch_T": ch_T, "ch_Tn": ch_Tn,
-                    "Bd": Bd, "Rc": Rc,
-                    "diag_b": diag_b, "up_b": up_b, "b_dp": -g_dp,
+                    "ch_c": ch_c,
+                    "ch_T": T_loc, "ch_Tn": wt[1:] / sig_t**2,
+                    "Rc": Rc, "b_dp": -g_dp_obs,
+                    "st_s": s_ext, "st_R": Hk_ext.R,
+                    "st_G": G_ext, "st_phi": phi_ext,
                 },
                 "repl": {
                     "Hcc0": Hcc0, "g_cam0": g_cam0, "Dmm_sm": Dmm_sm,
@@ -692,12 +724,13 @@ def _optimize_schur_explicit(
                 },
             }
 
-        # ---- step: SPIKE chains + ONE packed psum ------------------------
+        # ---- step: Woodbury elimination + ONE packed psum ----------------
         def step_fn(sys, lam):
             loc, repl = sys["loc"], sys["repl"]
             floor = lm_cfg.diag_floor
-            alpha = loc["ch_c"] + loc["ch_T"] + loc["ch_Tn"]
-            c_dmp = loc["ch_c"] + lam * jnp.maximum(alpha, floor)
+            alpha_z = loc["ch_c"] + loc["ch_T"] + loc["ch_Tn"]
+            c_lam = loc["ch_c"] + lam * jnp.maximum(alpha_z, floor)
+            inv_c = 1.0 / c_lam
             Hll_s = _damp_blocks(loc["Hll_s"], lam, floor)
 
             # static elimination (frame-replicated, track-local)
@@ -711,40 +744,102 @@ def _optimize_schur_explicit(
             d_cc_s = _es("knam,nmq->kaq", Us, Yc_s)        # (W, 6, nc)
             d_bc_s = _es("knam,nm->ka", Us, yb_s)          # (W, 6)
 
-            # chain solve over the frame-sharded SPIKE
-            rhs_cam = (
-                loc["Rc"][:, :, :, None, :]
-                * eye_rows[:, None, None, :, None]
+            s_ext = loc["st_s"]
+            s_loc = s_ext[:S]
+            Rt_ext = jnp.swapaxes(loc["st_R"], -1, -2)
+            Rt_loc = Rt_ext[:S]
+            RcC = loc["Rc"] * inv_c[..., None, None]       # (S, nd, 3, 6)
+            bzoC = loc["b_dp"] * inv_c[..., None]
+
+            # per-lambda LEFT ghosts: the boundary factor's prev-frame
+            # quantities live on the left neighbour (ONE packed ppermute)
+            nd_l = s_ext.shape[1]
+            if F > 1:
+                gbuf = jnp.concatenate(
+                    [
+                        RcC[-1].reshape(nd_l, 18),
+                        bzoC[-1],
+                        inv_c[-1][:, None],
+                        s_ext[S - 1][:, None],
+                        Rt_ext[S - 1].reshape(nd_l, 9),
+                    ],
+                    axis=-1,
+                )                                           # (nd, 31)
+                gbuf = jax.lax.ppermute(
+                    gbuf, FA, [(i, i + 1) for i in range(F - 1)]
+                )
+                RcC_l = gbuf[:, :18].reshape(nd_l, 3, 6)
+                bzoC_l = gbuf[:, 18:21]
+                inv_c_l = gbuf[:, 21]
+                s_l = gbuf[:, 22]
+                Rt_l = gbuf[:, 23:32].reshape(nd_l, 3, 3)
+            else:
+                RcC_l = jnp.zeros_like(RcC[0])
+                bzoC_l = jnp.zeros_like(bzoC[0])
+                inv_c_l = jnp.zeros_like(inv_c[0])
+                s_l = jnp.zeros_like(s_ext[0])
+                Rt_l = jnp.broadcast_to(
+                    jnp.eye(3, dtype=dtype), Rt_ext[0].shape
+                )
+            inv_c_prev = jnp.concatenate([inv_c_l[None], inv_c[:-1]], 0)
+            RcC_prev = jnp.concatenate([RcC_l[None], RcC[:-1]], 0)
+            bzoC_prev = jnp.concatenate([bzoC_l[None], bzoC[:-1]], 0)
+            s_prev = jnp.concatenate([s_l[None], s_loc[:-1]], 0)
+            R_prevT = jnp.concatenate([Rt_l[None], Rt_loc[:-1]], 0)
+
+            # capacitance chain M (see schur_step stable branch)
+            alpha_M = 1.0 + s_loc * s_loc * (inv_c_prev + inv_c)
+            B_M = -(s_prev * s_loc * inv_c_prev)[..., None, None] * R_prevT
+
+            AU_prev = s_loc[..., None, None] * RcC_prev    # col rows_gl-1
+            AU_cur = -s_loc[..., None, None] * _mm(Rt_loc, RcC)
+            Bcol = s_loc[..., None, None] * loc["st_G"][:S]
+            phi_hat = s_loc[..., None] * (
+                bzoC_prev - _es("kdab,kdb->kda", Rt_loc, bzoC)
+            ) + loc["st_phi"][:S]
+
+            dn_rows = (
+                jnp.arange(W_)[None, :] == (rows_gl - 1)[:, None]
+            ).astype(dtype)
+            AU_nc = (
+                AU_prev[:, :, :, None, :] * dn_rows[:, None, None, :, None]
+                + AU_cur[:, :, :, None, :] * eye_rows[:, None, None, :, None]
             ).reshape(S, nd_, 3, nc)
-            CC = (
-                loc["diag_b"][:, :, :, None, :]
-                * eye_rows[:, None, None, :, None]
-                + loc["up_b"][:, :, :, None, :]
-                * up_rows[:, None, None, :, None]
+            Bcol_nc = (
+                Bcol[:, :, :, None, :] * eye_rows[:, None, None, :, None]
             ).reshape(S, nd_, 3, nc)
-            rhs_d = jnp.concatenate(
-                [rhs_cam, CC, loc["b_dp"][..., None]], axis=-1
+            rhs_M = jnp.concatenate(
+                [AU_nc, Bcol_nc, phi_hat[..., None]], axis=-1
             )
             if F > 1:
-                Tsol = spike_chain_solve_local(
-                    None, loc["Bd"], rhs_d, F,
-                    scalars=(c_dmp, loc["ch_T"]),
+                Z = spike_chain_solve_local(
+                    None, B_M, rhs_M, F, alpha=alpha_M
                 )
             else:
-                Tsol = chain_solve_ternary(
-                    c_dmp, loc["ch_T"], loc["Bd"], rhs_d
-                )
-            Tc = Tsol[..., :nc]
-            Tm = Tsol[..., nc : 2 * nc].reshape(S, nd_, 3, W_, 6)
-            tb = Tsol[..., -1]
+                Z = chain_solve_scalar(alpha_M, B_M, rhs_M)
+            Z_U = Z[..., :nc]
+            Nh = Z[..., nc : 2 * nc].reshape(S, nd_, 3, W_, 6)
+            Z_phi = Z[..., -1]
 
-            d_cc_d = _es("kdic,kdib->kcb", loc["Rc"], Tc)  # (S, 6, nc)
-            d_bc_d = _es("kdic,kdi->kc", loc["Rc"], tb)
+            dcc_diag = _es("kdia,kd,kdib->kab", loc["Rc"], inv_c, loc["Rc"])
+            d_cc1 = _embed_rows(
+                (
+                    dcc_diag[:, :, None, :]
+                    * eye_rows[:, None, :, None]
+                ).reshape(S, 6, nc),
+                W_, start,
+            ).reshape(nc, nc)
+            d_cc2 = jax.lax.dot_general(
+                AU_nc.reshape(-1, nc), Z_U.reshape(-1, nc),
+                (((0,), (0,)), ((), ())), precision="highest",
+            )
+            d_bc1 = _embed_rows(
+                _es("kdia,kdi->ka", loc["Rc"], bzoC), W_, start
+            ).reshape(nc)
+            d_bc2 = _es("kdic,kdi->c", AU_nc, Z_phi)
 
-            # coupling dots (see schur.schur_step for the algebra; rows are
-            # LOCAL frames here, columns global)
-            Tm_act = Tm * act_full_T[None, :, None, :, None]
-            Rdot = Tm_act.reshape(S, nd_ * 3, nc)
+            Nh_act = Nh * act_full_T[None, :, None, :, None]
+            Rdot = Nh_act.reshape(S, nd_ * 3, nc)
             oh_row0 = oh_ext[:S]
 
             def _couple_dot(Brow, oh_row):
@@ -758,22 +853,21 @@ def _optimize_schur_explicit(
                 )
                 return out.reshape(S, O, 6, W_, 6)
 
-            d_cm_p = _couple_dot(loc["Rc"], oh_row0)
-            d_mm_diag = _couple_dot(loc["diag_b"], oh_row0)
-            d_mm_up = _couple_dot(loc["up_b"], oh_next)
-            b_diag = _es("kdia,kdi,kdo->koa", loc["diag_b"], tb, oh_row0)
-            b_up = _es("kdia,kdi,kdo->koa", loc["up_b"], tb, oh_next)
+            S_hh = _couple_dot(Bcol, oh_row0)
+            cm_cur = _couple_dot(AU_cur, oh_row0)
+            cm_prev = _couple_dot(AU_prev, oh_row0)        # camera row k-1
+            d_bm_p = _es("kdia,kdi,kdo->koa", Bcol, Z_phi, oh_row0)
 
             pk = _pack_psum(
                 {
                     **sys["part"],
-                    "d_cc": _embed_rows(d_cc_d, W_, start) + d_cc_s / F,
-                    "d_bc": _embed_rows(d_bc_d, W_, start) + d_bc_s / F,
-                    "d_cm": _embed_rows(d_cm_p, W_, start),
-                    "d_mm": _embed_rows(d_mm_diag, W_, start)
-                    + _embed_rows_shift1(d_mm_up, W_, start),
-                    "d_bm": _embed_rows(b_diag, W_, start)
-                    + _embed_rows_shift1(b_up, W_, start),
+                    "d_cc": d_cc1 - d_cc2
+                    + d_cc_s.reshape(nc, nc) / F,
+                    "d_bc": d_bc1 - d_bc2 + d_bc_s.reshape(nc) / F,
+                    "d_cm": _embed_rows(cm_cur, W_, start)
+                    + _embed_rows_shiftm1(cm_prev, W_, start),
+                    "d_mm": -_embed_rows(S_hh, W_, start),
+                    "d_bm": _embed_rows(d_bm_p, W_, start),
                 },
                 (FA, TA),
             )
@@ -781,14 +875,19 @@ def _optimize_schur_explicit(
             # replicated assembly + Cholesky (redundant on every device)
             idx = jnp.arange(W_)
             Hcc = repl["Hcc0"].at[idx, :, idx, :].add(pk["Dcam"])
-            b_cam = -(g0 := repl["g_cam0"] + pk["g_pts"])
-            Dmm = repl["Dmm_sm"] + pk["Dmm_t"]
-            b_mot = -(repl["g_mot_sm"] + pk["g_mot_t"])
+            b_cam = -(repl["g_cam0"] + pk["g_pts"])
             diag_cc = Hcc[idx, :, idx, :]
             Hcc_d = Hcc.at[idx, :, idx, :].set(
                 _damp_blocks(diag_cc, lam, floor)
             )
-            Dmm_d = _damp_blocks(Dmm, lam, floor)
+            Dmm_sm = repl["Dmm_sm"]
+            diag_full = (
+                jnp.diagonal(Dmm_sm, axis1=-2, axis2=-1) + pk["ddiag_t"]
+            )
+            Dmm_d = Dmm_sm + (
+                lam * jnp.maximum(diag_full, floor)
+            )[..., None] * jnp.eye(6, dtype=dtype)
+            b_mot = -repl["g_mot_sm"]
             d_cm = pk["d_cm"].transpose(0, 2, 3, 1, 4).reshape(
                 nc, W_, O, 6
             )
@@ -799,7 +898,7 @@ def _optimize_schur_explicit(
             )
             Hred, bred = assemble_reduced(
                 sys_proxy, Hcc_d, Dmm_d,
-                pk["d_cc"].reshape(nc, nc), pk["d_bc"].reshape(nc),
+                pk["d_cc"], pk["d_bc"],
                 d_cm, pk["d_mm"], pk["d_bm"],
             )
             cho = jax.scipy.linalg.cho_factor(Hred)
@@ -807,12 +906,32 @@ def _optimize_schur_explicit(
             dc = delta_p[:nc]
             dm = delta_p[nc:].reshape(W_, O, 6)
 
-            # back-substitution (local)
+            # back-substitution (local; one v-ghost ppermute)
             d_sp = yb_s - _es("nmq,q->nm", Yc_s, dc)
             dm_sel = _es("gdo,gob->gdb", onehot_full, dm)   # (W, nd, 6)
-            d_dp = tb - _es("kdiq,q->kdi", Tc, dc) - _es(
-                "kdigb,gdb->kdi", Tm, dm_sel
+            v = (
+                Z_phi
+                - _es("kdic,c->kdi", Z_U, dc)
+                + _es("kdigb,gdb->kdi", Nh, dm_sel)
             )
+            if F > 1:
+                v_r = jax.lax.ppermute(
+                    v[0], FA, [(i, i - 1) for i in range(1, F)]
+                )
+            else:
+                v_r = jnp.zeros_like(v[0])
+            v_next = jnp.concatenate([v[1:], v_r[None]], axis=0)
+            s_next = s_ext[1:]                              # slots 1..S
+            Atv = (
+                -s_loc[..., None]
+                * _es("kdab,kdb->kda", loc["st_R"][:S], v)
+                + s_next[..., None] * v_next
+            )
+            dc_loc = jax.lax.dynamic_slice_in_dim(
+                dc.reshape(W_, 6), start, S, 0
+            )
+            r1 = loc["b_dp"] - _es("kdia,ka->kdi", loc["Rc"], dc_loc)
+            d_dp = (r1 - Atv) * inv_c[..., None]
             return {"X": dc.reshape(W_, 6), "P": dm, "sp": d_sp, "dp": d_dp}
 
         return lm_optimize_schur(

@@ -38,13 +38,13 @@ def main():
         m = update_map(m, pkt, k)
     starts = jnp.asarray(window_starts(128, 10, 4), jnp.int32)
     cfg = BackendConfig(use_full_batch_opt=False, use_schur=True)
-    lm_cfg = LMConfig(max_iterations=10)
+    lm_cfg = LMConfig(max_iterations=int(os.environ.get("DYNO_PROBE_ITERS", "10")))
     t0 = time.perf_counter()
     vals, err, ierr, masks = _solve_windows(m, starts, 10, cfg, lm_cfg)
     errs = np.asarray(err)
     dt = time.perf_counter() - t0
     print(
-        f"nan_ratchet={retry}: median err {np.median(errs):.4f}  "
+        f"iters={lm_cfg.max_iterations} nan_ratchet={retry}: median err {np.median(errs):.4f}  "
         f"mean {errs.mean():.4f}  max {errs.max():.4f}  "
         f"(init median {np.median(np.asarray(ierr)):.2f}; {dt:.1f}s total)"
     )

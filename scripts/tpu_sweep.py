@@ -61,12 +61,25 @@ def run(env_extra: dict, snippet: str, label: str, timeout=1500):
         print(p.stderr[-1200:], file=sys.stderr)
 
 
+ALT_SNIPPET = """
+import sys, time
+sys.path.insert(0, {repo!r})
+import bench
+from dynosam_tpu.utils.config import FrontendConfig, TrackerConfig
+sc, frames = bench.rendered_frames()
+cfg = FrontendConfig(tracker=TrackerConfig(
+    max_features_per_frame=1000, {tracker_kw}), {frontend_kw})
+fps = bench.bench_frontend_scan(frames, sc.cam, "sweep", cfg)
+print(f"RESULT frontend_fps={{fps:.2f}}", flush=True)
+"""
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "backend"):
-        for lanes in ("0", "1"):
-            run({"DYNO_SCHUR_LANES": lanes}, BACKEND_SNIPPET,
-                f"backend window-10  DYNO_SCHUR_LANES={lanes}")
+        for stable in ("0", "1"):
+            run({"DYNO_SCHUR_STABLE": stable}, BACKEND_SNIPPET,
+                f"backend window-10  DYNO_SCHUR_STABLE={stable}")
     if which in ("all", "frontend"):
         for variant in ("reload", "resident", "fma"):
             for prec in ("highest", "float32"):
@@ -76,6 +89,26 @@ def main():
                     FRONTEND_SNIPPET,
                     f"frontend scan  LK={variant} prec={prec}",
                 )
+    if which in ("all", "alt"):
+        # non-default compute paths (VERDICT r3 item 8): one recorded TPU
+        # number each for the alternate detector / ego solver / tracker
+        # configurations the reference treats as first-class modes
+        # (`MotionSolver.cc:111-429`, FeatureDetectorType, ByteTrack).
+        alts = [
+            ("frontend ORB detector",
+             'feature_detector_type="orb"', ""),
+            ("frontend 2d2d essential ego",
+             "", 'ego_motion_solver="2d2d"'),
+            ("frontend 3d3d Arun ego",
+             "", 'ego_motion_solver="3d3d"'),
+            ("frontend ByteTrack association",
+             "use_byte_tracker=True", ""),
+        ]
+        for label, tracker_kw, frontend_kw in alts:
+            snippet = ALT_SNIPPET.replace("{tracker_kw}", tracker_kw
+                                          ).replace("{frontend_kw}",
+                                                    frontend_kw)
+            run({}, snippet, label)
 
 
 if __name__ == "__main__":
