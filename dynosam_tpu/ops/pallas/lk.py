@@ -197,63 +197,81 @@ def _make_kernel_resident(
         gv = g_ref[pl.ds(base, feat_block), :]
         vv = v_ref[pl.ds(base, feat_block), 0]
 
-        # ---- templates/gradients from prev (window loaded once each) ----
-        ts, gxs, gys, coefs = [], [], [], []
-        cur_wins, cur_anchor = [], []
-        for f in range(feat_block):
-            px, py = pv[f, 0], pv[f, 1]
-            jx0, jy0 = anchor(px - hw - 1, py - hw - 1)
-            wp = prev_ref[pl.ds(jy0, SY), pl.ds(jx0, SX)]
-            b = interp(wp, jx0, jy0, px - hw - 1, py - hw - 1, pwin)
-            t = b[1:win + 1, 1:win + 1]
-            gx = (b[1:win + 1, 2:win + 2] - b[1:win + 1, 0:win]) * 0.5
-            gy = (b[2:win + 2, 1:win + 1] - b[0:win, 1:win + 1]) * 0.5
-            gxx = jnp.sum(gx * gx)
-            gxy = jnp.sum(gx * gy)
-            gyy = jnp.sum(gy * gy)
-            det = gxx * gyy - gxy * gxy
-            inv_ok = det > 1e-6
-            det_safe = jnp.where(inv_ok, det, 1.0)
-            ts.append(t)
-            gxs.append(gx)
-            gys.append(gy)
-            coefs.append((gxx, gxy, gyy, det_safe, inv_ok))
-            # resident CURRENT window, anchored at the warm start
-            cx0, cy0 = anchor(
-                px + gv[f, 0] - hw - 1, py + gv[f, 1] - hw - 1
+        # ---- all-inactive block: skip template/iteration/error work
+        # entirely (callers compact active slots to the front, so whole
+        # blocks of dead pool slots cost one predicate each).  Passthrough
+        # writes keep the output buffers defined: unchanged flow, zero
+        # error (inactive slots are masked by the caller's `valid` gate
+        # either way).
+        any_act = jnp.max(vv) > 0.0
+
+        @pl.when(jnp.logical_not(any_act))
+        def _():
+            gout_ref[pl.ds(base, feat_block), :] = gv
+            err_ref[pl.ds(base, feat_block), :] = jnp.zeros(
+                (feat_block, 1), gv.dtype
             )
-            cur_wins.append(cur_ref[pl.ds(cy0, SY), pl.ds(cx0, SX)])
-            cur_anchor.append((cx0, cy0))
 
-        def sample_cur(f, gu_f, gv_f):
-            cx0, cy0 = cur_anchor[f]
-            p = interp(
-                cur_wins[f], cx0, cy0,
-                pv[f, 0] + gu_f - hw - 1, pv[f, 1] + gv_f - hw - 1, pwin,
+        @pl.when(any_act)
+        def _():
+
+            # ---- templates/gradients from prev (window loaded once each) ----
+            ts, gxs, gys, coefs = [], [], [], []
+            cur_wins, cur_anchor = [], []
+            for f in range(feat_block):
+                px, py = pv[f, 0], pv[f, 1]
+                jx0, jy0 = anchor(px - hw - 1, py - hw - 1)
+                wp = prev_ref[pl.ds(jy0, SY), pl.ds(jx0, SX)]
+                b = interp(wp, jx0, jy0, px - hw - 1, py - hw - 1, pwin)
+                t = b[1:win + 1, 1:win + 1]
+                gx = (b[1:win + 1, 2:win + 2] - b[1:win + 1, 0:win]) * 0.5
+                gy = (b[2:win + 2, 1:win + 1] - b[0:win, 1:win + 1]) * 0.5
+                gxx = jnp.sum(gx * gx)
+                gxy = jnp.sum(gx * gy)
+                gyy = jnp.sum(gy * gy)
+                det = gxx * gyy - gxy * gxy
+                inv_ok = det > 1e-6
+                det_safe = jnp.where(inv_ok, det, 1.0)
+                ts.append(t)
+                gxs.append(gx)
+                gys.append(gy)
+                coefs.append((gxx, gxy, gyy, det_safe, inv_ok))
+                # resident CURRENT window, anchored at the warm start
+                cx0, cy0 = anchor(
+                    px + gv[f, 0] - hw - 1, py + gv[f, 1] - hw - 1
+                )
+                cur_wins.append(cur_ref[pl.ds(cy0, SY), pl.ds(cx0, SX)])
+                cur_anchor.append((cx0, cy0))
+
+            def sample_cur(f, gu_f, gv_f):
+                cx0, cy0 = cur_anchor[f]
+                p = interp(
+                    cur_wins[f], cx0, cy0,
+                    pv[f, 0] + gu_f - hw - 1, pv[f, 1] + gv_f - hw - 1, pwin,
+                )
+                return p[1:win + 1, 1:win + 1]
+
+            def step(f, gu_f, gv_f):
+                r = sample_cur(f, gu_f, gv_f) - ts[f]
+                bx = jnp.sum(r * gxs[f])
+                by = jnp.sum(r * gys[f])
+                gxx, gxy, gyy, det_safe, inv_ok = coefs[f]
+                du = -(gyy * bx - gxy * by) / det_safe
+                dv = -(-gxy * bx + gxx * by) / det_safe
+                du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
+                dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
+                return du, dv
+
+            gu, gv_ = _run_iters(
+                step, feat_block, iters, eps, gv[:, 0], gv[:, 1], vv, unroll
             )
-            return p[1:win + 1, 1:win + 1]
 
-        def step(f, gu_f, gv_f):
-            r = sample_cur(f, gu_f, gv_f) - ts[f]
-            bx = jnp.sum(r * gxs[f])
-            by = jnp.sum(r * gys[f])
-            gxx, gxy, gyy, det_safe, inv_ok = coefs[f]
-            du = -(gyy * bx - gxy * by) / det_safe
-            dv = -(-gxy * bx + gxx * by) / det_safe
-            du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
-            dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
-            return du, dv
-
-        gu, gv_ = _run_iters(
-            step, feat_block, iters, eps, gv[:, 0], gv[:, 1], vv, unroll
-        )
-
-        errs = [
-            jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
-            for f in range(feat_block)
-        ]
-        gout_ref[pl.ds(base, feat_block), :] = jnp.stack([gu, gv_], axis=-1)
-        err_ref[pl.ds(base, feat_block), :] = jnp.stack(errs)[:, None]
+            errs = [
+                jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
+                for f in range(feat_block)
+            ]
+            gout_ref[pl.ds(base, feat_block), :] = jnp.stack([gu, gv_], axis=-1)
+            err_ref[pl.ds(base, feat_block), :] = jnp.stack(errs)[:, None]
 
     return kernel
 
@@ -349,61 +367,79 @@ def _make_kernel_fma(
         gv = g_ref[pl.ds(base, feat_block), :]
         vv = v_ref[pl.ds(base, feat_block), 0]
 
-        ts, gxs, gys, coefs = [], [], [], []
-        cur_wins, cur_anchor = [], []
-        for f in range(feat_block):
-            px, py = pv[f, 0], pv[f, 1]
-            jx0, jy0 = anchor(px - hw - 1, py - hw - 1)
-            wp = prev_ref[pl.ds(jy0, SY), pl.ds(jx0, SX)]
-            b = interp(wp, jx0, jy0, px - hw - 1, py - hw - 1, pwin)
-            t = b[1:win + 1, 1:win + 1]
-            gx = (b[1:win + 1, 2:win + 2] - b[1:win + 1, 0:win]) * 0.5
-            gy = (b[2:win + 2, 1:win + 1] - b[0:win, 1:win + 1]) * 0.5
-            gxx = jnp.sum(gx * gx)
-            gxy = jnp.sum(gx * gy)
-            gyy = jnp.sum(gy * gy)
-            det = gxx * gyy - gxy * gxy
-            inv_ok = det > 1e-6
-            det_safe = jnp.where(inv_ok, det, 1.0)
-            ts.append(t)
-            gxs.append(gx)
-            gys.append(gy)
-            coefs.append((gxx, gxy, gyy, det_safe, inv_ok))
-            cx0, cy0 = anchor(
-                px + gv[f, 0] - hw - 1, py + gv[f, 1] - hw - 1
+        # ---- all-inactive block: skip template/iteration/error work
+        # entirely (callers compact active slots to the front, so whole
+        # blocks of dead pool slots cost one predicate each).  Passthrough
+        # writes keep the output buffers defined: unchanged flow, zero
+        # error (inactive slots are masked by the caller's `valid` gate
+        # either way).
+        any_act = jnp.max(vv) > 0.0
+
+        @pl.when(jnp.logical_not(any_act))
+        def _():
+            gout_ref[pl.ds(base, feat_block), :] = gv
+            err_ref[pl.ds(base, feat_block), :] = jnp.zeros(
+                (feat_block, 1), gv.dtype
             )
-            cur_wins.append(cur_ref[pl.ds(cy0, SY), pl.ds(cx0, SX)])
-            cur_anchor.append((cx0, cy0))
 
-        def sample_cur(f, gu_f, gv_f):
-            cx0, cy0 = cur_anchor[f]
-            p = interp(
-                cur_wins[f], cx0, cy0,
-                pv[f, 0] + gu_f - hw - 1, pv[f, 1] + gv_f - hw - 1, pwin,
+        @pl.when(any_act)
+        def _():
+
+            ts, gxs, gys, coefs = [], [], [], []
+            cur_wins, cur_anchor = [], []
+            for f in range(feat_block):
+                px, py = pv[f, 0], pv[f, 1]
+                jx0, jy0 = anchor(px - hw - 1, py - hw - 1)
+                wp = prev_ref[pl.ds(jy0, SY), pl.ds(jx0, SX)]
+                b = interp(wp, jx0, jy0, px - hw - 1, py - hw - 1, pwin)
+                t = b[1:win + 1, 1:win + 1]
+                gx = (b[1:win + 1, 2:win + 2] - b[1:win + 1, 0:win]) * 0.5
+                gy = (b[2:win + 2, 1:win + 1] - b[0:win, 1:win + 1]) * 0.5
+                gxx = jnp.sum(gx * gx)
+                gxy = jnp.sum(gx * gy)
+                gyy = jnp.sum(gy * gy)
+                det = gxx * gyy - gxy * gxy
+                inv_ok = det > 1e-6
+                det_safe = jnp.where(inv_ok, det, 1.0)
+                ts.append(t)
+                gxs.append(gx)
+                gys.append(gy)
+                coefs.append((gxx, gxy, gyy, det_safe, inv_ok))
+                cx0, cy0 = anchor(
+                    px + gv[f, 0] - hw - 1, py + gv[f, 1] - hw - 1
+                )
+                cur_wins.append(cur_ref[pl.ds(cy0, SY), pl.ds(cx0, SX)])
+                cur_anchor.append((cx0, cy0))
+
+            def sample_cur(f, gu_f, gv_f):
+                cx0, cy0 = cur_anchor[f]
+                p = interp(
+                    cur_wins[f], cx0, cy0,
+                    pv[f, 0] + gu_f - hw - 1, pv[f, 1] + gv_f - hw - 1, pwin,
+                )
+                return p[1:win + 1, 1:win + 1]
+
+            def step(f, gu_f, gv_f):
+                r = sample_cur(f, gu_f, gv_f) - ts[f]
+                bx = jnp.sum(r * gxs[f])
+                by = jnp.sum(r * gys[f])
+                gxx, gxy, gyy, det_safe, inv_ok = coefs[f]
+                du = -(gyy * bx - gxy * by) / det_safe
+                dv = -(-gxy * bx + gxx * by) / det_safe
+                du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
+                dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
+                return du, dv
+
+            gu, gv_ = _run_iters(
+                step, feat_block, iters, eps, gv[:, 0], gv[:, 1], vv, unroll
             )
-            return p[1:win + 1, 1:win + 1]
 
-        def step(f, gu_f, gv_f):
-            r = sample_cur(f, gu_f, gv_f) - ts[f]
-            bx = jnp.sum(r * gxs[f])
-            by = jnp.sum(r * gys[f])
-            gxx, gxy, gyy, det_safe, inv_ok = coefs[f]
-            du = -(gyy * bx - gxy * by) / det_safe
-            dv = -(-gxy * bx + gxx * by) / det_safe
-            du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
-            dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
-            return du, dv
-
-        gu, gv_ = _run_iters(
-            step, feat_block, iters, eps, gv[:, 0], gv[:, 1], vv, unroll
-        )
-
-        errs = [
-            jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
-            for f in range(feat_block)
-        ]
-        gout_ref[pl.ds(base, feat_block), :] = jnp.stack([gu, gv_], axis=-1)
-        err_ref[pl.ds(base, feat_block), :] = jnp.stack(errs)[:, None]
+            errs = [
+                jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
+                for f in range(feat_block)
+            ]
+            gout_ref[pl.ds(base, feat_block), :] = jnp.stack([gu, gv_], axis=-1)
+            err_ref[pl.ds(base, feat_block), :] = jnp.stack(errs)[:, None]
 
     return kernel
 
@@ -485,62 +521,80 @@ def _make_kernel(
             base = pl.multiple_of(base, 8)
         pv = p_ref[pl.ds(base, feat_block), :]   # (F, 2) value; scalars
         gv = g_ref[pl.ds(base, feat_block), :]   # extracted from the value
-        vv = v_ref[pl.ds(base, feat_block), 0]   # (F,) 1.0 = active slot
+        vv = v_ref[pl.ds(base, feat_block), 0]
 
-        # ---- per-feature templates + gradients (unrolled, independent) --
-        ts, gxs, gys, coefs = [], [], [], []
-        for f in range(feat_block):
-            px, py = pv[f, 0], pv[f, 1]
-            b = sample(prev_ref, px - hw - 1, py - hw - 1, pwin)
-            t = b[1:win + 1, 1:win + 1]                # (win, win)
-            gx = (b[1:win + 1, 2:win + 2] - b[1:win + 1, 0:win]) * 0.5
-            gy = (b[2:win + 2, 1:win + 1] - b[0:win, 1:win + 1]) * 0.5
-            gxx = jnp.sum(gx * gx)
-            gxy = jnp.sum(gx * gy)
-            gyy = jnp.sum(gy * gy)
-            det = gxx * gyy - gxy * gxy
-            inv_ok = det > 1e-6
-            det_safe = jnp.where(inv_ok, det, 1.0)
-            ts.append(t)
-            gxs.append(gx)
-            gys.append(gy)
-            coefs.append((gxx, gxy, gyy, det_safe, inv_ok))
+        # ---- all-inactive block: skip template/iteration/error work
+        # entirely (callers compact active slots to the front, so whole
+        # blocks of dead pool slots cost one predicate each).  Passthrough
+        # writes keep the output buffers defined: unchanged flow, zero
+        # error (inactive slots are masked by the caller's `valid` gate
+        # either way).
+        any_act = jnp.max(vv) > 0.0
 
-        def sample_cur(f, gu_f, gv_f):
-            p = sample(
-                cur_ref, pv[f, 0] + gu_f - hw - 1, pv[f, 1] + gv_f - hw - 1,
-                pwin,
+        @pl.when(jnp.logical_not(any_act))
+        def _():
+            gout_ref[pl.ds(base, feat_block), :] = gv
+            err_ref[pl.ds(base, feat_block), :] = jnp.zeros(
+                (feat_block, 1), gv.dtype
             )
-            return p[1:win + 1, 1:win + 1]             # (win, win)
 
-        def step(f, gu_f, gv_f):
-            r = sample_cur(f, gu_f, gv_f) - ts[f]
-            bx = jnp.sum(r * gxs[f])
-            by = jnp.sum(r * gys[f])
-            gxx, gxy, gyy, det_safe, inv_ok = coefs[f]
-            du = -(gyy * bx - gxy * by) / det_safe
-            dv = -(-gxy * bx + gxx * by) / det_safe
-            du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
-            dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
-            return du, dv
+        @pl.when(any_act)
+        def _():       # (F,) 1.0 = active slot
 
-        # ---- JOINT iteration loop over the whole feature block ----------
-        # One loop whose body advances all F features (per-feature freeze
-        # mask for the eps gate) instead of F sequential per-feature
-        # loops: the F samples inside one body are independent, so their
-        # window loads/matmuls pipeline, and the sequential depth drops
-        # from sum_f(iters_f) to max_f(iters_f).  See _run_iters for the
-        # unroll semantics.
-        gu, gv_ = _run_iters(
-            step, feat_block, iters, eps, gv[:, 0], gv[:, 1], vv, unroll
-        )
+            # ---- per-feature templates + gradients (unrolled, independent) --
+            ts, gxs, gys, coefs = [], [], [], []
+            for f in range(feat_block):
+                px, py = pv[f, 0], pv[f, 1]
+                b = sample(prev_ref, px - hw - 1, py - hw - 1, pwin)
+                t = b[1:win + 1, 1:win + 1]                # (win, win)
+                gx = (b[1:win + 1, 2:win + 2] - b[1:win + 1, 0:win]) * 0.5
+                gy = (b[2:win + 2, 1:win + 1] - b[0:win, 1:win + 1]) * 0.5
+                gxx = jnp.sum(gx * gx)
+                gxy = jnp.sum(gx * gy)
+                gyy = jnp.sum(gy * gy)
+                det = gxx * gyy - gxy * gxy
+                inv_ok = det > 1e-6
+                det_safe = jnp.where(inv_ok, det, 1.0)
+                ts.append(t)
+                gxs.append(gx)
+                gys.append(gy)
+                coefs.append((gxx, gxy, gyy, det_safe, inv_ok))
 
-        errs = [
-            jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
-            for f in range(feat_block)
-        ]
-        gout_ref[pl.ds(base, feat_block), :] = jnp.stack([gu, gv_], axis=-1)
-        err_ref[pl.ds(base, feat_block), :] = jnp.stack(errs)[:, None]
+            def sample_cur(f, gu_f, gv_f):
+                p = sample(
+                    cur_ref, pv[f, 0] + gu_f - hw - 1, pv[f, 1] + gv_f - hw - 1,
+                    pwin,
+                )
+                return p[1:win + 1, 1:win + 1]             # (win, win)
+
+            def step(f, gu_f, gv_f):
+                r = sample_cur(f, gu_f, gv_f) - ts[f]
+                bx = jnp.sum(r * gxs[f])
+                by = jnp.sum(r * gys[f])
+                gxx, gxy, gyy, det_safe, inv_ok = coefs[f]
+                du = -(gyy * bx - gxy * by) / det_safe
+                dv = -(-gxy * bx + gxx * by) / det_safe
+                du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
+                dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
+                return du, dv
+
+            # ---- JOINT iteration loop over the whole feature block ----------
+            # One loop whose body advances all F features (per-feature freeze
+            # mask for the eps gate) instead of F sequential per-feature
+            # loops: the F samples inside one body are independent, so their
+            # window loads/matmuls pipeline, and the sequential depth drops
+            # from sum_f(iters_f) to max_f(iters_f).  See _run_iters for the
+            # unroll semantics.
+            gu, gv_ = _run_iters(
+                step, feat_block, iters, eps, gv[:, 0], gv[:, 1], vv, unroll
+            )
+
+            errs = [
+                jnp.mean(jnp.abs(sample_cur(f, gu[f], gv_[f]) - ts[f]))
+                for f in range(feat_block)
+            ]
+            gout_ref[pl.ds(base, feat_block), :] = jnp.stack([gu, gv_], axis=-1)
+            err_ref[pl.ds(base, feat_block), :] = jnp.stack(errs)[:, None]
 
     return kernel
 
@@ -673,11 +727,31 @@ def klt_track_pallas(
     level kernel (same pyramid, same update equations, same result
     contract; border-window clamping differs only for features whose
     patches leave the image — those fail the in-bounds/error gates).
-    `g0` (level-0 pixels) warm-starts the flow like `klt_track`."""
+    `g0` (level-0 pixels) warm-starts the flow like `klt_track`.
+
+    ACTIVE-SLOT COMPACTION: slot ids are pool identities, so at steady
+    state the live features are scattered across the pool and nearly every
+    feat_block contains at least one — the all-inactive block early-exit
+    never fires.  A rank permutation (sort-free cumsum) moves active slots
+    to the front before the kernel and inverts after, making kernel time
+    track the ACTIVE count, not the pool capacity (per-slot results are
+    permutation-exact)."""
     dtype = prev_gray.dtype
     pyr_prev = build_pyramid(prev_gray, levels)
     pyr_cur = build_pyramid(cur_gray, levels)
     n = uv_prev.shape[0]
+
+    act = valid
+    r_act = jnp.cumsum(act) - 1
+    r_inact = jnp.sum(act) + jnp.cumsum(~act) - 1
+    rank = jnp.where(act, r_act, r_inact).astype(jnp.int32)  # slot -> pos
+    order = jnp.zeros((n,), jnp.int32).at[rank].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )                                                        # pos -> slot
+    uv_prev = uv_prev[order]
+    valid = valid[order]
+    if g0 is not None:
+        g0 = g0[order]
 
     if g0 is None:
         g = jnp.zeros((n, 2), dtype)
@@ -706,4 +780,5 @@ def klt_track_pallas(
     ok = valid & inb & (err < max_error) & jnp.all(
         jnp.isfinite(uv_cur), axis=-1
     )
-    return KLTResult(uv=uv_cur, ok=ok, error=err)
+    # invert the active-slot compaction: original slot i sits at rank[i]
+    return KLTResult(uv=uv_cur[rank], ok=ok[rank], error=err[rank])

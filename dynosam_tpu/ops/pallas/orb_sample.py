@@ -124,12 +124,20 @@ def _make_kernel(h: int, w: int, feat_block: int):
             )                                                 # (31, 31)
             m10 = jnp.sum(p31 * wx)
             m01 = jnp.sum(p31 * wy)
-            ang = jnp.arctan2(m01, m10)
-            angs.append(ang)
+            # Mosaic has no atan2 lowering; the steering only needs
+            # cos/sin of the centroid angle, which come straight from the
+            # normalized moment vector (exactly cos/sin(atan2(m01, m10)),
+            # and the zero-moment case matches atan2(0,0)=0).  The angle
+            # itself is reconstructed by the wrapper via XLA arctan2.
+            angs.append(jnp.stack([m01, m10]))
 
             # ---- steered BRIEF taps from the BLURRED level image -------
             wblur, jy0b, jx0b = window(blur_ref, px, py)
-            ca, sa = jnp.cos(ang), jnp.sin(ang)
+            r = jnp.sqrt(m10 * m10 + m01 * m01)
+            r_ok = r > 0.0
+            r_safe = jnp.where(r_ok, r, 1.0)
+            ca = jnp.where(r_ok, m10 / r_safe, 1.0)
+            sa = jnp.where(r_ok, m01 / r_safe, 0.0)
             tx = px + ca * pat[:, 0] - sa * pat[:, 1]        # (512,)
             ty = py + sa * pat[:, 0] + ca * pat[:, 1]
             # 2-hot bilinear row/col weights against the window grid
@@ -148,7 +156,7 @@ def _make_kernel(h: int, w: int, feat_block: int):
             b = vals[1::2]
             descs.append(jnp.where(a < b, 1.0, -1.0))        # (256,)
 
-        ang_ref[pl.ds(base, feat_block), :] = jnp.stack(angs)[:, None]
+        ang_ref[pl.ds(base, feat_block), :] = jnp.stack(angs)  # (F, 2)
         desc_ref[pl.ds(base, feat_block), :] = jnp.stack(descs)
 
     return kernel, SY, SX
@@ -185,13 +193,13 @@ def orb_orientation_descriptors(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((np_, 1), lambda i: (0, 0),
+            pl.BlockSpec((np_, 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((np_, 256), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((np_, 2), jnp.float32),
             jax.ShapeDtypeStruct((np_, 256), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -199,4 +207,7 @@ def orb_orientation_descriptors(
         ),
         interpret=interpret,
     )(uv.astype(jnp.float32), jnp.asarray(_PAT), raw_img, blur_img)
-    return ang[:n, 0], desc[:n].astype(jnp.int8)
+    # the kernel emits the raw centroid moments (m01, m10) — Mosaic has no
+    # atan2 lowering, so the angle is reconstructed here on the XLA side
+    angle = jnp.arctan2(ang[:n, 0], ang[:n, 1])
+    return angle, desc[:n].astype(jnp.int8)
