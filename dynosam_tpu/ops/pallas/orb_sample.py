@@ -42,9 +42,14 @@ _circ = (_ox ** 2 + _oy ** 2) <= HALF ** 2
 _WX = (_ox * _circ).astype(np.float32)      # (31, 31)
 _WY = (_oy * _circ).astype(np.float32)
 
-# BRIEF pattern as flat (512, 2) tap offsets (pairs interleaved a,b)
-_PAT = _orb._PATTERN.reshape(-1, 2).astype(np.float32)       # (512, 2)
+# BRIEF pattern as flat (512, 2) tap offsets.  The source interleaves the
+# (a, b) tap pairs; de-interleave HERE (numpy, import time) so the kernel
+# compares contiguous halves — a strided vals[0::2] slice lowers to a
+# lane gather that Mosaic rejects ("Only 2D gather is supported").
+_PAT_I = _orb._PATTERN.reshape(-1, 2).astype(np.float32)     # (512, 2)
+_PAT = np.concatenate([_PAT_I[0::2], _PAT_I[1::2]], axis=0)  # a's then b's
 _N_TAPS = _PAT.shape[0]
+_N_PAIRS = _N_TAPS // 2
 
 
 def _make_kernel(h: int, w: int, feat_block: int):
@@ -152,8 +157,8 @@ def _make_kernel(h: int, w: int, feat_block: int):
             rw = jnp.dot(Rt, wblur, preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
             vals = jnp.sum(rw * Ct, axis=1)                  # (512,)
-            a = vals[0::2]
-            b = vals[1::2]
+            a = vals[:_N_PAIRS]                              # de-interleaved
+            b = vals[_N_PAIRS:]
             descs.append(jnp.where(a < b, 1.0, -1.0))        # (256,)
 
         ang_ref[pl.ds(base, feat_block), :] = jnp.stack(angs)  # (F, 2)
