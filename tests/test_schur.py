@@ -332,3 +332,38 @@ def test_chain_solve_lanes_matches_block_major(rng):
         )
     )
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_chain_solve_ternary_and_scalar_match_generic(rng):
+    """`chain_solve_ternary` (gamma-form, cancellation-free) and
+    `chain_solve_scalar` (explicit-alpha Thomas) == the generic block
+    solver on scalar-diagonal / scaled-rotation chains (the structure both
+    backend formulations build — schur.py session-9 notes)."""
+    import scipy.spatial.transform as sst
+
+    W, N, M = 7, 6, 4
+    c = jnp.asarray(rng.uniform(0.5, 2.0, (W, N)), jnp.float32)
+    T = jnp.asarray(rng.uniform(0.1, 5.0, (W, N)), jnp.float32)
+    T = T.at[0].set(0.0)
+    # a chain cut mid-way (factor mask edge)
+    T = T.at[4, :2].set(0.0)
+    R = jnp.asarray(
+        sst.Rotation.random(W * N, random_state=3).as_matrix().reshape(
+            W, N, 3, 3
+        ),
+        jnp.float32,
+    )
+    B = -T[..., None, None] * jnp.swapaxes(R, -1, -2)
+    Tn = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
+    alpha = c + T + Tn
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    A = alpha[..., None, None] * eye3
+    rhs = jnp.asarray(rng.normal(0, 1, (W, N, 3, M)), jnp.float32)
+
+    want = schur.chain_solve(A, B, rhs)
+    got_t = schur.chain_solve_ternary(c, T, B, rhs)
+    got_s = schur.chain_solve_scalar(alpha, B, rhs)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
