@@ -8,17 +8,13 @@ echo $$ > tpu_runs/watch.pid
 while true; do
   if timeout 150 python -c 'import jax, numpy as np, jax.numpy as jnp; x=jnp.ones((128,128)); assert float(np.asarray((x@x).sum())) == 128.0*128*128' >/dev/null 2>&1; then
     echo "$(date -u) TUNNEL UP - running queue" >> tpu_runs/watch.log
-    timeout 2400 python scripts/tpu_sweep.py backend > tpu_runs/sweep_backend.txt 2>&1
-    echo "$(date -u) sweep backend done rc=$?" >> tpu_runs/watch.log
     timeout 2400 python bench.py > tpu_runs/bench_stdout.txt 2> tpu_runs/bench_stderr.txt
     echo "$(date -u) bench done rc=$?" >> tpu_runs/watch.log
-    timeout 3000 python scripts/tpu_sweep.py frontend > tpu_runs/sweep_frontend.txt 2>&1
-    echo "$(date -u) sweep frontend done rc=$?" >> tpu_runs/watch.log
+    timeout 2400 python scripts/accuracy_tpu.py > tpu_runs/accuracy_tpu.txt 2>&1
+    echo "$(date -u) accuracy done rc=$?" >> tpu_runs/watch.log
     timeout 1500 python scripts/trace_backend.py > tpu_runs/trace_backend.txt 2>&1
     echo "$(date -u) trace backend done rc=$?" >> tpu_runs/watch.log
-    timeout 1500 python scripts/trace_frontend.py 33 > tpu_runs/trace_frontend.txt 2>&1
-    echo "$(date -u) trace frontend done rc=$?" >> tpu_runs/watch.log
-    timeout 1800 python scripts/trace_pipeline.py > tpu_runs/trace_pipeline.txt 2>&1
+    DYNO_BENCH_SKIP_PIPELINE=1 DYNO_BENCH_BATCH=8 timeout 1500 python bench.py > tpu_runs/bench_batch.txt 2>&1
     echo "$(date -u) QUEUE DONE" >> tpu_runs/watch.log
     break
   fi
