@@ -43,6 +43,17 @@ iteration is an exact damped Gauss-Newton step of the IRLS-weighted problem.
 The normal system is CACHED across rejected LM steps: only lambda changes on
 a rejection, so the expensive build is skipped until a step is accepted.
 
+WorldMotion's dynamic elimination defaults to the STABLE (Woodbury) form
+(`_SCHUR_STABLE`): the ~1e10-scale ternary normal blocks are never formed —
+their f32 representation error alone (~1e3 absolute) exceeds the
+observation-bounded motion marginal that survives the reduction, which made
+the reduced system indefinite at lambda <= 1e-7 and NaN-rejected 4/10 LM
+iterations (even an f64 solve of the f32-BUILT system NaNs; session 9).
+The ternary factor stays in square-root form (st_* fields, ~1e5 scale) and
+every reduced term is a product through the capacitance chain
+M = I + A~ Klam^-1 A~^T — see `schur_step`'s stable branch for the
+identities.  With it, all iterations accept and lambda rides to 1e-10.
+
 All contractions run at `precision="highest"` — bf16-class accumulation in
 the normal equations visibly corrupts the recovered rotations on TPU.
 """

@@ -107,6 +107,8 @@ def census(txt: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", type=int, default=16)
+    ap.add_argument("--assert-max", type=int, default=0,
+                    help="exit 1 if in-body collectives exceed this")
     a = ap.parse_args()
 
     import jax
@@ -152,6 +154,9 @@ def main():
     for op, n in sorted(outside.items()):
         print(f"  {op:20s} {n}")
     print(f"  TOTAL {sum(outside.values())}")
+    if a.assert_max and sum(inside.values()) > a.assert_max:
+        print(f"FAIL: {sum(inside.values())} > {a.assert_max}")
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
