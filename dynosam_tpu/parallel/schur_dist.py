@@ -400,15 +400,6 @@ def _embed_rows(part, n_rows: int, start):
     return jax.lax.dynamic_update_slice_in_dim(z, part, start, 0)
 
 
-def _embed_rows_shift1(part, n_rows: int, start):
-    """Like `_embed_rows` but at rows start+1.. — the band term computed at
-    chain row k that belongs to pose row k+1.  Embeds into n_rows+1 rows and
-    drops the last, reproducing `out.at[1:].add(term[:-1])` semantics (the
-    would-be row n_rows is the masked ghost slot)."""
-    z = jnp.zeros((n_rows + 1, *part.shape[1:]), part.dtype)
-    return jax.lax.dynamic_update_slice_in_dim(z, part, start + 1, 0)[:n_rows]
-
-
 def _embed_rows_shiftm1(part, n_rows: int, start):
     """Embed at rows start-1.. (the correction term computed at factor row
     k that belongs to the PREVIOUS frame's camera row).  Row -1 (block 0's
