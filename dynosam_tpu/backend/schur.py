@@ -817,13 +817,15 @@ def build_normal_system_pose(
 
     # ---- direct pose blocks (motion-pose + smoothing triplets) ----------
     oh_p, oh_c = onehot[:-1], onehot[1:]
-    PtP = _es("jd,jdra,jdrb->jdab", wgt_mp_h, J_Lp, J_Lp)  # (W-1, ND, 6, 6)
     Dmm = jnp.zeros((W_, O, 6, 6), dtype)
-    Dmm = Dmm.at[:-1].add(_es("jdab,jdo->joab", PtP, oh_p))
-    Dmm = Dmm.at[1:].add(_es("jdab,jdo->joab", PtP, oh_c))
-    # J_Lp^T J_Lc = -PtP; factors only exist where the object id is constant
-    # across (j, j+1), so scatter with either frame's one-hot
-    Omm1 = -_es("jdab,jdo->joab", PtP, oh_p)
+    Omm1 = jnp.zeros((W_ - 1, O, 6, 6), dtype)
+    if not _SCHUR_STABLE:
+        PtP = _es("jd,jdra,jdrb->jdab", wgt_mp_h, J_Lp, J_Lp)  # (W-1,ND,6,6)
+        Dmm = Dmm.at[:-1].add(_es("jdab,jdo->joab", PtP, oh_p))
+        Dmm = Dmm.at[1:].add(_es("jdab,jdo->joab", PtP, oh_c))
+        # J_Lp^T J_Lc = -PtP; factors only exist where the object id is
+        # constant across (j, j+1), so scatter with either frame's one-hot
+        Omm1 = -_es("jdab,jdo->joab", PtP, oh_p)
 
     def _j_triplet(La: SE3, Lb: SE3, Lc_: SE3):
         def f(a, b, c):
@@ -847,10 +849,11 @@ def build_normal_system_pose(
     Omm1 = Omm1.at[1:].add(_es("to,tora,torb->toab", triple, Jb, Jc3))
     Omm2 = _es("to,tora,torb->toab", triple, Ja, Jc3)
 
-    g_Lp = _es("jd,jdra,jdr->jda", wgt_mp, J_Lp, r_mp)     # (W-1, ND, 6)
     g_mot = jnp.zeros((W_, O, 6), dtype)
-    g_mot = g_mot.at[:-1].add(_es("jda,jdo->joa", g_Lp, oh_p))
-    g_mot = g_mot.at[1:].add(-_es("jda,jdo->joa", g_Lp, oh_c))
+    if not _SCHUR_STABLE:
+        g_Lp = _es("jd,jdra,jdr->jda", wgt_mp, J_Lp, r_mp)  # (W-1, ND, 6)
+        g_mot = g_mot.at[:-1].add(_es("jda,jdo->joa", g_Lp, oh_p))
+        g_mot = g_mot.at[1:].add(-_es("jda,jdo->joa", g_Lp, oh_c))
     g_mot = g_mot.at[:-2].add(_es("to,tora,tor->toa", triple, Ja, r_ps))
     g_mot = g_mot.at[1:-1].add(_es("to,tora,tor->toa", triple, Jb, r_ps))
     g_mot = g_mot.at[2:].add(_es("to,tora,tor->toa", triple, Jc3, r_ps))
@@ -889,24 +892,41 @@ def build_normal_system_pose(
     Hll_s, Us, b_sp = _static_blocks(wgt_static, Jx_s, Jp_s, r_static, dtype)
 
     # ---- dynamic chain blocks -------------------------------------------
-    eye3 = jnp.eye(3, dtype=dtype)
-    diag_scalar = wgt_dyn / cfg.dynamic_point_noise_sigma**2
-    diag_scalar = diag_scalar.at[:-1].add(wgt_mp_h / sig_t**2)
-    diag_scalar = diag_scalar.at[1:].add(wgt_mp_h / sig_t**2)
-    Ad = diag_scalar[..., None, None] * eye3 + _floor_consts(dtype)[1] * eye3
-    # J_mc = I/sig_t, so w J_mp^T J_mc = (w/sig_t) J_mp^T
-    Tpc = (wgt_mp_h / sig_t)[..., None, None] * jnp.swapaxes(J_mp, -1, -2)
-    Bd = jnp.concatenate([jnp.zeros_like(Tpc[:1]), Tpc], axis=0)
-
+    ND_ = masks.dyn_obs.shape[1]
     Rc = _es("kd,kra,kdrb->kdab", wgt_dyn, Jp_d, Jx_d)
-    Rpp = _es("jd,jdra,jdrb->jdab", wgt_mp_h, J_mp, J_Lp)  # row j   -> col j
-    Rpc = -Rpp                                             # row j   -> col j+1
-    Rcp = (wgt_mp_h / sig_t)[..., None, None] * J_Lp       # row j+1 -> col j
-    Rcc = -Rcp                                             # row j+1 -> col j+1
-
     g_dp = _es("kd,kra,kdr->kda", wgt_dyn, Jp_d, r_dyn)
-    g_dp = g_dp.at[:-1].add(_es("jd,jdra,jdr->jda", wgt_mp, J_mp, r_mp))
-    g_dp = g_dp.at[1:].add((wgt_mp / sig_t)[..., None] * r_mp)
+    if _SCHUR_STABLE:
+        # stable (Woodbury) path: the 1e10-scale chain/coupling blocks are
+        # never formed — the square-root st_* fields below carry the
+        # motion-pose information (see schur_step's stable branch)
+        Ad = jnp.zeros((W_, ND_, 3, 3), dtype)
+        Bd = jnp.zeros((W_, ND_, 3, 3), dtype)
+        Rpp = jnp.zeros((W_ - 1, ND_, 3, 6), dtype)
+        Rpc = Rpp
+        Rcp = Rpp
+        Rcc = Rpp
+    else:
+        eye3 = jnp.eye(3, dtype=dtype)
+        diag_scalar = wgt_dyn / cfg.dynamic_point_noise_sigma**2
+        diag_scalar = diag_scalar.at[:-1].add(wgt_mp_h / sig_t**2)
+        diag_scalar = diag_scalar.at[1:].add(wgt_mp_h / sig_t**2)
+        Ad = (
+            diag_scalar[..., None, None] * eye3
+            + _floor_consts(dtype)[1] * eye3
+        )
+        # J_mc = I/sig_t, so w J_mp^T J_mc = (w/sig_t) J_mp^T
+        Tpc = (wgt_mp_h / sig_t)[..., None, None] * jnp.swapaxes(
+            J_mp, -1, -2
+        )
+        Bd = jnp.concatenate([jnp.zeros_like(Tpc[:1]), Tpc], axis=0)
+        Rpp = _es("jd,jdra,jdrb->jdab", wgt_mp_h, J_mp, J_Lp)  # row j->col j
+        Rpc = -Rpp                                         # row j -> col j+1
+        Rcp = (wgt_mp_h / sig_t)[..., None, None] * J_Lp   # row j+1 -> col j
+        Rcc = -Rcp                                         # row j+1 -> col j+1
+        g_dp = g_dp.at[:-1].add(
+            _es("jd,jdra,jdr->jda", wgt_mp, J_mp, r_mp)
+        )
+        g_dp = g_dp.at[1:].add((wgt_mp / sig_t)[..., None] * r_mp)
 
     # the LandmarkMotionPose chain shares the scalar/rotation structure
     # (J_mp is a rotation): Ad = (c + T + T[next]) I, Bd = -T rel_R^T
@@ -916,17 +936,26 @@ def build_normal_system_pose(
     chain_c = (
         wgt_dyn / cfg.dynamic_point_noise_sigma**2 + _floor_consts(dtype)[1]
     )
-    W2, ND2 = chain_c.shape
+    # square-root motion-pose pieces for the stable elimination:
+    #   A~_k = s_k [-rel_R_k at m_{k-1}, +I at m_k]       (st_R = rel_R)
+    #   B~_k = s_k [+G_k at L_{k-1} col, -G_k at L_k col] (st_G = sig*J_Lp)
+    sqw_mp = sqrt_w[4] * masks.ternary[1:].astype(dtype)   # (W-1, ND)
+    st_s = jnp.concatenate(
+        [jnp.zeros_like(sqw_mp[:1]), sqw_mp / sig_t], axis=0
+    )
+    eyeR = jnp.broadcast_to(jnp.eye(3, dtype=dtype), rel_R[:1].shape)
+    st_R = jnp.concatenate([eyeR, rel_R], axis=0)
+    Gp = jnp.concatenate([-Rhat, Lc.R], axis=-1)           # sig_t * J_Lp
+    st_G = jnp.concatenate([jnp.zeros_like(Gp[:1]), Gp], axis=0)
+    st_phi = jnp.concatenate(
+        [jnp.zeros_like(r_mp[:1]), sqw_mp[..., None] * r_mp], axis=0
+    )
     return NormalSystem(
         Hcc=Hcc, Dmm=Dmm, Omm1=Omm1, Omm2=Omm2, b_cam=b_cam, b_mot=-g_mot,
         Hll_s=Hll_s, Us=Us, b_sp=b_sp,
         Ad=Ad, Bd=Bd, Rc=Rc, Rpp=Rpp, Rpc=Rpc, Rcp=Rcp, Rcc=Rcc,
         b_dp=-g_dp, onehot=onehot, chain_c=chain_c, chain_T=chain_T,
-        # stable-elimination fields unused by WorldPose (generic path)
-        st_s=jnp.zeros((W2, ND2), dtype),
-        st_R=jnp.zeros((W2, ND2, 3, 3), dtype),
-        st_G=jnp.zeros((W2, ND2, 3, 6), dtype),
-        st_phi=jnp.zeros((W2, ND2, 3), dtype),
+        st_s=st_s, st_R=st_R, st_G=st_G, st_phi=st_phi,
     )
 
 
@@ -1017,7 +1046,7 @@ def assemble_reduced(sys: NormalSystem, Hcc_d, Dmm_d,
 
 
 def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
-               stable: bool | None = None):
+               stable: bool | None = None, formulation: int = 0):
     """One damped Gauss-Newton step via landmark elimination.
 
     Returns the tangent delta dict {X (W,6), P (W,O,6), sp (NS,3),
@@ -1034,9 +1063,11 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
     solve (`parallel/schur_dist.py`).
     """
     if stable is None:
-        # WorldMotion callers default to the module flag; WorldPose systems
-        # (whose chain blocks carry the motion-pose coupling in Bd, not the
-        # st_* square-root fields) MUST pass stable=False.
+        # both formulations build the st_* square-root fields; pass
+        # `formulation` so the stable branch picks the right band
+        # orientation (WorldMotion: rotation on the CURRENT side, single
+        # h-column band; WorldPose: rotation on the PREV side, +/- h-bands
+        # on frames k-1/k)
         stable = _SCHUR_STABLE
     use_ternary = chain_solver is None and _TERNARY_CHAIN
     if chain_solver is None:
@@ -1143,32 +1174,52 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
 
         alpha_M = 1.0 + s * s * (inv_c_prev + inv_c)        # (W, ND)
         s_prev = jnp.concatenate([jnp.zeros_like(s[:1]), s[:-1]], axis=0)
-        eyeR = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Rt[:1].shape)
-        R_prevT = jnp.concatenate([eyeR, Rt[:-1]], axis=0)
-        B_M = -(s_prev * s * inv_c_prev)[..., None, None] * R_prevT
+        if formulation == 0:
+            # M_{k-1,k} = -(s_{k-1} s_k / c_{k-1}) R_{k-1}^T
+            eyeR = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Rt[:1].shape)
+            RM = jnp.concatenate([eyeR, Rt[:-1]], axis=0)
+        else:
+            # M_{k-1,k} = -(s_{k-1} s_k / c_{k-1}) rel_R_k^T
+            RM = Rt
+        B_M = -(s_prev * s * inv_c_prev)[..., None, None] * RM
 
         RcC = sys.Rc * inv_c[..., None, None]               # (W, ND, 3, 6)
         RcC_prev = jnp.concatenate(
             [jnp.zeros_like(RcC[:1]), RcC[:-1]], axis=0
         )
-        AU_prev = s[..., None, None] * RcC_prev             # col frame k-1
-        AU_cur = -s[..., None, None] * _mm(Rt, RcC)         # col frame k
-        Bcol = s[..., None, None] * sys.st_G                # col frame k (h)
         bzoC = sys.b_dp * inv_c[..., None]                  # (W, ND, 3)
         bzoC_prev = jnp.concatenate(
             [jnp.zeros_like(bzoC[:1]), bzoC[:-1]], axis=0
         )
-        phi_hat = s[..., None] * (
-            bzoC_prev - _es("kdab,kdb->kda", Rt, bzoC)
-        ) + sys.st_phi
-
+        Bcol = s[..., None, None] * sys.st_G
         dnW = jnp.eye(W_, k=-1, dtype=dtype)                # [k, k-1] = 1
+        if formulation == 0:
+            # A~_k = s_k [+I at m_{k-1}, -R_k^T at m_k]
+            AU_prev = s[..., None, None] * RcC_prev         # col frame k-1
+            AU_cur = -s[..., None, None] * _mm(Rt, RcC)     # col frame k
+            phi_hat = s[..., None] * (
+                bzoC_prev - _es("kdab,kdb->kda", Rt, bzoC)
+            ) + sys.st_phi
+            # B~_k = s_k G_k at the single h-column k
+            Bcol_nc = (
+                Bcol[:, :, :, None, :] * eyeW[:, None, None, :, None]
+            ).reshape(W_, ND, 3, nc)
+        else:
+            # A~_k = s_k [-rel_R_k at m_{k-1}, +I at m_k]
+            R = sys.st_R
+            AU_prev = -s[..., None, None] * _mm(R, RcC_prev)
+            AU_cur = s[..., None, None] * RcC
+            phi_hat = s[..., None] * (
+                bzoC - _es("kdab,kdb->kda", R, bzoC_prev)
+            ) + sys.st_phi
+            # B~_k = s_k [+G_k at h-col k-1, -G_k at h-col k]
+            Bcol_nc = (
+                Bcol[:, :, :, None, :] * dnW[:, None, None, :, None]
+                - Bcol[:, :, :, None, :] * eyeW[:, None, None, :, None]
+            ).reshape(W_, ND, 3, nc)
         AU_nc = (
             AU_prev[:, :, :, None, :] * dnW[:, None, None, :, None]
             + AU_cur[:, :, :, None, :] * eyeW[:, None, None, :, None]
-        ).reshape(W_, ND, 3, nc)
-        Bcol_nc = (
-            Bcol[:, :, :, None, :] * eyeW[:, None, None, :, None]
         ).reshape(W_, ND, 3, nc)
         rhs_M = jnp.concatenate(
             [AU_nc, Bcol_nc, phi_hat[..., None]], axis=-1
@@ -1190,20 +1241,33 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
 
         Nh_act = Nh * jnp.swapaxes(act, 0, 1)[None, :, None, :, None]
         Rdot = Nh_act.reshape(W_, ND * 3, nc)
-        d_mm = -_couple_dot(Bcol, oh, Rdot)                 # -S_hh correction
         cm_cur = _couple_dot(AU_cur, oh, Rdot)
         cm_prev = _couple_dot(AU_prev, oh, Rdot)            # camera row k-1
         d_cm = cm_cur.at[:-1].add(cm_prev[1:]).transpose(
             0, 2, 3, 1, 4
         ).reshape(nc, W_, O, 6)
-        d_bm = _es("kdia,kdi,kdo->koa", Bcol, Z_phi, oh)
-
-        # Dmm damping uses the FULL diagonal (smoothing + ternary) per
-        # damp-then-reduce semantics, but the matrix itself stays
-        # smoothing-only — the ternary marginal arrives additively via
-        # -d_mm = +B~^T M^-1 B~.
+        C_hh = _couple_dot(Bcol, oh, Rdot)
+        bphi = _es("kdia,kdi,kdo->koa", Bcol, Z_phi, oh)
         Gsq = jnp.sum(sys.st_G**2, axis=2)                  # (W, ND, 6)
-        ddiag_t = _es("kd,kdo,kda->koa", sys.chain_T, oh, Gsq)
+        dd_t = _es("kd,kdo,kda->koa", sys.chain_T, oh, Gsq)
+        if formulation == 0:
+            d_mm = -C_hh                                    # -S_hh correction
+            d_bm = bphi
+            ddiag_t = dd_t
+        else:
+            # B~'s rows live at h-frames k-1 (+) and k (-): shift the
+            # factor-row-k terms accordingly (factor row 0 is masked)
+            def _m1(x):
+                return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], 0)
+
+            d_mm = -(_m1(C_hh) - C_hh)
+            d_bm = _m1(bphi) - bphi
+            ddiag_t = _m1(dd_t) + dd_t
+
+        # Dmm damping uses the FULL diagonal (direct pose families +
+        # motion/motion-pose) per damp-then-reduce semantics, but the
+        # matrix itself stays smoothing/triplet-only — the stiff marginal
+        # arrives additively via -d_mm = +B~^T M^-1 B~.
         diag_full = jnp.diagonal(sys.Dmm, axis1=-2, axis2=-1) + ddiag_t
         Dmm = sys.Dmm + (
             lam * jnp.maximum(diag_full, floor)
@@ -1320,10 +1384,22 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
         )
         v_next = jnp.concatenate([v[1:], jnp.zeros_like(v[:1])], axis=0)
         s_next = jnp.concatenate([s[1:], jnp.zeros_like(s[:1])], axis=0)
-        Atv = (
-            -s[..., None] * _es("kdab,kdb->kda", sys.st_R, v)
-            + s_next[..., None] * v_next
-        )
+        if formulation == 0:
+            Atv = (
+                -s[..., None] * _es("kdab,kdb->kda", sys.st_R, v)
+                + s_next[..., None] * v_next
+            )
+        else:
+            RT_next = jnp.concatenate(
+                [jnp.swapaxes(sys.st_R, -1, -2)[1:],
+                 jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                  sys.st_R[:1].shape)],
+                axis=0,
+            )
+            Atv = (
+                s[..., None] * v
+                - s_next[..., None] * _es("kdab,kdb->kda", RT_next, v_next)
+            )
         r1 = sys.b_dp - _es("kdia,ka->kdi", sys.Rc, dc.reshape(W_, 6))
         d_dp = (r1 - Atv) * inv_c[..., None]
     else:
@@ -1423,7 +1499,7 @@ def lm_optimize_schur(
         "step_fn",
         lambda sys, lam: schur_step(
             sys, lam, lm_cfg.diag_floor, chain_solver,
-            stable=(formulation == 0 and _SCHUR_STABLE),
+            stable=_SCHUR_STABLE, formulation=formulation,
         ),
     )
 

@@ -200,7 +200,7 @@ def test_schur_step_matches_dense_world_pose():
         vals, sqrt_w, w, masks, cfg, anchor, res0
     )
     delta = schur.schur_step(sys, jnp.asarray(lam, jnp.float32), 1e-6,
-                             stable=False)
+                             formulation=1)
     delta = {"X": delta["X"], "L": delta["P"], "sp": delta["sp"], "dp": delta["dp"]}
     got = retract_tree(vals, delta)
     want, _ = dense_normal_solve(resid, spec.robust, vals, lam)
@@ -294,7 +294,7 @@ def test_schur_step_world_pose_kinematic():
         vals, sqrt_w, w, masks, cfg, anchor, res0
     )
     delta = schur.schur_step(sys, jnp.asarray(1e-3, jnp.float32), 1e-6,
-                             stable=False)
+                             formulation=1)
     delta = {"X": delta["X"], "L": delta["P"], "sp": delta["sp"], "dp": delta["dp"]}
     got = retract_tree(vals, delta)
     want, _ = dense_normal_solve(resid, spec.robust, vals, 1e-3)
