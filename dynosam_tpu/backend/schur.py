@@ -626,7 +626,6 @@ def build_normal_system(
     dtype = sp.dtype
     W_, O = masks.smoothing.shape
     ND = masks.dyn_obs.shape[1]
-    z6 = jnp.zeros(6, dtype)
     r_anchor, r_odo, r_static, r_dyn, r_tern, r_smooth = res0
     _, smooth_sigma = _pose_sigmas(cfg, dtype)
 
@@ -753,6 +752,79 @@ def build_normal_system(
     )
 
 
+
+def _pose_direct_blocks(L: SE3, w, masks, cfg, triple, r_ps, r_kin,
+                        smooth_sigma, dtype):
+    """Replicated-cheap direct pose blocks of the WorldPose formulation:
+    the LandmarkPoseSmoothing triplets and the optional
+    ObjectKinematicFactor — pose-family jacfwd grids on the small (W, O)
+    motion table, shared with the explicit distributed path.  The
+    motion-pose factor's (1e10-scale) direct blocks are NOT here — the
+    stable path carries them in square-root form."""
+    z6 = jnp.zeros(6, dtype)
+    W_, O = L.batch_shape
+
+    def _j_triplet(La: SE3, Lb: SE3, Lc_: SE3):
+        def f(a, b, c):
+            return (
+                factors.landmark_pose_smoothing_residual(
+                    se3_retract(La, a), se3_retract(Lb, b), se3_retract(Lc_, c)
+                )
+                / smooth_sigma
+            )
+
+        return jax.jacfwd(f, argnums=(0, 1, 2))(z6, z6, z6)
+
+    Ja, Jb, Jc3 = jax.vmap(jax.vmap(_j_triplet))(
+        SE3(L.R[:-2], L.t[:-2]), SE3(L.R[1:-1], L.t[1:-1]),
+        SE3(L.R[2:], L.t[2:]),
+    )                                                      # (W-2, O, 6, 6)
+    Dmm = jnp.zeros((W_, O, 6, 6), dtype)
+    Omm1 = jnp.zeros((W_ - 1, O, 6, 6), dtype)
+    Dmm = Dmm.at[:-2].add(_es("to,tora,torb->toab", triple, Ja, Ja))
+    Dmm = Dmm.at[1:-1].add(_es("to,tora,torb->toab", triple, Jb, Jb))
+    Dmm = Dmm.at[2:].add(_es("to,tora,torb->toab", triple, Jc3, Jc3))
+    Omm1 = Omm1.at[:-1].add(_es("to,tora,torb->toab", triple, Ja, Jb))
+    Omm1 = Omm1.at[1:].add(_es("to,tora,torb->toab", triple, Jb, Jc3))
+    Omm2 = _es("to,tora,torb->toab", triple, Ja, Jc3)
+
+    g_mot = jnp.zeros((W_, O, 6), dtype)
+    g_mot = g_mot.at[:-2].add(_es("to,tora,tor->toa", triple, Ja, r_ps))
+    g_mot = g_mot.at[1:-1].add(_es("to,tora,tor->toa", triple, Jb, r_ps))
+    g_mot = g_mot.at[2:].add(_es("to,tora,tor->toa", triple, Jc3, r_ps))
+
+    if r_kin is not None:
+        # optional ObjectKinematicFactor (config docstring): pose-pair
+        # blocks via jacfwd on the small (W-1, O) grid, like smoothing
+        kin_w = (masks.smoothing[1:] & w.motion_valid[1:]).astype(dtype)
+        H_meas = SE3(w.motion_init.R[1:], w.motion_init.t[1:])
+
+        def _j_kin(Hm: SE3, La: SE3, Lb: SE3):
+            def f(a, b):
+                return (
+                    factors.object_kinematic_residual(
+                        Hm, se3_retract(La, a), se3_retract(Lb, b)
+                    )
+                    / cfg.object_kinematic_sigma
+                )
+
+            return jax.jacfwd(f, argnums=(0, 1))(z6, z6)
+
+        Ja_k, Jb_k = jax.vmap(jax.vmap(_j_kin))(
+            H_meas, SE3(L.R[:-1], L.t[:-1]), SE3(L.R[1:], L.t[1:])
+        )
+        Dmm = Dmm.at[:-1].add(_es("ko,kora,korb->koab", kin_w, Ja_k, Ja_k))
+        Dmm = Dmm.at[1:].add(_es("ko,kora,korb->koab", kin_w, Jb_k, Jb_k))
+        Omm1 = Omm1 + _es("ko,kora,korb->koab", kin_w, Ja_k, Jb_k)
+        g_mot = g_mot.at[:-1].add(
+            _es("ko,kora,kor->koa", kin_w, Ja_k, r_kin)
+        )
+        g_mot = g_mot.at[1:].add(
+            _es("ko,kora,kor->koa", kin_w, Jb_k, r_kin)
+        )
+    return Dmm, Omm1, Omm2, g_mot
+
+
 def build_normal_system_pose(
     values: dict,
     sqrt_w: list,
@@ -817,77 +889,20 @@ def build_normal_system_pose(
 
     # ---- direct pose blocks (motion-pose + smoothing triplets) ----------
     oh_p, oh_c = onehot[:-1], onehot[1:]
-    Dmm = jnp.zeros((W_, O, 6, 6), dtype)
-    Omm1 = jnp.zeros((W_ - 1, O, 6, 6), dtype)
+    r_kin = r_rest[0] if (cfg.use_object_kinematic_factor and r_rest) else None
+    Dmm, Omm1, Omm2, g_mot = _pose_direct_blocks(
+        L, w, masks, cfg, triple, r_ps, r_kin, smooth_sigma, dtype
+    )
     if not _SCHUR_STABLE:
         PtP = _es("jd,jdra,jdrb->jdab", wgt_mp_h, J_Lp, J_Lp)  # (W-1,ND,6,6)
         Dmm = Dmm.at[:-1].add(_es("jdab,jdo->joab", PtP, oh_p))
         Dmm = Dmm.at[1:].add(_es("jdab,jdo->joab", PtP, oh_c))
         # J_Lp^T J_Lc = -PtP; factors only exist where the object id is
         # constant across (j, j+1), so scatter with either frame's one-hot
-        Omm1 = -_es("jdab,jdo->joab", PtP, oh_p)
-
-    def _j_triplet(La: SE3, Lb: SE3, Lc_: SE3):
-        def f(a, b, c):
-            return (
-                factors.landmark_pose_smoothing_residual(
-                    se3_retract(La, a), se3_retract(Lb, b), se3_retract(Lc_, c)
-                )
-                / smooth_sigma
-            )
-
-        return jax.jacfwd(f, argnums=(0, 1, 2))(z6, z6, z6)
-
-    Ja, Jb, Jc3 = jax.vmap(jax.vmap(_j_triplet))(
-        SE3(L.R[:-2], L.t[:-2]), SE3(L.R[1:-1], L.t[1:-1]),
-        SE3(L.R[2:], L.t[2:]),
-    )                                                      # (W-2, O, 6, 6)
-    Dmm = Dmm.at[:-2].add(_es("to,tora,torb->toab", triple, Ja, Ja))
-    Dmm = Dmm.at[1:-1].add(_es("to,tora,torb->toab", triple, Jb, Jb))
-    Dmm = Dmm.at[2:].add(_es("to,tora,torb->toab", triple, Jc3, Jc3))
-    Omm1 = Omm1.at[:-1].add(_es("to,tora,torb->toab", triple, Ja, Jb))
-    Omm1 = Omm1.at[1:].add(_es("to,tora,torb->toab", triple, Jb, Jc3))
-    Omm2 = _es("to,tora,torb->toab", triple, Ja, Jc3)
-
-    g_mot = jnp.zeros((W_, O, 6), dtype)
-    if not _SCHUR_STABLE:
+        Omm1 = Omm1 - _es("jdab,jdo->joab", PtP, oh_p)
         g_Lp = _es("jd,jdra,jdr->jda", wgt_mp, J_Lp, r_mp)  # (W-1, ND, 6)
         g_mot = g_mot.at[:-1].add(_es("jda,jdo->joa", g_Lp, oh_p))
         g_mot = g_mot.at[1:].add(-_es("jda,jdo->joa", g_Lp, oh_c))
-    g_mot = g_mot.at[:-2].add(_es("to,tora,tor->toa", triple, Ja, r_ps))
-    g_mot = g_mot.at[1:-1].add(_es("to,tora,tor->toa", triple, Jb, r_ps))
-    g_mot = g_mot.at[2:].add(_es("to,tora,tor->toa", triple, Jc3, r_ps))
-
-    if cfg.use_object_kinematic_factor and r_rest:
-        # optional ObjectKinematicFactor (config docstring): pose-pair
-        # blocks via jacfwd on the small (W-1, O) grid, like smoothing
-        r_kin = r_rest[0]
-        kin_w = (masks.smoothing[1:] & w.motion_valid[1:]).astype(dtype)
-        H_meas = SE3(w.motion_init.R[1:], w.motion_init.t[1:])
-
-        def _j_kin(Hm: SE3, La: SE3, Lb: SE3):
-            def f(a, b):
-                return (
-                    factors.object_kinematic_residual(
-                        Hm, se3_retract(La, a), se3_retract(Lb, b)
-                    )
-                    / cfg.object_kinematic_sigma
-                )
-
-            return jax.jacfwd(f, argnums=(0, 1))(z6, z6)
-
-        Ja_k, Jb_k = jax.vmap(jax.vmap(_j_kin))(
-            H_meas, SE3(L.R[:-1], L.t[:-1]), SE3(L.R[1:], L.t[1:])
-        )
-        Dmm = Dmm.at[:-1].add(_es("ko,kora,korb->koab", kin_w, Ja_k, Ja_k))
-        Dmm = Dmm.at[1:].add(_es("ko,kora,korb->koab", kin_w, Jb_k, Jb_k))
-        Omm1 = Omm1 + _es("ko,kora,korb->koab", kin_w, Ja_k, Jb_k)
-        g_mot = g_mot.at[:-1].add(
-            _es("ko,kora,kor->koa", kin_w, Ja_k, r_kin)
-        )
-        g_mot = g_mot.at[1:].add(
-            _es("ko,kora,kor->koa", kin_w, Jb_k, r_kin)
-        )
 
     Hll_s, Us, b_sp = _static_blocks(wgt_static, Jx_s, Jp_s, r_static, dtype)
 

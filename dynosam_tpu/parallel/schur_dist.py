@@ -262,8 +262,8 @@ def _optimize_schur_sharded(
     updater: int,
     mesh,
 ):
-    if updater == 0 and not _DIST_GSPMD:
-        return _optimize_schur_explicit(m, window, cfg, lm_cfg, mesh)
+    if not _DIST_GSPMD:
+        return _optimize_schur_explicit(m, window, cfg, lm_cfg, mesh, updater)
     w = slice_window(m, 0, window)
     masks = fm.build_masks(w, cfg)
     if updater == 0:
@@ -359,6 +359,7 @@ from ..backend.schur import (
     _floor_consts,
     _inv3,
     _odo_anchor_blocks,
+    _pose_direct_blocks,
     _pose_point_jacobians,
     _pose_sigmas,
     _smoothing_blocks,
@@ -368,7 +369,8 @@ from ..backend.schur import (
     chain_solve_scalar,
     chain_solve_ternary,
 )
-from ..backend.formulation import world_motion_families
+from ..backend.formulation import (world_motion_families,
+                                   world_pose_families)
 from ..backend.solver import robust_loss
 from ..core.lie import se3_compose, se3_inverse, so3_hat
 from ..ops import factors
@@ -414,16 +416,25 @@ def _optimize_schur_explicit(
     cfg: BackendConfig,
     lm_cfg: LMConfig,
     mesh,
+    updater: int = 0,
 ) -> LMResult:
-    """WorldMotion window solve with hand-placed collectives (see the
-    section comment).  Equivalent to the single-chip `lm_optimize_schur`
-    (f64 cross-check in tests/test_schur_dist_explicit.py)."""
+    """Window solve with hand-placed collectives (see the section
+    comment), both formulations (updater 0 = WorldMotion, 1 = WorldPose —
+    the same STABLE square-root elimination with the pose factor's band
+    orientation, mirroring `schur_step`'s formulation branches).
+    Equivalent to the single-chip `lm_optimize_schur` (f64 cross-checks in
+    tests/f64_check.py)."""
     FA, TA = FRAME_AXIS, TRACK_AXIS
     F = mesh.shape[FA]
     T = mesh.shape[TA]
     w = slice_window(m, 0, window)
     masks = fm.build_masks(w, cfg)
-    values = fm.init_values(w, masks, cfg)
+    if updater == 0:
+        values = fm.init_values(w, masks, cfg)
+        pose_key = "H"
+    else:
+        values = fm.init_values_world_pose(w, masks, cfg)
+        pose_key = "L"
 
     W_ = window
     NS = w.static_xyz.shape[1]
@@ -447,7 +458,7 @@ def _optimize_schur_explicit(
     args = dict(
         vals={
             "X": cons_se3(values["X"]),
-            "H": cons_se3(values["H"]),
+            pose_key: cons_se3(values[pose_key]),
             "sp": cons(values["sp"], TA, None),
             "dp": cons(values["dp"], FA, TA, None),
         },
@@ -462,11 +473,13 @@ def _optimize_schur_explicit(
         smoothing=cons(masks.smoothing),
         frame=cons(masks.frame),
         anchor=cons_se3(w.X_init[0]),
+        motion_init=cons_se3(w.motion_init),
+        motion_valid=cons(w.motion_valid),
     )
     in_specs = dict(
         vals={
             "X": SE3(P(), P()),
-            "H": SE3(P(), P()),
+            pose_key: SE3(P(), P()),
             "sp": P(TA, None),
             "dp": P(FA, TA, None),
         },
@@ -481,11 +494,13 @@ def _optimize_schur_explicit(
         smoothing=P(),
         frame=P(),
         anchor=SE3(P(), P()),
+        motion_init=SE3(P(), P()),
+        motion_valid=P(),
     )
     out_specs = LMResult(
         values={
             "X": SE3(P(), P()),
-            "H": SE3(P(), P()),
+            pose_key: SE3(P(), P()),
             "sp": P(TA, None),
             "dp": P(FA, TA, None),
         },
@@ -496,14 +511,16 @@ def _optimize_schur_explicit(
         converged=P(),
     )
 
-    spec = world_motion_families(cfg)
+    spec = (world_motion_families(cfg) if updater == 0
+            else world_pose_families(cfg))
     sig_s = cfg.static_point_noise_sigma
     sig_d = cfg.dynamic_point_noise_sigma
     sig_t = cfg.motion_ternary_factor_noise_sigma
     nc = 6 * W_
 
     def run(vals, static_xyz, static_obs, dyn_xyz, dyn_obj, dyn_obs,
-            ternary, X_init, odometry, smoothing, frame, anchor):
+            ternary, X_init, odometry, smoothing, frame, anchor,
+            motion_init, motion_valid):
         fi = jax.lax.axis_index(FA)
         start = fi * S
         pose_sigma, smooth_sigma = _pose_sigmas(cfg, dtype)
@@ -528,11 +545,14 @@ def _optimize_schur_explicit(
         else:
             onehot_full = oh_loc                         # (W, nd, O)
         act_full_T = jnp.transpose(jnp.sum(onehot_full, -1))   # (nd, W)
+        # padded on BOTH sides: row -1 (pose formulation's prev-frame
+        # selection at the block edge) and row W (ghost slot)
         ohp = jnp.concatenate(
-            [onehot_full, jnp.zeros_like(onehot_full[:1])], axis=0
+            [jnp.zeros_like(onehot_full[:1]), onehot_full,
+             jnp.zeros_like(onehot_full[:1])], axis=0
         )
-        oh_ext = jax.lax.dynamic_slice_in_dim(ohp, start, S + 1, 0)
-        oh_next = jax.lax.dynamic_slice_in_dim(ohp, start + 1, S, 0)
+        oh_ext = jax.lax.dynamic_slice_in_dim(ohp, start + 1, S + 1, 0)
+        oh_next = jax.lax.dynamic_slice_in_dim(ohp, start + 2, S, 0)
         tern_ext = jnp.concatenate([ternary, tern_r[None]], axis=0)
 
         eyeO = jnp.eye(3, dtype=dtype)
@@ -548,21 +568,34 @@ def _optimize_schur_explicit(
                 jax.lax.dynamic_slice_in_dim(X.t, start, S, 0),
             )
 
-        def _select_H_ext(H: SE3) -> SE3:
-            """H at the S+1 extended current-frame rows, object-selected by
-            the one-hot (identity where no object is active)."""
-            Hp = SE3(
-                jnp.concatenate([H.R, Hp_pad_R], axis=0),
-                jnp.concatenate([H.t, jnp.zeros((1, O, 3), dtype)], axis=0),
+        def _select_rows(Pp: SE3, row0, n: int) -> SE3:
+            """Object-selected pose per (row, track) for n global frame
+            rows starting at `row0` (identity where no object is active;
+            rows -1/W read the zero padding and fix to identity).  `Pp` is
+            the replicated pose table padded with one identity row on each
+            side, aligned with `ohp`."""
+            P_ext = SE3(
+                jax.lax.dynamic_slice_in_dim(Pp.R, row0 + 1, n, 0),
+                jax.lax.dynamic_slice_in_dim(Pp.t, row0 + 1, n, 0),
             )
-            H_ext = SE3(
-                jax.lax.dynamic_slice_in_dim(Hp.R, start, S + 1, 0),
-                jax.lax.dynamic_slice_in_dim(Hp.t, start, S + 1, 0),
-            )
-            Rk = _es("sno,soij->snij", oh_ext, H_ext.R)
-            tk = _es("sno,soj->snj", oh_ext, H_ext.t)
-            sel = jnp.any(oh_ext > 0, axis=-1)[..., None, None]
+            oh_rows = jax.lax.dynamic_slice_in_dim(ohp, row0 + 1, n, 0)
+            Rk = _es("sno,soij->snij", oh_rows, P_ext.R)
+            tk = _es("sno,soj->snj", oh_rows, P_ext.t)
+            sel = jnp.any(oh_rows > 0, axis=-1)[..., None, None]
             return SE3(jnp.where(sel, Rk, eyeO), tk)
+
+        def _pad_pose(H: SE3) -> SE3:
+            return SE3(
+                jnp.concatenate([Hp_pad_R, H.R, Hp_pad_R], axis=0),
+                jnp.concatenate(
+                    [jnp.zeros((1, O, 3), dtype), H.t,
+                     jnp.zeros((1, O, 3), dtype)], axis=0,
+                ),
+            )
+
+        def _select_H_ext(H: SE3) -> SE3:
+            # current-frame rows start..start+S (motion selection)
+            return _select_rows(_pad_pose(H), start, S + 1)
 
         def _dp_ext(dp, dp_l, dp_r):
             dp_prev = jnp.concatenate([dp_l[None], dp], axis=0)
@@ -571,7 +604,7 @@ def _optimize_schur_explicit(
 
         # ---- residuals (2 ppermutes; ghosts ride the res list) ----------
         def residual_fn(v):
-            X, H, sp, dp = v["X"], v["H"], v["sp"], v["dp"]
+            X, Hm, sp, dp = v["X"], v[pose_key], v["sp"], v["dp"]
             r_anchor = factors.prior_residual(X[0], anchor)[None, :] / (
                 cfg.initial_pose_prior_sigma
             )
@@ -582,10 +615,6 @@ def _optimize_schur_explicit(
                 pose_sigma
             )
             r_odo = jnp.where(odometry[1:, None], r_odo, 0.0)
-            r_smooth = factors.motion_smoothing_residual(
-                SE3(H.R[:-1], H.t[:-1]), SE3(H.R[1:], H.t[1:])
-            ) / smooth_sigma
-            r_smooth = jnp.where(smoothing[1:, ..., None], r_smooth, 0.0)
 
             r_static = jax.vmap(
                 lambda Xk, zk: factors.pose_to_point_residual(Xk, sp, zk)
@@ -609,14 +638,48 @@ def _optimize_schur_explicit(
                 dp_l = jnp.zeros_like(dp[0])
                 dp_r = jnp.zeros_like(dp[0])
             dp_prev, dp_cur = _dp_ext(dp, dp_l, dp_r)
-            r_tern = factors.landmark_motion_ternary_residual(
-                dp_prev, dp_cur, _select_H_ext(H)
-            ) / sig_t
-            r_tern = jnp.where(tern_ext[..., None], r_tern, 0.0)
+            if updater == 0:
+                r_stiff = factors.landmark_motion_ternary_residual(
+                    dp_prev, dp_cur, _select_H_ext(Hm)
+                ) / sig_t
+                r_smooth = factors.motion_smoothing_residual(
+                    SE3(Hm.R[:-1], Hm.t[:-1]), SE3(Hm.R[1:], Hm.t[1:])
+                ) / smooth_sigma
+                r_smooth = jnp.where(
+                    smoothing[1:, ..., None], r_smooth, 0.0
+                )
+                pose_fams = [r_smooth]
+            else:
+                Lp = _pad_pose(Hm)
+                r_stiff = factors.landmark_motion_pose_residual(
+                    dp_prev, dp_cur,
+                    _select_rows(Lp, start - 1, S + 1),
+                    _select_rows(Lp, start, S + 1),
+                ) / sig_t
+                r_ps = factors.landmark_pose_smoothing_residual(
+                    SE3(Hm.R[:-2], Hm.t[:-2]),
+                    SE3(Hm.R[1:-1], Hm.t[1:-1]),
+                    SE3(Hm.R[2:], Hm.t[2:]),
+                ) / smooth_sigma
+                triple = smoothing[1:-1] & smoothing[2:]
+                pose_fams = [jnp.where(triple[..., None], r_ps, 0.0)]
+                if cfg.use_object_kinematic_factor:
+                    r_kin = factors.object_kinematic_residual(
+                        SE3(motion_init.R[1:], motion_init.t[1:]),
+                        SE3(Hm.R[:-1], Hm.t[:-1]),
+                        SE3(Hm.R[1:], Hm.t[1:]),
+                    ) / cfg.object_kinematic_sigma
+                    kin_mask = smoothing[1:] & motion_valid[1:]
+                    pose_fams.append(
+                        jnp.where(kin_mask[..., None], r_kin, 0.0)
+                    )
+            r_stiff = jnp.where(tern_ext[..., None], r_stiff, 0.0)
             # dp ghosts ride along (ignored by the spec zip) so the build
             # reuses them without re-permuting
-            return [r_anchor, r_odo, r_static, r_dyn, r_tern, r_smooth,
+            return [r_anchor, r_odo, r_static, r_dyn, r_stiff, *pose_fams,
                     dp_l, dp_r]
+
+        n_fam = len(spec.robust)
 
         def error_fn(res):
             loc = (
@@ -628,7 +691,10 @@ def _optimize_schur_explicit(
             repl = (
                 jnp.sum(robust_loss(res[0], spec.robust[0]))
                 + jnp.sum(robust_loss(res[1], spec.robust[1]))
-                + jnp.sum(robust_loss(res[5], spec.robust[5]))
+                + sum(
+                    jnp.sum(robust_loss(res[i], spec.robust[i]))
+                    for i in range(5, n_fam)
+                )
             )
             return tot + repl
 
@@ -640,40 +706,70 @@ def _optimize_schur_explicit(
         # reject pathology it removes.  Slot s <-> global factor with
         # current frame start+s; the ghost slot S (owned by the right
         # neighbour) supplies s/R for boundary quantities.
+        mi_proxy = SimpleNamespace(
+            motion_init=motion_init, motion_valid=motion_valid
+        )
+        sm_proxy = SimpleNamespace(smoothing=smoothing)
+
         def build_fn(v, sqrt_w, res0):
-            X, H, sp, dp = v["X"], v["H"], v["sp"], v["dp"]
-            r_anchor, r_odo, r_static, r_dyn, r_tern, r_smooth, dp_l, dp_r = (
-                res0
-            )
+            X, Hm, sp, dp = v["X"], v[pose_key], v["sp"], v["dp"]
+            r_anchor, r_odo, r_static, r_dyn, r_stiff = res0[:5]
+            dp_l, dp_r = res0[-2], res0[-1]
             wgt_static = sqrt_w[2] ** 2 * static_obs.astype(dtype)
             wgt_dyn = sqrt_w[3] ** 2 * dyn_obs.astype(dtype)
             sqw_t = sqrt_w[4] * tern_ext.astype(dtype)     # (S+1, nd)
             wt = sqw_t**2
-            wgt_smooth = smoothing[1:].astype(dtype)
 
             Hcc0, g_cam0 = _odo_anchor_blocks(
                 X, w_proxy, m_proxy, cfg, anchor, r_anchor, r_odo, dtype
             )
-            Dmm_sm, Omm1, g_mot_sm = _smoothing_blocks(
-                H, wgt_smooth, r_smooth, smooth_sigma, dtype
-            )
+            _, dp_cur = _dp_ext(dp, dp_l, dp_r)
+            if updater == 0:
+                wgt_smooth = smoothing[1:].astype(dtype)
+                Dmm_sm, Omm1, g_mot_sm = _smoothing_blocks(
+                    Hm, wgt_smooth, res0[5], smooth_sigma, dtype
+                )
+                Omm2 = jnp.zeros((max(W_ - 2, 0), O, 6, 6), dtype)
+                Hk_ext = _select_H_ext(Hm)
+                _, _, y_ext = _ternary_jacobians(Hk_ext, dp_cur, sig_t)
+                eyeG = jnp.broadcast_to(
+                    jnp.eye(3, dtype=dtype), (*y_ext.shape, 3)
+                )
+                G_ext = jnp.concatenate(
+                    [-so3_hat(y_ext), eyeG], axis=-1
+                )
+                st_R = Hk_ext.R
+            else:
+                triple = (smoothing[1:-1] & smoothing[2:]).astype(dtype)
+                r_kin = (res0[6] if cfg.use_object_kinematic_factor
+                         else None)
+                Dmm_sm, Omm1, Omm2, g_mot_sm = _pose_direct_blocks(
+                    Hm, mi_proxy, sm_proxy, cfg, triple, res0[5], r_kin,
+                    smooth_sigma, dtype,
+                )
+                Lp = _pad_pose(Hm)
+                dp_prev, _ = _dp_ext(dp, dp_l, dp_r)
+                Lpv = _select_rows(Lp, start - 1, S + 1)
+                Lcv = _select_rows(Lp, start, S + 1)
+                # rel = L_cur L_prev^-1;  q = L_prev^-1 m_prev
+                st_R = _mm(Lcv.R, jnp.swapaxes(Lpv.R, -1, -2))
+                q = _es(
+                    "snab,snb->sna",
+                    jnp.swapaxes(Lpv.R, -1, -2), dp_prev - Lpv.t,
+                )
+                G_ext = jnp.concatenate(
+                    [-_mm(Lcv.R, so3_hat(q)), Lcv.R], axis=-1
+                )
 
             Jx_s, Jp_s, _ = _pose_point_jacobians(
                 X, jnp.broadcast_to(sp[None], (W_, *sp.shape)), sig_s
             )
             X_loc = _x_loc(X)
             Jx_d, Jp_d, _ = _pose_point_jacobians(X_loc, dp, sig_d)
-            Hk_ext = _select_H_ext(H)
-            _, dp_cur = _dp_ext(dp, dp_l, dp_r)
-            _, _, y_ext = _ternary_jacobians(Hk_ext, dp_cur, sig_t)
 
-            # square-root ternary pieces (ext slots 0..S)
+            # square-root stiff-factor pieces (ext slots 0..S)
             s_ext = sqw_t / sig_t                          # (S+1, nd)
-            eyeG = jnp.broadcast_to(
-                jnp.eye(3, dtype=dtype), (*y_ext.shape, 3)
-            )
-            G_ext = jnp.concatenate([-so3_hat(y_ext), eyeG], axis=-1)
-            phi_ext = sqw_t[..., None] * r_tern            # (S+1, nd, 3)
+            phi_ext = sqw_t[..., None] * r_stiff           # (S+1, nd, 3)
 
             # psum partials (static family is frame-replicated -> 1/F)
             Dcam = _embed_rows(
@@ -682,13 +778,19 @@ def _optimize_schur_explicit(
             g_pts = _embed_rows(
                 _es("kn,knra,knr->ka", wgt_dyn, Jx_d, r_dyn), W_, start
             ) + _es("kn,knra,knr->ka", wgt_static, Jx_s, r_static) / F
-            # ternary diagonal of the full Dmm (damping only — the matrix
-            # itself arrives additively via the Woodbury correction)
+            # stiff-factor diagonal of the full Dmm (damping only — the
+            # matrix itself arrives additively via the Woodbury correction)
             Gsq = jnp.sum(G_ext[:S] ** 2, axis=2)          # (S, nd, 6)
             T_loc = wt[:S] / sig_t**2
-            ddiag_t = _embed_rows(
-                _es("kd,kdo,kda->koa", T_loc, oh_ext[:S], Gsq), W_, start
-            )
+            dd_t = _es("kd,kdo,kda->koa", T_loc, oh_ext[:S], Gsq)
+            if updater == 0:
+                ddiag_t = _embed_rows(dd_t, W_, start)
+            else:
+                # B~ touches L_{k-1} AND L_k
+                ddiag_t = (
+                    _embed_rows_shiftm1(dd_t, W_, start)
+                    + _embed_rows(dd_t, W_, start)
+                )
 
             Hll_s, Us, b_sp = _static_blocks(
                 wgt_static, Jx_s, Jp_s, r_static, dtype
@@ -706,12 +808,12 @@ def _optimize_schur_explicit(
                     "ch_c": ch_c,
                     "ch_T": T_loc, "ch_Tn": wt[1:] / sig_t**2,
                     "Rc": Rc, "b_dp": -g_dp_obs,
-                    "st_s": s_ext, "st_R": Hk_ext.R,
+                    "st_s": s_ext, "st_R": st_R,
                     "st_G": G_ext, "st_phi": phi_ext,
                 },
                 "repl": {
                     "Hcc0": Hcc0, "g_cam0": g_cam0, "Dmm_sm": Dmm_sm,
-                    "Omm1": Omm1, "g_mot_sm": g_mot_sm,
+                    "Omm1": Omm1, "Omm2": Omm2, "g_mot_sm": g_mot_sm,
                 },
             }
 
@@ -778,26 +880,49 @@ def _optimize_schur_explicit(
             s_prev = jnp.concatenate([s_l[None], s_loc[:-1]], 0)
             R_prevT = jnp.concatenate([Rt_l[None], Rt_loc[:-1]], 0)
 
-            # capacitance chain M (see schur_step stable branch)
+            # capacitance chain M (see schur_step stable branch; the pose
+            # formulation carries the rotation on the PREV side, so M's
+            # off-diagonal uses the CURRENT row's rel_R and B~ couples the
+            # +/- bands at h-columns k-1/k)
             alpha_M = 1.0 + s_loc * s_loc * (inv_c_prev + inv_c)
-            B_M = -(s_prev * s_loc * inv_c_prev)[..., None, None] * R_prevT
-
-            AU_prev = s_loc[..., None, None] * RcC_prev    # col rows_gl-1
-            AU_cur = -s_loc[..., None, None] * _mm(Rt_loc, RcC)
             Bcol = s_loc[..., None, None] * loc["st_G"][:S]
-            phi_hat = s_loc[..., None] * (
-                bzoC_prev - _es("kdab,kdb->kda", Rt_loc, bzoC)
-            ) + loc["st_phi"][:S]
-
             dn_rows = (
                 jnp.arange(W_)[None, :] == (rows_gl - 1)[:, None]
             ).astype(dtype)
+            if updater == 0:
+                B_M = (
+                    -(s_prev * s_loc * inv_c_prev)[..., None, None]
+                    * R_prevT
+                )
+                AU_prev = s_loc[..., None, None] * RcC_prev  # col rows_gl-1
+                AU_cur = -s_loc[..., None, None] * _mm(Rt_loc, RcC)
+                phi_hat = s_loc[..., None] * (
+                    bzoC_prev - _es("kdab,kdb->kda", Rt_loc, bzoC)
+                ) + loc["st_phi"][:S]
+                Bcol_nc = (
+                    Bcol[:, :, :, None, :]
+                    * eye_rows[:, None, None, :, None]
+                ).reshape(S, nd_, 3, nc)
+            else:
+                R_loc = loc["st_R"][:S]
+                B_M = (
+                    -(s_prev * s_loc * inv_c_prev)[..., None, None]
+                    * Rt_loc
+                )
+                AU_prev = -s_loc[..., None, None] * _mm(R_loc, RcC_prev)
+                AU_cur = s_loc[..., None, None] * RcC
+                phi_hat = s_loc[..., None] * (
+                    bzoC - _es("kdab,kdb->kda", R_loc, bzoC_prev)
+                ) + loc["st_phi"][:S]
+                Bcol_nc = (
+                    Bcol[:, :, :, None, :]
+                    * dn_rows[:, None, None, :, None]
+                    - Bcol[:, :, :, None, :]
+                    * eye_rows[:, None, None, :, None]
+                ).reshape(S, nd_, 3, nc)
             AU_nc = (
                 AU_prev[:, :, :, None, :] * dn_rows[:, None, None, :, None]
                 + AU_cur[:, :, :, None, :] * eye_rows[:, None, None, :, None]
-            ).reshape(S, nd_, 3, nc)
-            Bcol_nc = (
-                Bcol[:, :, :, None, :] * eye_rows[:, None, None, :, None]
             ).reshape(S, nd_, 3, nc)
             rhs_M = jnp.concatenate(
                 [AU_nc, Bcol_nc, phi_hat[..., None]], axis=-1
@@ -844,10 +969,23 @@ def _optimize_schur_explicit(
                 )
                 return out.reshape(S, O, 6, W_, 6)
 
-            S_hh = _couple_dot(Bcol, oh_row0)
+            C_hh = _couple_dot(Bcol, oh_row0)
             cm_cur = _couple_dot(AU_cur, oh_row0)
             cm_prev = _couple_dot(AU_prev, oh_row0)        # camera row k-1
-            d_bm_p = _es("kdia,kdi,kdo->koa", Bcol, Z_phi, oh_row0)
+            bphi = _es("kdia,kdi,kdo->koa", Bcol, Z_phi, oh_row0)
+            if updater == 0:
+                d_mm_p = -_embed_rows(C_hh, W_, start)
+                d_bm_p = _embed_rows(bphi, W_, start)
+            else:
+                # B~'s rows live at h-frames k-1 (+) and k (-)
+                d_mm_p = -(
+                    _embed_rows_shiftm1(C_hh, W_, start)
+                    - _embed_rows(C_hh, W_, start)
+                )
+                d_bm_p = (
+                    _embed_rows_shiftm1(bphi, W_, start)
+                    - _embed_rows(bphi, W_, start)
+                )
 
             pk = _pack_psum(
                 {
@@ -857,8 +995,8 @@ def _optimize_schur_explicit(
                     "d_bc": d_bc1 - d_bc2 + d_bc_s.reshape(nc) / F,
                     "d_cm": _embed_rows(cm_cur, W_, start)
                     + _embed_rows_shiftm1(cm_prev, W_, start),
-                    "d_mm": -_embed_rows(S_hh, W_, start),
-                    "d_bm": _embed_rows(d_bm_p, W_, start),
+                    "d_mm": d_mm_p,
+                    "d_bm": d_bm_p,
                 },
                 (FA, TA),
             )
@@ -883,8 +1021,7 @@ def _optimize_schur_explicit(
                 nc, W_, O, 6
             )
             sys_proxy = SimpleNamespace(
-                Omm1=repl["Omm1"],
-                Omm2=jnp.zeros((max(W_ - 2, 0), O, 6, 6), dtype),
+                Omm1=repl["Omm1"], Omm2=repl["Omm2"],
                 b_cam=b_cam, b_mot=b_mot,
             )
             Hred, bred = assemble_reduced(
@@ -913,11 +1050,19 @@ def _optimize_schur_explicit(
                 v_r = jnp.zeros_like(v[0])
             v_next = jnp.concatenate([v[1:], v_r[None]], axis=0)
             s_next = s_ext[1:]                              # slots 1..S
-            Atv = (
-                -s_loc[..., None]
-                * _es("kdab,kdb->kda", loc["st_R"][:S], v)
-                + s_next[..., None] * v_next
-            )
+            if updater == 0:
+                Atv = (
+                    -s_loc[..., None]
+                    * _es("kdab,kdb->kda", loc["st_R"][:S], v)
+                    + s_next[..., None] * v_next
+                )
+            else:
+                RT_next = Rt_ext[1:]                        # slots 1..S
+                Atv = (
+                    s_loc[..., None] * v
+                    - s_next[..., None]
+                    * _es("kdab,kdb->kda", RT_next, v_next)
+                )
             dc_loc = jax.lax.dynamic_slice_in_dim(
                 dc.reshape(W_, 6), start, S, 0
             )
@@ -926,7 +1071,7 @@ def _optimize_schur_explicit(
             return {"X": dc.reshape(W_, 6), "P": dm, "sp": d_sp, "dp": d_dp}
 
         return lm_optimize_schur(
-            vals, None, None, cfg, lm_cfg, anchor, formulation=0,
+            vals, None, None, cfg, lm_cfg, anchor, formulation=updater,
             overrides={
                 "residual_fn": residual_fn,
                 "error_fn": error_fn,

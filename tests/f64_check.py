@@ -154,30 +154,45 @@ def check_distributed_vs_single():
     m = _problem_f64()
     cfg = BackendConfig()
     lm = LMConfig(max_iterations=8)
-    res1 = distributed_schur_optimize(m, 8, cfg, mesh=make_mesh(1), lm_cfg=lm)
-    res8 = distributed_schur_optimize(m, 8, cfg, mesh=make_mesh(8), lm_cfg=lm)
-    # reference: the single-chip production solver on the same window (pins
-    # the explicit shard_map path against independently-written algebra, not
-    # just against its own 1-device instantiation)
     w = slice_window(m, 0, 8)
     masks = fm.build_masks(w, cfg)
-    vals0 = fm.init_values(w, masks, cfg)
-    res_ref = lm_optimize_schur(vals0, w, masks, cfg, lm, w.X_init[0])
-    assert np.isfinite(float(res1.error)) and np.isfinite(float(res8.error))
-    for res_d in (res1, res8):
-        np.testing.assert_allclose(
-            np.asarray(res_ref.values["X"].t), np.asarray(res_d.values["X"].t),
-            atol=1e-6,
+    for updater, key in ((0, "H"), (1, "L")):
+        res1 = distributed_schur_optimize(
+            m, 8, cfg, mesh=make_mesh(1), lm_cfg=lm, updater=updater
         )
-        np.testing.assert_allclose(
-            np.asarray(res_ref.values["H"].t), np.asarray(res_d.values["H"].t),
-            atol=1e-6,
+        res8 = distributed_schur_optimize(
+            m, 8, cfg, mesh=make_mesh(8), lm_cfg=lm, updater=updater
         )
-        # reduction order differs (psum tree vs local sums): ~1e-8 relative
-        np.testing.assert_allclose(
-            float(res_ref.error), float(res_d.error), rtol=1e-6
+        # reference: the single-chip production solver on the same window
+        # (pins the explicit shard_map path against independently-written
+        # algebra, not just against its own 1-device instantiation)
+        vals0 = (fm.init_values(w, masks, cfg) if updater == 0
+                 else fm.init_values_world_pose(w, masks, cfg))
+        res_ref = lm_optimize_schur(
+            vals0, w, masks, cfg, lm, w.X_init[0], formulation=updater
         )
-    print("distributed-vs-single f64 ok")
+        assert np.isfinite(float(res1.error))
+        assert np.isfinite(float(res8.error))
+        # WorldPose's rel_R products condition the stable elimination a
+        # little worse than WorldMotion, so psum-vs-local reduction order
+        # amplifies further over the LM trajectory: measured single-step
+        # agreement 2e-10 (algebra exact), 2.4e-8 @3 iters, 3.4e-6 @8.
+        tol = 1e-6 if updater == 0 else 1e-5
+        for res_d in (res1, res8):
+            np.testing.assert_allclose(
+                np.asarray(res_ref.values["X"].t),
+                np.asarray(res_d.values["X"].t), atol=tol,
+            )
+            np.testing.assert_allclose(
+                np.asarray(res_ref.values[key].t),
+                np.asarray(res_d.values[key].t), atol=tol,
+            )
+            # reduction order differs (psum tree vs local sums)
+            np.testing.assert_allclose(
+                float(res_ref.error), float(res_d.error),
+                rtol=(1e-6 if updater == 0 else 1e-4),
+            )
+        print(f"distributed-vs-single f64 ok (updater {updater})")
 
 
 def check_compaction():
