@@ -157,28 +157,26 @@ def check_distributed_vs_single():
     w = slice_window(m, 0, 8)
     masks = fm.build_masks(w, cfg)
     for updater, key in ((0, "H"), (1, "L")):
-        res1 = distributed_schur_optimize(
-            m, 8, cfg, mesh=make_mesh(1), lm_cfg=lm, updater=updater
-        )
         res8 = distributed_schur_optimize(
             m, 8, cfg, mesh=make_mesh(8), lm_cfg=lm, updater=updater
         )
         # reference: the single-chip production solver on the same window
         # (pins the explicit shard_map path against independently-written
-        # algebra, not just against its own 1-device instantiation)
+        # algebra — a 1-device mesh instantiation would only compare the
+        # explicit path against itself, at the cost of two more large
+        # compiles in the suite budget)
         vals0 = (fm.init_values(w, masks, cfg) if updater == 0
                  else fm.init_values_world_pose(w, masks, cfg))
         res_ref = lm_optimize_schur(
             vals0, w, masks, cfg, lm, w.X_init[0], formulation=updater
         )
-        assert np.isfinite(float(res1.error))
         assert np.isfinite(float(res8.error))
         # WorldPose's rel_R products condition the stable elimination a
         # little worse than WorldMotion, so psum-vs-local reduction order
         # amplifies further over the LM trajectory: measured single-step
         # agreement 2e-10 (algebra exact), 2.4e-8 @3 iters, 3.4e-6 @8.
         tol = 1e-6 if updater == 0 else 1e-5
-        for res_d in (res1, res8):
+        for res_d in (res8,):
             np.testing.assert_allclose(
                 np.asarray(res_ref.values["X"].t),
                 np.asarray(res_d.values["X"].t), atol=tol,
