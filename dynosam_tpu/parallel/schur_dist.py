@@ -946,8 +946,8 @@ def _optimize_schur_explicit(
                 W_, start,
             ).reshape(nc, nc)
             d_cc2 = jax.lax.dot_general(
-                AU_nc.reshape(-1, nc), Z_U.reshape(-1, nc),
-                (((0,), (0,)), ((), ())), precision="highest",
+                AU_nc, Z_U,
+                (((0, 1, 2), (0, 1, 2)), ((), ())), precision="highest",
             )
             d_bc1 = _embed_rows(
                 _es("kdia,kdi->ka", loc["Rc"], bzoC), W_, start
