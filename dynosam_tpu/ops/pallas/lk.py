@@ -607,6 +607,10 @@ _LK_VARIANT = _os.environ.get("DYNO_LK_VARIANT", "reload")
 _LK_FMA_MARGIN = int(_os.environ.get("DYNO_LK_MARGIN", "8"))
 # LK steps per while-loop iteration (see _run_iters)
 _LK_UNROLL = int(_os.environ.get("DYNO_LK_UNROLL", "1"))
+# features per kernel program: smaller blocks exit the eps while-loop at a
+# finer granularity (a block waits for its slowest ACTIVE feature); ILP
+# from larger blocks measured ~nil (session 9 fb sweep)
+_LK_FEAT_BLOCK = int(_os.environ.get("DYNO_LK_FEAT_BLOCK", "8"))
 
 
 @functools.partial(
@@ -720,7 +724,7 @@ def klt_track_pallas(
     interpret: bool = False,
     g0: jax.Array | None = None,
     variant: str | None = None,
-    feat_block: int = 8,
+    feat_block: int | None = None,
     unroll: int | None = None,
 ) -> KLTResult:
     """Drop-in replacement for `ops.klt.klt_track` backed by the Pallas
@@ -736,6 +740,8 @@ def klt_track_pallas(
     to the front before the kernel and inverts after, making kernel time
     track the ACTIVE count, not the pool capacity (per-slot results are
     permutation-exact)."""
+    if feat_block is None:
+        feat_block = _LK_FEAT_BLOCK
     dtype = prev_gray.dtype
     pyr_prev = build_pyramid(prev_gray, levels)
     pyr_cur = build_pyramid(cur_gray, levels)
