@@ -1061,8 +1061,14 @@ def assemble_reduced(sys: NormalSystem, Hcc_d, Dmm_d,
 
 
 def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
-               stable: bool | None = None, formulation: int = 0):
+               stable: bool | None = None, *, formulation: int):
     """One damped Gauss-Newton step via landmark elimination.
+
+    `formulation` is REQUIRED (0 WorldMotion, 1 WorldPose) and must match
+    the build function that produced `sys` (`build_normal_system` vs
+    `build_normal_system_pose`): the stable branch orients its capacitance
+    bands by it, and both builds emit identically-shaped arrays, so a
+    mismatched flag would silently compute wrong corrections.
 
     Returns the tangent delta dict {X (W,6), P (W,O,6), sp (NS,3),
     dp (W,ND,3)} solving (H + lam D) delta = b; "P" is the per-object
@@ -1468,6 +1474,17 @@ def lm_optimize_schur(
       step_fn(sys, lam) -> delta dict {X, P, sp, dp}.
     """
     ov = overrides or {}
+    if chain_solver is not None and _SCHUR_STABLE:
+        # The system build is also stable-form (build_normal_system keeps
+        # the ternary information exclusively in the st_* square-root
+        # fields when _SCHUR_STABLE), and the stable schur_step branch
+        # solves its own capacitance chains — a supplied chain_solver
+        # (the legacy GSPMD SPIKE path) would be silently ignored.
+        raise ValueError(
+            "chain_solver overrides require the subtractive elimination: "
+            "set DYNO_SCHUR_STABLE=0 (the stable Woodbury branch solves "
+            "its own capacitance chains and ignores the override)"
+        )
     if formulation == 0:
         spec = world_motion_families(cfg)
         residual_fn = lambda v: world_motion_residuals(v, w, masks, cfg, anchor)
@@ -1537,8 +1554,17 @@ def lm_optimize_schur(
         accept = new_err < err
 
         if _NAN_RATCHET:
+            # ratchet only on a non-finite STEP (failed Cholesky /
+            # indefinite reduced system) — a residual overflow at large
+            # lambda is a plain divergent trial and must not permanently
+            # raise lam_min, or later GN-quality low-lambda steps get
+            # capped for the rest of the window
+            delta_nan = ~(
+                jnp.isfinite(jnp.sum(delta["X"]))
+                & jnp.isfinite(jnp.sum(delta[pose_key]))
+            )
             lam_min = jnp.where(
-                step_nan,
+                delta_nan,
                 jnp.maximum(lam_min, lam * lm_cfg.lambda_factor),
                 lam_min,
             )

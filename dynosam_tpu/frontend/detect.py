@@ -155,6 +155,53 @@ def occupancy_mask(
     return grid > 0.5
 
 
+def occupancy_at_grid(
+    shape, uv: jax.Array, valid: jax.Array, radius: int, step: int, off: int
+) -> jax.Array:
+    """Occupancy test evaluated ONLY at the subsampled candidate grid
+    (`off::step` in both dims): True where a disc of `radius` around any
+    valid feature covers the grid point.
+
+    Exactly `occupancy_mask(shape, uv, valid, radius)[off::step, off::step]`
+    — but a lane-strided slice of a (H, W) image lowers to a ~H*W/step^2
+    serialized gather on TPU (stride-`step` on the minor dim is a lane
+    shuffle; measured 0.3 ms/frame each in the round-5 trace), and the
+    reduce_window dilation is wasted on the pixels the slice drops.  Both
+    fold into banded 0/1 selection matmuls on the MXU: the scattered grid
+    is 0/1 and band sums are <= (2r+1)^2 < 256, so bf16 accumulation is
+    exact."""
+    h, w = shape
+    grid = jnp.zeros((h, w), jnp.float32)
+    xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+    grid = grid.at[yi, xi].max(jnp.where(valid, 1.0, 0.0))
+    gy = jnp.arange(off, h, step)
+    gx = jnp.arange(off, w, step)
+    Sy = (
+        jnp.abs(gy[:, None] - jnp.arange(h)[None, :]) <= radius
+    ).astype(jnp.float32)                                   # (Hg, H)
+    Sx = (
+        jnp.abs(jnp.arange(w)[:, None] - gx[None, :]) <= radius
+    ).astype(jnp.float32)                                   # (W, Wg)
+    return (Sy @ grid) @ Sx > 0.5                           # (Hg, Wg)
+
+
+def grid_subsample_i32(img: jax.Array, step: int, off: int) -> jax.Array:
+    """`img[off::step, off::step]` for an integer image via one-hot
+    selection matmuls (HIGHEST precision: f32 exact to 2^24) — same
+    lane-shuffle-avoidance as `occupancy_at_grid`."""
+    h, w = img.shape
+    gy = jnp.arange(off, h, step)
+    gx = jnp.arange(off, w, step)
+    Sy = (gy[:, None] == jnp.arange(h)[None, :]).astype(jnp.float32)
+    Sx = (jnp.arange(w)[:, None] == gx[None, :]).astype(jnp.float32)
+    out = jnp.einsum(
+        "gh,hw,wx->gx", Sy, img.astype(jnp.float32), Sx,
+        precision="highest", optimize=True,
+    )
+    return jnp.round(out).astype(img.dtype)
+
+
 def border_mask(shape, shrink_row: int, shrink_col: int) -> jax.Array:
     """(H, W) bool: True where detection is forbidden (image border),
     the analog of `shrink_row/shrink_col` (`TrackerParams`)."""

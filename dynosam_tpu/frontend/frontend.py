@@ -194,6 +194,7 @@ def frontend_step(
             iters=cfg.camera_solver.ransac_iterations,
             threshold_px=cfg.camera_solver.ransac_threshold_px,
             min_inliers=cfg.camera_solver.min_inliers,
+            score_cap=cfg.camera_solver.ransac_score_cap or None,
         )
     elif ego_mode == "3d3d":
         # 3d-3d Arun (`geometricOutlierRejection3d3d`): p_world = X(y_cam)
@@ -207,6 +208,7 @@ def frontend_step(
             iters=cfg.camera_solver.ransac_iterations,
             threshold=cfg.camera_solver.ransac_threshold_stereo_m,
             min_inliers=5,
+            score_cap=cfg.camera_solver.ransac_score_cap or None,
         )
     elif ego_mode == "2d2d":
         # 2d-2d epipolar (`geometricOutlierRejection2d2d`): needs no depth

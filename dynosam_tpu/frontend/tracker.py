@@ -42,6 +42,8 @@ from ..utils.config import TrackerConfig
 from .detect import (
     border_mask,
     detect_grid_nms,
+    grid_subsample_i32,
+    occupancy_at_grid,
     occupancy_mask,
     shi_tomasi_response_fast,
 )
@@ -266,7 +268,7 @@ def track_frame(
         if cfg.use_clahe_filter:
             from ..ops.clahe import clahe
 
-            det_gray = clahe(cur_gray)
+            det_gray = clahe(cur_gray, n_bins=cfg.clahe_bins)
         else:
             det_gray = cur_gray
         occupied = occupancy_mask(
@@ -512,9 +514,12 @@ def track_frame(
     cand_uv = jnp.stack(
         [gxx.reshape(-1), gyy.reshape(-1)], axis=-1
     ).astype(dtype)                                        # (C, 2)
-    cand_label = mask_cur[step // 2 :: step, step // 2 :: step].reshape(-1)
-    occupied_d = occupancy_mask((h, w), d_uv, d_ok, step // 2)
-    cand_free = ~occupied_d[step // 2 :: step, step // 2 :: step].reshape(-1)
+    # (strided slices of (H, W) images lower to serialized lane-shuffle
+    # gathers on TPU — both subsamples run as MXU selection matmuls)
+    cand_label = grid_subsample_i32(mask_cur, step, step // 2).reshape(-1)
+    cand_free = ~occupancy_at_grid(
+        (h, w), d_uv, d_ok, step // 2, step, step // 2
+    ).reshape(-1)
     # object slot for each candidate label
     eq = cand_label[:, None] == table[None, :]             # (C, O)
     cand_slot = jnp.argmax(eq, axis=1).astype(jnp.int32)

@@ -67,9 +67,12 @@ def _run_iters(step, feat_block: int, iters: int, eps: float, gu0, gv0, vv,
     kernel-body variants, so fewer/fatter iterations amortize it.  A
     feature frozen at group entry stays frozen for the group (identical to
     unroll=1); an active feature may take up to unroll-1 refinement steps
-    past its eps crossing — extra Newton steps on an already-converged
-    iterate, inside the same `iters` budget the eps=0 path would run
-    anyway."""
+    past its eps crossing.  NOTE: with unroll > 1 the step count can
+    OVERSHOOT `iters` by up to unroll-1 steps — the eps path tests
+    `it < iters` before advancing a whole group, and the eps=0 path runs
+    ceil(iters/unroll)*unroll steps.  Accepted for this experimental knob
+    (extra Newton steps on a converged iterate are benign); the production
+    default unroll=1 matches `iters` exactly."""
     if eps > 0.0:
         eps2 = jnp.float32(eps * eps)
 

@@ -173,6 +173,7 @@ def ransac_rigid(
     cam: Optional[CameraParams] = None,
     refine_steps: int = 5,
     min_inliers: int = 5,
+    score_cap: Optional[int] = None,
 ) -> RansacResult:
     """Robustly estimate T with dst ~ T(src).
 
@@ -184,7 +185,27 @@ def ransac_rigid(
     the analog of `geometricOutlierRejection3d2d` (Kneip PnP), with the
     camera convention T = ^w X_c so that src (world) maps into the camera by
     T^-1.  (reference: `MotionSolver.cc:202-429`)
+
+    `score_cap`: compact the valid slots to the front and run the whole
+    solve (sampling, K x N scoring, GN polish) on the first `score_cap`
+    rows only, scattering the inlier mask back to pool coordinates at the
+    end.  The ego pool is NS + ND slots (6144) with ~1000 live — the
+    (K, N, 3) hypothesis-transform intermediates are HBM-bound and scale
+    with the POOL, not the live count (round-5 trace: ~0.6 ms/frame).
+    Equivalent to the uncapped solve whenever n_valid <= score_cap
+    (compaction preserves slot order, but sampled minimal-set indices map
+    through the permutation, so draws differ — statistically identical).
     """
+    n_pool = src.shape[0]
+    scatter_order = None
+    if score_cap is not None and n_pool > score_cap:
+        order = jnp.argsort(~valid, stable=True)[:score_cap]
+        src = src[order]
+        dst = dst[order]
+        if uv is not None:
+            uv = uv[order]
+        valid = valid[order]
+        scatter_order = order
     idx = _sample_minimal_sets(key, valid, iters)               # (K, 3)
     src_min = src[idx]                                          # (K, 3, 3)
     dst_min = dst[idx]
@@ -282,7 +303,12 @@ def ransac_rigid(
         jnp.where(ok, refined.R, jnp.eye(3, dtype=src.dtype)),
         jnp.where(ok, refined.t, jnp.zeros(3, src.dtype)),
     )
-    return RansacResult(pose, final_inl & ok, n_final, status)
+    inliers = final_inl & ok
+    if scatter_order is not None:
+        inliers = (
+            jnp.zeros((n_pool,), bool).at[scatter_order].set(inliers)
+        )
+    return RansacResult(pose, inliers, n_final, status)
 
 
 def ransac_pose_3d2d(
@@ -296,6 +322,7 @@ def ransac_pose_3d2d(
     threshold_px: float = 2.0,
     refine_steps: int = 5,
     min_inliers: int = 5,
+    score_cap: Optional[int] = None,
 ) -> RansacResult:
     """Camera-pose PnP: find ^wX_c with pi(X^-1 p_w) = uv.
 
@@ -315,5 +342,6 @@ def ransac_pose_3d2d(
         cam=cam,
         refine_steps=refine_steps,
         min_inliers=min_inliers,
+        score_cap=score_cap,
     )
 

@@ -76,6 +76,37 @@ def map_shardings(mesh: Mesh) -> "MeasurementMap":
     )
 
 
+def map_compute_shardings(mesh: Mesh) -> "MeasurementMap":
+    """The layout `_optimize_schur_explicit` consumes (its shard_map
+    in_specs): static grids track-sharded and frame-REPLICATED (the static
+    family couples every frame to the same landmark), dynamic grids
+    (frames x tracks), pose-family and per-frame scalar arrays replicated.
+
+    Placing the map arrays here BEFORE `distributed_schur_optimize` lets
+    every input arrive in its consumed sharding; with the frame-fed layout
+    (`map_shardings`) GSPMD logged "Involuntary full rematerialization"
+    and replicated the static grids per dispatch (MULTICHIP r4)."""
+    f = lambda *spec: NamedSharding(mesh, P(*spec))
+    FA, TA = FRAME_AXIS, TRACK_AXIS
+    return MeasurementMap(
+        static_xyz=f(None, TA, None),
+        static_uv=f(None, TA, None),
+        static_valid=f(None, TA),
+        dyn_xyz=f(FA, TA, None),
+        dyn_uv=f(FA, TA, None),
+        dyn_obj=f(FA, TA),
+        dyn_valid=f(FA, TA),
+        X_init=SE3(f(), f()),
+        timestamps=f(),
+        frame_ids=f(),
+        frame_valid=f(),
+        motion_init=SE3(f(), f()),
+        motion_valid=f(),
+        obj_pose_init=SE3(f(), f()),
+        obj_label=f(),
+    )
+
+
 def values_shardings(mesh: Mesh, formulation: int = 0) -> dict:
     """Shardings for the optimization values pytree (WorldMotion layout)."""
     f = lambda *spec: NamedSharding(mesh, P(*spec))
@@ -89,14 +120,19 @@ def values_shardings(mesh: Mesh, formulation: int = 0) -> dict:
     }
 
 
-def shard_map_data(m: MeasurementMap, mesh: Mesh) -> MeasurementMap:
+def shard_map_data(
+    m: MeasurementMap, mesh: Mesh, layout: str = "feed"
+) -> MeasurementMap:
     """Place a measurement map onto the mesh with the canonical shardings.
 
-    Arrays that are already multi-process global (fed per-host via
-    `multihost.feed_measurement_map`) pass through untouched — device_put
-    cannot re-place a non-addressable array.
+    `layout="feed"` uses the frame-major feeding layout (`map_shardings`);
+    `layout="compute"` uses the explicit Schur path's consumed layout
+    (`map_compute_shardings`).  Arrays that are already multi-process
+    global (fed per-host via `multihost.feed_measurement_map`) pass
+    through untouched — device_put cannot re-place a non-addressable
+    array (GSPMD inserts the one necessary resharding for those).
     """
-    sh = map_shardings(mesh)
+    sh = map_shardings(mesh) if layout == "feed" else map_compute_shardings(mesh)
 
     def put(x, s):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:

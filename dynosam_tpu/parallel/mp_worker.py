@@ -112,10 +112,13 @@ def run_worker(
 
     max_dx = float(np.max(np.abs(dist_Xt - ref_Xt)))
     derr = abs(dist_err - ref_err) / max(ref_err, 1e-30)
-    # WorldPose (updater 1) runs the legacy SPIKE path whose generic 6x6
-    # interface elimination carries ~1e-8 relative f64 error at the
-    # motion-pose conditioning T/c ~ 1e8 (see test_multiprocess) — a few
-    # 1e-6 of translation spread after 4 LM iterations is its floor.
+    # Both updaters route through _optimize_schur_explicit (default
+    # DYNO_DIST_GSPMD=0); WorldPose (updater 1) gets the wider tolerance
+    # because its explicit path's SPIKE interface solve uses the generic
+    # 6x6 block elimination (spike_chain_solve_local alpha mode), which
+    # carries ~1e-8 relative f64 error at the motion-pose conditioning
+    # T/c ~ 1e8 (see test_multiprocess) — a few 1e-6 of translation
+    # spread after 4 LM iterations is its floor.
     tol = (1e-6 if updater == 0 else 2e-5) if x64 else 2e-2
     verdict = {
         "process_id": process_id,

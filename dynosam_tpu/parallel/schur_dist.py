@@ -299,7 +299,11 @@ def distributed_schur_optimize(
             f"{nb}-way frame axis"
         )
     lm_cfg = lm_cfg or LMConfig(max_iterations=cfg.lm_max_iterations)
-    m_sharded = shard_map_data(m, mesh)
+    # "compute" layout: every input arrives in the sharding the explicit
+    # shard_map consumes (static grids track-sharded/frame-replicated) —
+    # the frame-fed layout made GSPMD fully rematerialize the static grids
+    # per dispatch (MULTICHIP r4 warning)
+    m_sharded = shard_map_data(m, mesh, layout="compute")
     return _optimize_schur_sharded(m_sharded, window, cfg, lm_cfg, updater, mesh)
 
 

@@ -36,6 +36,13 @@ class TrackerConfig:
     # the reference (its tracking-side CLAHE is commented out,
     # `StaticFeatureTracker.cc:292-294`)
     use_clahe_filter: bool = True
+    # CLAHE histogram bins: the (blocks, pixels, bins) soft-CDF operand
+    # build scales linearly with bins and is pure VPU elementwise
+    # (~0.5 ms/frame at 256).  64 bins matches OpenCV's 256-bin output as
+    # closely as our 256 does (mean |diff| 2.43 vs 2.43 levels, corr
+    # .9985 — the linear within-bin interpolation smooths the CDF), and
+    # only the DETECTOR image uses CLAHE.
+    clahe_bins: int = 64
     # detector selection (reference FeatureDetectorType: GFTT vs
     # ORB_SLAM_ORB, `FeatureDetector.cc:76-84`): "shi_tomasi" (GFTT
     # analog, default), "harris", "fast", or "orb" (pyramid FAST +
@@ -110,6 +117,11 @@ class MotionSolverConfig:
     # 2-pt translation-only mono solver when an external rotation prior is
     # available (MotionSolver.cc:161-177 `ransac_use_2point_mono`)
     ransac_use_2point_mono: bool = False
+    # valid-slot compaction cap for the K x N hypothesis scoring: the ego
+    # pool is NS + ND slots (~6144) with ~1000 live tracks, and the (K, N)
+    # scoring intermediates scale with the pool.  Exact whenever the live
+    # count <= cap (ops/ransac.py score_cap).  0 disables.
+    ransac_score_cap: int = 1536
 
 
 @dataclasses.dataclass(frozen=True)

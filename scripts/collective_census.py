@@ -26,6 +26,38 @@ COLLECTIVES = (
     "all-to-all",
 )
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                "u32": 4, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
+
+
+def collective_shapes(txt: str):
+    """(op, result_bytes, shape_str) for every collective instruction —
+    the guard against GSPMD quietly all-gathering a pool-sized (ND/NS)
+    grid (a frame-axis shifted-add on a sharded tensor does exactly that;
+    see CLAUDE.md d_mm note)."""
+    out = []
+    shape_re = re.compile(r"=\s*(?:\(([^)]*)\)|([\w]+\[[\d,]*\]))")
+    elem_re = re.compile(r"(\w+?)\[([\d,]*)\]")
+    for line in txt.splitlines():
+        s = line.strip()
+        for op in COLLECTIVES:
+            if f" {op}(" in s or f"{op}-start" in s or f" {op}." in s:
+                m = shape_re.search(s)
+                if not m:
+                    continue
+                shapes = m.group(1) if m.group(1) else m.group(2)
+                total = 0
+                for em in elem_re.finditer(shapes):
+                    dt, dims = em.group(1), em.group(2)
+                    n = 1
+                    for d in dims.split(","):
+                        if d:
+                            n *= int(d)
+                    total += n * _DTYPE_BYTES.get(dt, 4)
+                out.append((op, total, shapes[:120]))
+                break
+    return out
+
 
 def census(txt: str):
     """Split the HLO module text into computations and count collective
@@ -109,6 +141,14 @@ def main():
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--assert-max", type=int, default=0,
                     help="exit 1 if in-body collectives exceed this")
+    # the one legitimately-large collective is the packed SPIKE interface
+    # all_gather (boundary spike rows x all RHS columns, ~2.4 MiB at the
+    # census scale); the guard catches the ~10 MiB pool-grid class (e.g.
+    # a frame-shifted add on a sharded (W, ND, ...) tensor making GSPMD
+    # all-gather the whole grid — the round-3 d_mm bug)
+    ap.add_argument("--assert-max-kib", type=int, default=4096,
+                    help="exit 1 if any single collective result exceeds "
+                         "this many KiB (0 disables)")
     a = ap.parse_args()
 
     import jax
@@ -135,7 +175,7 @@ def main():
     mesh = make_mesh()
     print(f"mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}",
           file=sys.stderr)
-    m_sharded = shard_map_data(m, mesh)
+    m_sharded = shard_map_data(m, mesh, layout="compute")
     cfg = BackendConfig()
     lm_cfg = LMConfig(max_iterations=6)
 
@@ -154,6 +194,18 @@ def main():
     for op, n in sorted(outside.items()):
         print(f"  {op:20s} {n}")
     print(f"  TOTAL {sum(outside.values())}")
+    shapes = collective_shapes(txt)
+    shapes.sort(key=lambda t: -t[1])
+    print("largest collectives by result bytes:")
+    for op, nb, sh in shapes[:6]:
+        print(f"  {nb/1024:9.1f} KiB  {op:20s} {sh}")
+    if a.assert_max_kib:
+        big = [t for t in shapes if t[1] > a.assert_max_kib * 1024]
+        if big:
+            print(f"FAIL: {len(big)} collectives exceed "
+                  f"{a.assert_max_kib} KiB (pool-sized grid leaked into "
+                  f"a collective)")
+            raise SystemExit(1)
     if a.assert_max and sum(inside.values()) > a.assert_max:
         print(f"FAIL: {sum(inside.values())} > {a.assert_max}")
         raise SystemExit(1)

@@ -113,7 +113,8 @@ def check_step_vs_dense():
         for r, s in zip(res0, spec.robust)
     ]
     sys = schur.build_normal_system(vals, sqrt_w, w, masks, cfg, anchor, res0)
-    delta = schur.schur_step(sys, jnp.asarray(lam, jnp.float64), 1e-6)
+    delta = schur.schur_step(sys, jnp.asarray(lam, jnp.float64), 1e-6,
+                             formulation=0)
     delta = {
         "X": delta["X"], "H": delta["P"], "sp": delta["sp"], "dp": delta["dp"]
     }

@@ -71,14 +71,16 @@ def _spawn_workers(n: int, updater: int, tmp_path, timeout=420):
 @pytest.mark.parametrize("updater", [0, 1])
 def test_two_process_schur_equivalence(updater, tmp_path):
     verdicts = _spawn_workers(2, updater, tmp_path)
-    # WorldMotion (0) runs the explicit Woodbury path whose elimination is
-    # cancellation-free -> process sharding is invisible to 1e-6.
-    # WorldPose (1) runs the legacy SPIKE path: its interior now uses the
-    # same gamma-form scalar elimination as the single-chip solver (a
-    # truncated-boundary bug here cost 2.4e-4 — session 9), but the 6x6
-    # interface elimination is generic and carries ~1e-8 RELATIVE f64
-    # error at the motion-pose factor's conditioning T/c ~ 1e8, which
-    # surfaces as a few-1e-6 translation spread after 4 LM iterations.
+    # Both updaters run _optimize_schur_explicit (default DYNO_DIST_GSPMD=0).
+    # WorldMotion (0): the Woodbury elimination is cancellation-free ->
+    # process sharding is invisible to 1e-6.  WorldPose (1): the explicit
+    # path's interior uses the same gamma-form scalar elimination as the
+    # single-chip solver (a truncated-boundary bug here cost 2.4e-4 —
+    # session 9), but its SPIKE interface solve (spike_chain_solve_local
+    # alpha mode) is a generic 6x6 block elimination carrying ~1e-8
+    # RELATIVE f64 error at the motion-pose factor's conditioning
+    # T/c ~ 1e8, which surfaces as a few-1e-6 translation spread after
+    # 4 LM iterations.
     tol = 1e-6 if updater == 0 else 2e-5
     for v in verdicts:
         assert v["num_processes"] == 2 and v["n_devices"] == 2

@@ -160,3 +160,31 @@ def test_rigid_from_minimal_flags_collinear(rng):
     src = jnp.concatenate([p0, p0 + d, p0 + 2 * d], axis=1)   # collinear
     _, ok = rigid_from_minimal(src, src)
     assert not np.asarray(ok).any()
+
+
+def test_score_cap_exact_when_valid_fits(rng):
+    """`score_cap` compaction is BIT-EXACT when n_valid <= cap: stable
+    argsort keeps valid slots in slot order, so the inverse-CDF sampler's
+    rank -> slot mapping picks the same physical points, and the inlier
+    mask scatters back to identical pool coordinates."""
+    c = make_cam()
+    T = random_pose(rng)
+    N = 256
+    pts = jnp.asarray(rng.uniform(-4, 4, size=(N, 3)), jnp.float32)
+    pts = pts.at[:, 2].set(jnp.abs(pts[:, 2]) + 3.0)
+    p_world = lie.se3_apply(T, pts)
+    uv, _ = cam.project_local(c, pts)
+    valid = jnp.asarray(rng.random(N) < 0.4)
+    valid = valid & (uv[:, 0] > 0) & (uv[:, 0] < 639) & (uv[:, 1] > 0) & (uv[:, 1] < 479)
+    assert 20 < int(valid.sum()) < 128
+    key = jax.random.PRNGKey(11)
+    full = ransac.ransac_pose_3d2d(
+        key, p_world, uv, pts, valid, c, iters=100,
+    )
+    capped = ransac.ransac_pose_3d2d(
+        key, p_world, uv, pts, valid, c, iters=100, score_cap=128,
+    )
+    np.testing.assert_array_equal(np.asarray(full.pose.R), np.asarray(capped.pose.R))
+    np.testing.assert_array_equal(np.asarray(full.pose.t), np.asarray(capped.pose.t))
+    np.testing.assert_array_equal(np.asarray(full.inliers), np.asarray(capped.inliers))
+    assert int(full.n_inliers) == int(capped.n_inliers)

@@ -56,7 +56,8 @@ def test_schur_step_matches_dense():
         for r, s in zip(res0, spec.robust)
     ]
     sys = schur.build_normal_system(vals, sqrt_w, w, masks, cfg, anchor, res0)
-    delta = schur.schur_step(sys, jnp.asarray(lam, jnp.float32), 1e-6)
+    delta = schur.schur_step(sys, jnp.asarray(lam, jnp.float32), 1e-6,
+                             formulation=0)
     delta = {"X": delta["X"], "H": delta["P"], "sp": delta["sp"], "dp": delta["dp"]}
     got = retract_tree(vals, delta)
     want, _ = dense_normal_solve(resid, spec.robust, vals, lam)
@@ -103,7 +104,8 @@ def test_schur_step_reduces_cost():
         for r, s in zip(res0, spec.robust)
     ]
     sys = schur.build_normal_system(vals, sqrt_w, w, masks, cfg, anchor, res0)
-    delta = schur.schur_step(sys, jnp.asarray(1e-4, jnp.float32), 1e-6)
+    delta = schur.schur_step(sys, jnp.asarray(1e-4, jnp.float32), 1e-6,
+                             formulation=0)
     delta = {"X": delta["X"], "H": delta["P"], "sp": delta["sp"], "dp": delta["dp"]}
     new_vals = retract_tree(vals, delta)
     err1 = float(total_error(resid(new_vals), spec.robust))

@@ -376,3 +376,25 @@ def test_tracker_flow_only_mode(rng):
     ]
     med = np.median(moved, axis=0)
     np.testing.assert_allclose(med, [-2.0, -1.0], atol=0.5)
+
+
+def test_grid_subsample_matches_strided_slice(rng):
+    """The MXU selection-matmul subsamples must equal the plain strided
+    slices they replace (tracker.py candidate grid; round-5 trace showed
+    the slices lowering to serialized lane-shuffle gathers on TPU)."""
+    from dynosam_tpu.frontend.detect import (
+        grid_subsample_i32, occupancy_at_grid, occupancy_mask,
+    )
+
+    h, w, step = 96, 256, 4
+    img = jnp.asarray(rng.integers(0, 300, size=(h, w)), jnp.int32)
+    got = grid_subsample_i32(img, step, step // 2)
+    want = img[step // 2 :: step, step // 2 :: step]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    uv = jnp.asarray(rng.uniform(0, [w - 1, h - 1], size=(200, 2)), jnp.float32)
+    valid = jnp.asarray(rng.random(200) > 0.3)
+    occ = occupancy_mask((h, w), uv, valid, step // 2)
+    want_occ = occ[step // 2 :: step, step // 2 :: step]
+    got_occ = occupancy_at_grid((h, w), uv, valid, step // 2, step, step // 2)
+    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(want_occ))
