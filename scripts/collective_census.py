@@ -30,32 +30,42 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
                 "u32": 4, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
 
 
+_SHAPE_RE = re.compile(r"=\s*(?:\(([^)]*)\)|([\w]+\[[\d,]*\]))")
+_ELEM_RE = re.compile(r"(\w+?)\[([\d,]*)\]")
+
+
+def _line_collective(line: str):
+    """(op, result_bytes, shape_str) if the HLO line is a collective,
+    else None."""
+    s = line.strip()
+    for op in COLLECTIVES:
+        if f" {op}(" in s or f"{op}-start" in s or f" {op}." in s:
+            m = _SHAPE_RE.search(s)
+            if not m:
+                return None
+            shapes = m.group(1) if m.group(1) else m.group(2)
+            total = 0
+            for em in _ELEM_RE.finditer(shapes):
+                dt, dims = em.group(1), em.group(2)
+                n = 1
+                for d in dims.split(","):
+                    if d:
+                        n *= int(d)
+                total += n * _DTYPE_BYTES.get(dt, 4)
+            return (op, total, shapes[:120])
+    return None
+
+
 def collective_shapes(txt: str):
     """(op, result_bytes, shape_str) for every collective instruction —
     the guard against GSPMD quietly all-gathering a pool-sized (ND/NS)
     grid (a frame-axis shifted-add on a sharded tensor does exactly that;
     see CLAUDE.md d_mm note)."""
     out = []
-    shape_re = re.compile(r"=\s*(?:\(([^)]*)\)|([\w]+\[[\d,]*\]))")
-    elem_re = re.compile(r"(\w+?)\[([\d,]*)\]")
     for line in txt.splitlines():
-        s = line.strip()
-        for op in COLLECTIVES:
-            if f" {op}(" in s or f"{op}-start" in s or f" {op}." in s:
-                m = shape_re.search(s)
-                if not m:
-                    continue
-                shapes = m.group(1) if m.group(1) else m.group(2)
-                total = 0
-                for em in elem_re.finditer(shapes):
-                    dt, dims = em.group(1), em.group(2)
-                    n = 1
-                    for d in dims.split(","):
-                        if d:
-                            n *= int(d)
-                    total += n * _DTYPE_BYTES.get(dt, 4)
-                out.append((op, total, shapes[:120]))
-                break
+        c = _line_collective(line)
+        if c is not None:
+            out.append(c)
     return out
 
 
@@ -98,8 +108,10 @@ def census(txt: str):
                 )
         calls[c] = refs
     counts = {}
+    comp_bytes = {}
     for c, lines in comps.items():
         ctr = collections.Counter()
+        nb = 0
         for line in lines:
             for op in COLLECTIVES:
                 if re.search(rf"=\s*[\w\.\[\]{{}},:\s/]*{op}", line) and (
@@ -107,7 +119,11 @@ def census(txt: str):
                     f" {op}." in line
                 ):
                     ctr[op] += 1
+                    got = _line_collective(line)
+                    if got is not None:
+                        nb += got[1]
         counts[c] = ctr
+        comp_bytes[c] = nb
 
     # find while bodies: computations referenced via body=
     body_roots = set()
@@ -131,9 +147,12 @@ def census(txt: str):
     in_body = closure(body_roots)
     inside = collections.Counter()
     outside = collections.Counter()
+    inside_bytes = 0
     for c, ctr in counts.items():
         (inside if c in in_body else outside).update(ctr)
-    return inside, outside
+        if c in in_body:
+            inside_bytes += comp_bytes[c]
+    return inside, outside, inside_bytes
 
 
 def main():
@@ -185,7 +204,7 @@ def main():
         ).error
     )
     txt = fn.lower(m_sharded).compile().as_text()
-    inside, outside = census(txt)
+    inside, outside, inside_bytes = census(txt)
     print("collectives INSIDE the LM while body (per-iteration cost):")
     for op, n in sorted(inside.items()):
         print(f"  {op:20s} {n}")
@@ -196,6 +215,7 @@ def main():
     print(f"  TOTAL {sum(outside.values())}")
     shapes = collective_shapes(txt)
     shapes.sort(key=lambda t: -t[1])
+    print(f"in-body collective result bytes: {inside_bytes/1e6:.2f} MB/iter")
     print("largest collectives by result bytes:")
     for op, nb, sh in shapes[:6]:
         print(f"  {nb/1024:9.1f} KiB  {op:20s} {sh}")
