@@ -602,10 +602,198 @@ def _make_kernel(
     return kernel
 
 
-# kernel variant: "reload" re-slices the image per iteration (round-2
-# production); "resident" loads one margin-padded window per feature and
-# iterates within it (round-3 candidate — A/B on the TPU before switching)
-_LK_VARIANT = _os.environ.get("DYNO_LK_VARIANT", "reload")
+def _make_kernel_stacked(
+    h: int, w: int, win: int, iters: int, feat_block: int, eps: float,
+    unroll: int = 1,
+):
+    """Block-BATCHED variant of `_make_kernel` ("stack"): the round-5 trace
+    showed the reload kernel OP-COUNT bound — ~12 small ops per sample per
+    feature (iota 2-hot builds, tiny dots, slices), each carrying fixed
+    Mosaic scheduling cost, with per-op work far below a VPU/MXU tile.
+    Here every phase processes the WHOLE feat_block as rank-3 batched
+    arrays:
+
+      * the F windows are copied into one (F, SY, SX) VMEM scratch
+        (the per-feature `pl.ds` loads are the only remaining small ops);
+      * the bilinear weight matrices build as (F, pwin, SY/SX) fat iota
+        ops with per-feature origins broadcast from (F, 1) columns;
+      * interpolation is TWO batched `dot_general`s (batch F, the same
+        column-first order as the reload kernel — per-feature results are
+        bit-identical since the extra batch dim changes no accumulation);
+      * gradients/residual reductions are (F, win, win) -> (F,) fat ops.
+
+    Op count per block drops ~4x (measured composition: template ~36 ops
+    vs ~160, iteration ~40 vs ~144).  Semantics == reload: same clamped
+    sampling, same joint eps loop (per-feature freeze at group entry),
+    same all-inactive block skip."""
+    hw = win // 2
+    pwin = win + 2
+    SY = min(h, ((pwin + 1 + 7) + 7) // 8 * 8)
+    SX = min(w, ((pwin + 1 + 127) + 127) // 128 * 128)
+    if SY != h and (h - SY) % 8 != 0:
+        SY = h
+    if SX != w and (w - SX) % 128 != 0:
+        SX = w
+    F = feat_block
+
+    def kernel(p_ref, g_ref, v_ref, prev_ref, cur_ref, gout_ref, err_ref,
+               wstk_ref):
+        base = pl.program_id(0) * F
+        if F % 8 == 0:
+            base = pl.multiple_of(base, 8)
+        pv = p_ref[pl.ds(base, F), :]   # (F, 2)
+        gv = g_ref[pl.ds(base, F), :]
+        vv = v_ref[pl.ds(base, F), 0]
+
+        any_act = jnp.max(vv) > 0.0
+
+        @pl.when(jnp.logical_not(any_act))
+        def _():
+            gout_ref[pl.ds(base, F), :] = gv
+            err_ref[pl.ds(base, F), :] = jnp.zeros((F, 1), gv.dtype)
+
+        @pl.when(any_act)
+        def _():
+            def sample_stack(ref, x0s, y0s):
+                """(F, pwin, pwin) bilinear patches; x0s/y0s are length-F
+                lists of scalar float origins (needed for pl.ds)."""
+                jy0s, jx0s = [], []
+                for f in range(F):
+                    if SY == h:
+                        jy0 = 0
+                    else:
+                        jy0 = jnp.clip(
+                            (jnp.floor(y0s[f]).astype(jnp.int32) // 8) * 8,
+                            0, h - SY,
+                        )
+                        jy0 = pl.multiple_of(jy0, 8)
+                    if SX == w:
+                        jx0 = 0
+                    else:
+                        jx0 = jnp.clip(
+                            (jnp.floor(x0s[f]).astype(jnp.int32) // 128)
+                            * 128, 0, w - SX,
+                        )
+                        jx0 = pl.multiple_of(jx0, 128)
+                    wstk_ref[f] = ref[pl.ds(jy0, SY), pl.ds(jx0, SX)]
+                    jy0s.append(jy0)
+                    jx0s.append(jx0)
+                Ws = wstk_ref[...]                          # (F, SY, SX)
+                x0v = jnp.stack(x0s)[:, None]               # (F, 1)
+                y0v = jnp.stack(y0s)[:, None]
+                jy0v = jnp.stack(
+                    [jnp.asarray(j, jnp.float32) * 1.0 for j in jy0s]
+                )[:, None]
+                jx0v = jnp.stack(
+                    [jnp.asarray(j, jnp.float32) * 1.0 for j in jx0s]
+                )[:, None]
+                ii = jax.lax.broadcasted_iota(
+                    jnp.int32, (F, pwin), 1).astype(jnp.float32)
+                ly = jnp.clip(y0v + ii, 0.0, h - 1.0) - jy0v   # (F, pwin)
+                lx = jnp.clip(x0v + ii, 0.0, w - 1.0) - jx0v
+                jw = jax.lax.broadcasted_iota(
+                    jnp.int32, (F, pwin, SY), 2).astype(jnp.float32)
+                R = jnp.maximum(0.0, 1.0 - jnp.abs(ly[:, :, None] - jw))
+                cc = jax.lax.broadcasted_iota(
+                    jnp.int32, (F, pwin, SX), 2).astype(jnp.float32)
+                C = jnp.maximum(0.0, 1.0 - jnp.abs(lx[:, :, None] - cc))
+                # column-first like the reload kernel: WC[f] = W_f @ C_f^T,
+                # P[f] = R_f @ WC[f] — identical per-feature accumulation
+                WC = jax.lax.dot_general(
+                    Ws, C, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_PRECISION,
+                )                                            # (F, SY, pwin)
+                return jax.lax.dot_general(
+                    R, WC, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_PRECISION,
+                )                                            # (F, pwin, pwin)
+
+            # ---- template + gradients (one batched phase) ----------------
+            px = [pv[f, 0] - hw - 1 for f in range(F)]
+            py = [pv[f, 1] - hw - 1 for f in range(F)]
+            def _rsum12(x):
+                # Mosaic crashes on multi-axis reduces of rank-3 values
+                # (layout.h rank check) — reduce one axis at a time
+                return jnp.sum(jnp.sum(x, axis=2), axis=1)
+
+            b = sample_stack(prev_ref, px, py)
+            t = b[:, 1:win + 1, 1:win + 1]                   # (F, win, win)
+            gx = (b[:, 1:win + 1, 2:win + 2] - b[:, 1:win + 1, 0:win]) * 0.5
+            gy = (b[:, 2:win + 2, 1:win + 1] - b[:, 0:win, 1:win + 1]) * 0.5
+            gxx = _rsum12(gx * gx)                           # (F,)
+            gxy = _rsum12(gx * gy)
+            gyy = _rsum12(gy * gy)
+            det = gxx * gyy - gxy * gxy
+            inv_ok = det > 1e-6
+            det_safe = jnp.where(inv_ok, det, 1.0)
+
+            def sample_cur(gu, gv_):
+                xs = [pv[f, 0] + gu[f] - hw - 1 for f in range(F)]
+                ys = [pv[f, 1] + gv_[f] - hw - 1 for f in range(F)]
+                p = sample_stack(cur_ref, xs, ys)
+                return p[:, 1:win + 1, 1:win + 1]
+
+            def step_all(gu, gv_):
+                r = sample_cur(gu, gv_) - t                  # (F, win, win)
+                bx = _rsum12(r * gx)
+                by = _rsum12(r * gy)
+                du = -(gyy * bx - gxy * by) / det_safe
+                dv = -(-gxy * bx + gxx * by) / det_safe
+                du = jnp.where(inv_ok, jnp.clip(du, -win, win), 0.0)
+                dv = jnp.where(inv_ok, jnp.clip(dv, -win, win), 0.0)
+                return du, dv
+
+            gu0, gv0 = gv[:, 0], gv[:, 1]
+            if eps > 0.0:
+                eps2 = jnp.float32(eps * eps)
+
+                def cond(c):
+                    it, _, _, d2 = c
+                    return jnp.logical_and(it < iters, jnp.max(d2) > eps2)
+
+                def wbody(c):
+                    it, gu, gv_, d2 = c
+                    act = d2 > eps2                          # (F,) freeze
+                    for _ in range(unroll):
+                        du, dv = step_all(gu, gv_)
+                        du = jnp.where(act, du, 0.0)
+                        dv = jnp.where(act, dv, 0.0)
+                        gu = gu + du
+                        gv_ = gv_ + dv
+                    return (it + unroll, gu, gv_, du * du + dv * dv)
+
+                _, gu, gv_, _ = jax.lax.while_loop(
+                    cond, wbody, (jnp.int32(0), gu0, gv0, vv * 1e9),
+                )
+            else:
+                def body(_, c):
+                    gu, gv_ = c
+                    for _ in range(unroll):
+                        du, dv = step_all(gu, gv_)
+                        gu = gu + du * vv
+                        gv_ = gv_ + dv * vv
+                    return (gu, gv_)
+
+                n_groups = (iters + unroll - 1) // unroll
+                gu, gv_ = jax.lax.fori_loop(0, n_groups, body, (gu0, gv0))
+
+            errs = _rsum12(
+                jnp.abs(sample_cur(gu, gv_) - t)
+            ) * (1.0 / (win * win))                          # (F,)
+            gout_ref[pl.ds(base, F), :] = jnp.stack([gu, gv_], axis=-1)
+            err_ref[pl.ds(base, F), :] = errs[:, None]
+
+    return kernel, (F, SY, SX)
+
+
+# kernel variant: "stack" (round-5 production) batches the whole
+# feat_block per phase — in-pipeline A/B 171.6 fps vs reload's 125.8;
+# "reload" re-slices the image per iteration (round-2..4 production);
+# "resident" loads one margin-padded window per feature and iterates
+# within it; "fma" 2-tap rolls (negative in-pipeline, session 9)
+_LK_VARIANT = _os.environ.get("DYNO_LK_VARIANT", "stack")
 # fma resident-window row headroom (see _make_kernel_fma)
 _LK_FMA_MARGIN = int(_os.environ.get("DYNO_LK_MARGIN", "8"))
 # LK steps per while-loop iteration (see _run_iters)
@@ -668,17 +856,24 @@ def lk_level(
     grid = (np_ // feat_block,)
 
     u = unroll if unroll is not None else _LK_UNROLL
+    scratch_shapes = ()
     if v == "resident":
         kernel = _make_kernel_resident(h, w, win, iters, feat_block, eps,
                                        unroll=u)
     elif v == "fma":
         kernel = _make_kernel_fma(h, w, win, iters, feat_block, eps,
                                   unroll=u)
+    elif v == "stack":
+        kernel, (F_, SY_, SX_) = _make_kernel_stacked(
+            h, w, win, iters, feat_block, eps, unroll=u
+        )
+        scratch_shapes = (pltpu.VMEM((F_, SY_, SX_), jnp.float32),)
     else:
         kernel = _make_kernel(h, w, win, iters, feat_block, eps, unroll=u)
     g, err = pl.pallas_call(
         kernel,
         grid=grid,
+        scratch_shapes=scratch_shapes,
         in_specs=[
             pl.BlockSpec((np_, 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

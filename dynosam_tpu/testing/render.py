@@ -17,6 +17,7 @@ directly on the TPU).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import List
 
@@ -42,6 +43,12 @@ class RenderConfig:
     seed: int = 0
     cam_step: float = 0.08       # forward+lateral motion per frame
     obj_step: float = 0.25
+    # restrict object rotations to yaw (about world Y): the KITTI
+    # object_pose.txt format stores only (t, ry) — camera rotation is
+    # already yaw-only, so with this set the written GT is EXACT
+    # (`write_reference_layout`); default off keeps every existing scene
+    # bit-identical
+    yaw_only_objects: bool = False
 
 
 def _blur1d(x: jax.Array, axis: int) -> jax.Array:
@@ -273,9 +280,18 @@ class RenderedScene:
                     out.append(v)
             return jnp.asarray(out, jnp.float32)
 
-        self.H_gt_list: List[SE3] = [
-            se3_exp(_twist(self._OBJ_TWISTS[i])) for i in range(O)
-        ]
+        def _yaw_only(tw):
+            # keep |rotation| but move it onto the Y axis (see
+            # RenderConfig.yaw_only_objects)
+            mag = float(np.linalg.norm(np.asarray(tw[:3])))
+            return jnp.concatenate(
+                [jnp.asarray([0.0, mag, 0.0], jnp.float32), tw[3:]]
+            )
+
+        twists = [_twist(self._OBJ_TWISTS[i]) for i in range(O)]
+        if cfg.yaw_only_objects:
+            twists = [_yaw_only(t) for t in twists]
+        self.H_gt_list: List[SE3] = [se3_exp(t) for t in twists]
         self.H_gt = self.H_gt_list[0]
         self.obj_halves = [self._OBJ_HALVES[i] for i in range(O)]
         self.obj_half = self.obj_halves[0]
@@ -358,3 +374,106 @@ class RenderedScene:
         if self._frames is None:
             self._frames = self._render()
         return self._frames
+
+
+# --------------------------------------------------------------------------
+# Reference-layout dataset writer (closes the dataset-dir -> CLI -> report
+# loop without real sequences in the environment)
+# --------------------------------------------------------------------------
+
+def _write_flo(path: str, flow: np.ndarray) -> None:
+    """Middlebury .flo writer (inverse of `data/kitti._read_flo`)."""
+    h, w = flow.shape[:2]
+    with open(path, "wb") as f:
+        np.asarray([202021.25], np.float32).tofile(f)
+        np.asarray([w, h], np.int32).tofile(f)
+        flow.astype(np.float32).reshape(-1).tofile(f)
+
+
+def write_reference_layout(
+    scene: "RenderedScene",
+    out_dir: str,
+    baseline: float = 387.5744,
+    depth_scale: float = 256.0,
+) -> str:
+    """Write a `RenderedScene` to disk in the KITTI-tracking layout the
+    reference consumes (`dataprovider/KittiDataProvider.hpp:352+`; our
+    loader `data/kitti.py`):
+
+      image_0/%06d.png   8-bit grayscale
+      depth/%06d.png     16-bit disparity, depth = baseline/(disp/scale)
+                         with the 387.5744/256 semantics
+      flow/%06d.flo      dense flow k -> k+1
+      motion/%06d.png    16-bit instance masks
+      calib.txt          P2 row (overrides the per-sequence rig)
+      times.txt, pose_gt.txt (3x4 rows), object_pose.txt
+                         (`FrameID ObjectID B1-B4 t1 t2 t3 ry`)
+
+    The object_pose yaw encoding (L_cam = (R_y(ry + pi/2), t),
+    `KittiDataProvider.hpp:214-295`) is EXACT only for yaw-only object and
+    camera rotations — build the scene with
+    `RenderConfig(yaw_only_objects=True)` (the default camera twist is
+    already yaw-only)."""
+    import cv2
+
+    cfg = scene.cfg
+    for sub in ("image_0", "depth", "flow", "motion"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    frames = scene.frames()
+    for k, f in enumerate(frames):
+        name = f"{k:06d}"
+        gray = np.clip(np.asarray(f.gray), 0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(out_dir, "image_0", name + ".png"), gray)
+        depth = np.asarray(f.depth, np.float64)
+        disp = np.where(
+            depth > 0, baseline * depth_scale / np.maximum(depth, 1e-6), 0.0
+        )
+        cv2.imwrite(
+            os.path.join(out_dir, "depth", name + ".png"),
+            np.clip(np.round(disp), 0, 65535).astype(np.uint16),
+        )
+        _write_flo(
+            os.path.join(out_dir, "flow", name + ".flo"),
+            np.asarray(f.flow, np.float32),
+        )
+        cv2.imwrite(
+            os.path.join(out_dir, "motion", name + ".png"),
+            np.asarray(f.mask).astype(np.uint16),
+        )
+
+    cam = scene.cam
+    with open(os.path.join(out_dir, "calib.txt"), "w") as f:
+        f.write(
+            f"P2: {float(cam.fx)} 0 {float(cam.cx)} 0 "
+            f"0 {float(cam.fy)} {float(cam.cy)} 0 "
+            f"0 0 1 0\n"
+        )
+    with open(os.path.join(out_dir, "times.txt"), "w") as f:
+        for k in range(cfg.n_frames):
+            f.write(f"{k * 0.1:.6f}\n")
+    with open(os.path.join(out_dir, "pose_gt.txt"), "w") as f:
+        for k in range(cfg.n_frames):
+            X = scene.X_gt[k]
+            T = np.eye(4)
+            T[:3, :3] = np.asarray(X.R)
+            T[:3, 3] = np.asarray(X.t)
+            f.write(" ".join(f"{v:.9f}" for v in T[:3, :4].reshape(-1)))
+            f.write("\n")
+    with open(os.path.join(out_dir, "object_pose.txt"), "w") as f:
+        for k in range(cfg.n_frames):
+            for i, lab in enumerate(scene.object_labels):
+                L = scene.object_pose_at(k, i)
+                Lw = np.eye(4)
+                Lw[:3, :3] = np.asarray(L.R)
+                Lw[:3, 3] = np.asarray(L.t)
+                Xw = np.eye(4)
+                Xw[:3, :3] = np.asarray(scene.X_gt[k].R)
+                Xw[:3, 3] = np.asarray(scene.X_gt[k].t)
+                Lc = np.linalg.inv(Xw) @ Lw
+                ry = float(np.arctan2(Lc[0, 2], Lc[0, 0])) - np.pi / 2
+                t = Lc[:3, 3]
+                f.write(
+                    f"{k} {lab} 0 0 0 0 "
+                    f"{t[0]:.9f} {t[1]:.9f} {t[2]:.9f} {ry:.9f}\n"
+                )
+    return out_dir

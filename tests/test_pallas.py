@@ -310,3 +310,38 @@ def test_lk_fma_variant_matches_reload(rng):
     np.testing.assert_allclose(
         np.asarray(ref.error)[both], np.asarray(got.error)[both], atol=1e-3
     )
+
+
+def test_lk_stack_variant_matches_reload(rng):
+    """Block-batched 'stack' kernel (whole feat_block as rank-3 batched
+    iota builds + two batched dot_generals) == the reload kernel: the
+    batch dimension changes no per-feature accumulation order, and the
+    mixed pool exercises both the all-inactive block skip and the joint
+    eps freeze (`ops/pallas/lk.py:_make_kernel_stacked`)."""
+    from dynosam_tpu.ops.klt import flow_at
+    from dynosam_tpu.ops.pallas.lk import klt_track_pallas
+    from dynosam_tpu.testing.render import RenderConfig, RenderedScene
+
+    scene = RenderedScene(RenderConfig(n_frames=2, h=192, w=256))
+    f0, f1 = scene.frames()
+    uv = jnp.asarray(rng.uniform([15, 15], [240, 176], (48, 2)), jnp.float32)
+    valid = jnp.asarray(rng.random(48) > 0.3)    # mixed live/dead slots
+    g0 = flow_at(f0.flow, uv) + jnp.asarray(
+        rng.normal(0, 0.5, (48, 2)), jnp.float32
+    )
+    ref = klt_track_pallas(
+        f0.gray, f1.gray, uv, valid, win=21, levels=1, iters=10, g0=g0,
+        eps=0.01, interpret=True, variant="reload",
+    )
+    got = klt_track_pallas(
+        f0.gray, f1.gray, uv, valid, win=21, levels=1, iters=10, g0=g0,
+        eps=0.01, interpret=True, variant="stack",
+    )
+    np.testing.assert_array_equal(np.asarray(ref.ok), np.asarray(got.ok))
+    both = np.asarray(ref.ok) & np.asarray(got.ok)
+    d = np.linalg.norm(np.asarray(ref.uv) - np.asarray(got.uv), axis=1)
+    assert both.sum() >= 20
+    np.testing.assert_allclose(d[both], 0.0, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ref.error)[both], np.asarray(got.error)[both], atol=1e-4
+    )
