@@ -34,6 +34,15 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_BASELINE_FPS = 56.48  # measured: scripts/baseline_reference.py
+#                           WITHOUT the two gtsam refinement stages (an
+#                           upper bound favoring the reference; see below)
+# Full-scope replica (round 5): frontend INCLUDING the joint flow+pose and
+# motion-only LM stages = 16.37 fps; + CPU window-solve stand-in amortized
+# over the 6-frame stride = 5.47 fps pipeline (BASELINE.md table).
+# vs_baseline stays on the CONSERVATIVE denominators; vs_baseline_full
+# reports the matched-scope ratio.
+REF_BASELINE_FULL_FE_FPS = 16.37
+REF_BASELINE_FULL_PIPE_FPS = 5.47
 
 # v5e peak (bf16 systolic) for the MFU denominator; f32-pass programs can
 # at best reach a fraction of this, so the printed MFU is conservative
@@ -563,6 +572,9 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REF_BASELINE_FPS, 3),
+                "vs_baseline_full": round(
+                    fps / REF_BASELINE_FULL_FE_FPS, 3
+                ),
             }
         ),
         flush=True,
@@ -607,6 +619,9 @@ def main():
                     "value": round(pfps, 3),
                     "unit": "frames/s",
                     "vs_baseline": round(pfps / REF_BASELINE_FPS, 3),
+                    "vs_baseline_full": round(
+                        pfps / REF_BASELINE_FULL_PIPE_FPS, 3
+                    ),
                 }
             ),
             flush=True,

@@ -100,6 +100,263 @@ def detect(cv2, gray, existing, n_needed):
     return pts.reshape(-1, 2) if pts is not None else np.zeros((0, 2))
 
 
+# --------------------------------------------------------------------------
+# Reference refinement-stage replicas (VERDICT r4 #2: the replica used to
+# EXCLUDE both gtsam LM refinement stages, inflating the baseline fps).
+# Same problem structure, sizes, noise models, Huber constants, and
+# outer-loop shape as the reference; numpy/scipy solves per LM iteration
+# with per-track block elimination (the same elimination gtsam performs).
+# --------------------------------------------------------------------------
+
+
+def _so3_exp(w):
+    th = np.linalg.norm(w)
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-12:
+        return np.eye(3) + K
+    return (
+        np.eye(3) + np.sin(th) / th * K + (1 - np.cos(th)) / th**2 * (K @ K)
+    )
+
+
+def _huber_w(r2, k):
+    """Huber sqrt-weights on squared WHITENED norms (gtsam mEstimator)."""
+    r = np.sqrt(np.maximum(r2, 1e-30))
+    return np.where(r <= k, 1.0, np.sqrt(k / r))
+
+
+def refine_flow_pose_np(kp_prev, flow_init, P_world, X0, K,
+                        flow_sigma=10.0, prior_sigma=3.33, k_huber=0.001,
+                        rounds=4, lm_iters=10):
+    """`OpticalFlowAndPoseOptimizer::optimizeAndUpdate` replica
+    (`MotionSolver-inl.hpp:89-274`): per-tracklet flow variables F(i) + one
+    pose X; error (kp_{k-1}+flow) - pi(X^-1 P_w) (Huber) + flow prior;
+    optimize, then up to 4 outlier-removal rounds each followed by a
+    re-optimization (`:195-248`).  Per LM iteration the 2x2 flow blocks
+    are eliminated onto the 6-dof pose (the same Schur ordering gtsam's
+    sparse elimination produces)."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    n = kp_prev.shape[0]
+    if n < 8:
+        return X0
+    R = X0[:3, :3].copy()
+    t = X0[:3, 3].copy()
+    f = flow_init.copy()
+    active = np.ones(n, bool)
+    w_flow = 1.0 / flow_sigma
+    w_prior = 1.0 / prior_sigma
+
+    def residuals(R, t, f):
+        pc = (P_world - t) @ R                       # X^-1 p
+        z = np.maximum(pc[:, 2], 1e-6)
+        pred = np.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1)
+        r1 = (kp_prev + f - pred) * w_flow           # whitened (n, 2)
+        r2 = (f - flow_init) * w_prior
+        return r1, r2, pc, z
+
+    def lm(R, t, f, active):
+        lam = 1e-5
+        r1, r2, _, _ = residuals(R, t, f)
+        hw = _huber_w(np.sum(r1 * r1, -1), k_huber)
+        err = float(np.sum((hw[:, None] * r1)[active] ** 2)
+                    + np.sum(r2[active] ** 2))
+        for _ in range(lm_iters):
+            r1, r2, pc, z = residuals(R, t, f)
+            hw = _huber_w(np.sum(r1 * r1, -1), k_huber) * active
+            # J of -pi(X^-1 p) wrt right-perturbed pose xi and wrt flow (I)
+            x_, y_ = pc[:, 0] / z, pc[:, 1] / z
+            Jproj = np.zeros((n, 2, 3))
+            Jproj[:, 0, 0] = fx / z
+            Jproj[:, 0, 2] = -fx * x_ / z
+            Jproj[:, 1, 1] = fy / z
+            Jproj[:, 1, 2] = -fy * y_ / z
+            Jxi = np.zeros((n, 2, 6))
+            # d pc / d xi = [hat(pc) | -I] (right perturbation)
+            hat = np.zeros((n, 3, 3))
+            hat[:, 0, 1] = -pc[:, 2]
+            hat[:, 0, 2] = pc[:, 1]
+            hat[:, 1, 0] = pc[:, 2]
+            hat[:, 1, 2] = -pc[:, 0]
+            hat[:, 2, 0] = -pc[:, 1]
+            hat[:, 2, 1] = pc[:, 0]
+            Jxi[:, :, :3] = -np.einsum("nij,njk->nik", Jproj, hat)
+            Jxi[:, :, 3:] = np.einsum("nij,jk->nik", Jproj, -np.eye(3))
+            Jxi = -w_flow * Jxi * hw[:, None, None]
+            Jf1 = w_flow * hw                         # scalar * I2
+            r1w = r1 * hw[:, None]
+            # blocks: A_ff = Jf1^2 + w_prior^2, A_fx = Jf1 * Jxi,
+            # A_xx = sum Jxi^T Jxi
+            dff = Jf1**2 + w_prior**2 + lam           # (n,) * I2
+            bf = -(Jf1[:, None] * r1w + w_prior * r2 * active[:, None])
+            bx = -np.einsum("nij,ni->j", Jxi, r1w)
+            Axx = np.einsum("nia,nib->ab", Jxi, Jxi) + lam * np.eye(6)
+            Axf_bf = np.einsum("nij,ni->j", Jxi, bf * Jf1[:, None] / dff[:, None])
+            Axf_Axf = np.einsum(
+                "nia,nib,n->ab", Jxi, Jxi, (Jf1**2) / dff
+            )
+            Ared = Axx - Axf_Axf
+            bred = bx - Axf_bf
+            try:
+                dx = np.linalg.solve(Ared, bred)
+            except np.linalg.LinAlgError:
+                break
+            df = (bf - Jf1[:, None] * np.einsum("nij,j->ni", Jxi, dx)) / dff[:, None]
+            R_new = R @ _so3_exp(dx[:3])
+            t_new = t + R @ dx[3:]
+            f_new = f + df * active[:, None]
+            r1n, r2n, _, _ = residuals(R_new, t_new, f_new)
+            hwn = _huber_w(np.sum(r1n * r1n, -1), k_huber) * active
+            err_new = float(np.sum((hwn[:, None] * r1n)[active] ** 2)
+                            + np.sum(r2n[active] ** 2))
+            if err_new < err:
+                R, t, f = R_new, t_new, f_new
+                if err - err_new < 1e-5 * err:
+                    err = err_new
+                    break
+                err = err_new
+                lam = max(lam / 10.0, 1e-10)
+            else:
+                lam = min(lam * 10.0, 1e5)
+        return R, t, f
+
+    R, t, f = lm(R, t, f, active)
+    for _ in range(rounds):
+        r1, _, _, _ = residuals(R, t, f)
+        w = _huber_w(np.sum(r1 * r1, -1), k_huber)
+        out = (w < 0.5) & active                      # determineFactorOutliers
+        if not out.any():
+            break
+        active = active & ~out
+        if active.sum() < 8:
+            break
+        R, t, f = lm(R, t, f, active)
+    X = np.eye(4)
+    X[:3, :3] = R
+    X[:3, 3] = t
+    return X
+
+
+def refine_motion_np(m_prev, m_cur, X_prev, X_cur, H0, K,
+                     motion_sigma=0.001, proj_sigma=2.0, k_huber=0.0001,
+                     rounds=4, lm_iters=10):
+    """`MotionOnlyRefinementOptimizer::optimize` replica
+    (`MotionSolver-inl.hpp:276-491`): per-object LM over {H, m_{k-1,i}}
+    with fixed camera poses — projection factors at both frames plus the
+    landmark motion residual m_k - H m_{k-1} (world-centric), Huber;
+    3x3 landmark blocks eliminated onto the 6-dof motion per iteration;
+    4 outlier rounds."""
+    n = m_prev.shape[0]
+    if n < 8:
+        return H0
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    RH = H0[:3, :3].copy()
+    tH = H0[:3, 3].copy()
+    m = m_prev.copy()
+    active = np.ones(n, bool)
+    wm = 1.0 / motion_sigma
+    wp = 1.0 / proj_sigma
+    Rp, tp = X_prev[:3, :3], X_prev[:3, 3]
+
+    def residuals(RH, tH, m):
+        rm = (m_cur - (m @ RH.T + tH)) * wm           # (n, 3)
+        pc = (m - tp) @ Rp
+        z = np.maximum(pc[:, 2], 1e-6)
+        pred = np.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1)
+        uv_meas = np.stack(
+            [fx * ((m_prev - tp) @ Rp)[:, 0]
+             / np.maximum(((m_prev - tp) @ Rp)[:, 2], 1e-6) + cx,
+             fy * ((m_prev - tp) @ Rp)[:, 1]
+             / np.maximum(((m_prev - tp) @ Rp)[:, 2], 1e-6) + cy], -1)
+        rp = (uv_meas - pred) * wp
+        return rm, rp, pc, z
+
+    def lm(RH, tH, m, active):
+        lam = 1e-5
+        rm, rp, _, _ = residuals(RH, tH, m)
+        hw = _huber_w(np.sum(rm * rm, -1), k_huber) * active
+        err = float(np.sum((hw[:, None] * rm) ** 2) + np.sum(rp[active] ** 2))
+        for _ in range(lm_iters):
+            rm, rp, pc, z = residuals(RH, tH, m)
+            hw = _huber_w(np.sum(rm * rm, -1), k_huber) * active
+            # J wrt H (right perturbation on H): d(H m)/dxi = [-hat(Hm)|I]
+            Hm = m @ RH.T + tH
+            hat = np.zeros((n, 3, 3))
+            hat[:, 0, 1] = -Hm[:, 2]
+            hat[:, 0, 2] = Hm[:, 1]
+            hat[:, 1, 0] = Hm[:, 2]
+            hat[:, 1, 2] = -Hm[:, 0]
+            hat[:, 2, 0] = -Hm[:, 1]
+            hat[:, 2, 1] = Hm[:, 0]
+            JH = np.zeros((n, 3, 6))
+            JH[:, :, :3] = hat
+            JH[:, :, 3:] = -np.tile(RH, (n, 1, 1))
+            JH = wm * JH * hw[:, None, None]
+            Jm_m = -wm * RH[None] * hw[:, None, None]   # motion res wrt m
+            x_, y_ = pc[:, 0] / z, pc[:, 1] / z
+            Jproj = np.zeros((n, 2, 3))
+            Jproj[:, 0, 0] = fx / z
+            Jproj[:, 0, 2] = -fx * x_ / z
+            Jproj[:, 1, 1] = fy / z
+            Jproj[:, 1, 2] = -fy * y_ / z
+            Jm_p = -wp * np.einsum("nij,jk->nik", Jproj, Rp.T) \
+                * active[:, None, None]
+            rmw = rm * hw[:, None]
+            Amm = (
+                np.einsum("nij,nik->njk", Jm_m, Jm_m)
+                + np.einsum("nij,nik->njk", Jm_p, Jm_p)
+                + lam * np.eye(3)[None]
+            )
+            AmH = np.einsum("nij,nik->njk", Jm_m, JH)   # (n, 3, 6)
+            bm = -(np.einsum("nij,ni->nj", Jm_m, rmw)
+                   + np.einsum("nij,ni->nj", Jm_p, rp * active[:, None]))
+            bH = -np.einsum("nij,ni->j", JH, rmw)
+            AHH = np.einsum("nia,nib->ab", JH, JH) + lam * np.eye(6)
+            Ainv = np.linalg.inv(Amm)
+            AHm_Ainv = np.einsum("nab,nac->nbc", AmH, Ainv)   # (n, 6, 3)
+            Ared = AHH - np.einsum("nba,nbc->ac", AmH, np.einsum("nab,nbc->nac", Ainv, AmH))
+            bred = bH - np.einsum("nab,nb->a", AHm_Ainv, bm)
+            try:
+                dH = np.linalg.solve(Ared, bred)
+            except np.linalg.LinAlgError:
+                break
+            dm = np.einsum(
+                "nab,nb->na", Ainv, bm - np.einsum("nab,b->na", AmH, dH)
+            )
+            RH_new = RH @ _so3_exp(dH[:3])
+            tH_new = tH + RH @ dH[3:]
+            m_new = m + dm * active[:, None]
+            rmn, rpn, _, _ = residuals(RH_new, tH_new, m_new)
+            hwn = _huber_w(np.sum(rmn * rmn, -1), k_huber) * active
+            err_new = float(np.sum((hwn[:, None] * rmn) ** 2)
+                            + np.sum(rpn[active] ** 2))
+            if err_new < err:
+                RH, tH, m = RH_new, tH_new, m_new
+                if err - err_new < 1e-5 * err:
+                    err = err_new
+                    break
+                err = err_new
+                lam = max(lam / 10.0, 1e-10)
+            else:
+                lam = min(lam * 10.0, 1e5)
+        return RH, tH, m
+
+    RH, tH, m = lm(RH, tH, m, active)
+    for _ in range(rounds):
+        rm, _, _, _ = residuals(RH, tH, m)
+        w = _huber_w(np.sum(rm * rm, -1), k_huber)
+        out = (w < 0.5) & active
+        if not out.any():
+            break
+        active = active & ~out
+        if active.sum() < 8:
+            break
+        RH, tH, m = lm(RH, tH, m, active)
+    H = np.eye(4)
+    H[:3, :3] = RH
+    H[:3, 3] = tH
+    return H
+
+
 def main():
     import cv2
 
@@ -111,7 +368,8 @@ def main():
     crit = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.03)
 
     static_pts = detect(cv2, frames[0]["gray"], [], MAX_FEATURES)
-    stage = {"klt": 0.0, "verify": 0.0, "detect": 0.0, "ego": 0.0, "obj": 0.0}
+    stage = {"klt": 0.0, "verify": 0.0, "detect": 0.0, "ego": 0.0, "obj": 0.0,
+             "joint_of": 0.0, "motion_ref": 0.0}
     n_steps = 0
     t_all0 = time.perf_counter()
     for k in range(1, len(frames)):
@@ -142,15 +400,33 @@ def main():
         stage["verify"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        X_ego = np.eye(4)
         xyz_prev, zok = backproject(p_prev, prev["depth"], FX, cx, cy)
         if zok.sum() >= 6:
-            cv2.solvePnPRansac(
+            ok_pnp, rvec, tvec, _ = cv2.solvePnPRansac(
                 xyz_prev[zok].astype(np.float64),
                 p_cur[zok].astype(np.float64).reshape(-1, 1, 2),
                 K, None, iterationsCount=100, reprojectionError=1.0,
                 confidence=0.995, flags=cv2.SOLVEPNP_EPNP,
             )
+            if ok_pnp:
+                Rw2c, _ = cv2.Rodrigues(rvec)
+                X_ego[:3, :3] = Rw2c.T
+                X_ego[:3, 3] = (-Rw2c.T @ tvec).reshape(-1)
         stage["ego"] += time.perf_counter() - t0
+
+        # joint flow+pose refinement on the ego inliers — the first gtsam
+        # LM stage the old replica omitted (`MotionSolver-inl.hpp:89-274`;
+        # `solveCameraMotion` runs it after the PnP,
+        # `RGBDInstanceFrontendModule.cc:195+`)
+        t0 = time.perf_counter()
+        if zok.sum() >= 8:
+            flow0 = (p_cur - p_prev)[zok]
+            refine_flow_pose_np(
+                p_prev[zok].astype(np.float64), flow0.astype(np.float64),
+                xyz_prev[zok].astype(np.float64), X_ego, K,
+            )
+        stage["joint_of"] += time.perf_counter() - t0
 
         # per-object: sample mask, propagate by dense flow, PnP per object
         t0 = time.perf_counter()
@@ -165,13 +441,44 @@ def main():
             fl = prev["flow"][ys, xs]
             uv_cur = uv_prev + fl
             xyz_o, zok_o = backproject(uv_prev, prev["depth"], FX, cx, cy)
+            G_obj = np.eye(4)
             if zok_o.sum() >= 6:
-                cv2.solvePnPRansac(
+                ok_pnp, rvec, tvec, _ = cv2.solvePnPRansac(
                     xyz_o[zok_o].astype(np.float64),
                     uv_cur[zok_o].astype(np.float64).reshape(-1, 1, 2),
                     K, None, iterationsCount=100, reprojectionError=1.0,
                     confidence=0.995, flags=cv2.SOLVEPNP_EPNP,
                 )
+                if ok_pnp:
+                    Rw2c, _ = cv2.Rodrigues(rvec)
+                    G_obj[:3, :3] = Rw2c.T
+                    G_obj[:3, 3] = (-Rw2c.T @ tvec).reshape(-1)
+            stage["obj"] += time.perf_counter() - t0
+
+            # per-object joint flow+pose + motion-only 3D refinement — the
+            # two gtsam LM stages `solveObjectMotion` runs after its PnP
+            # (`MotionSolver.cc:493-524`)
+            t0 = time.perf_counter()
+            if zok_o.sum() >= 8:
+                refine_flow_pose_np(
+                    uv_prev[zok_o].astype(np.float64),
+                    fl[zok_o].astype(np.float64),
+                    xyz_o[zok_o].astype(np.float64), G_obj, K,
+                )
+            stage["joint_of"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if zok_o.sum() >= 8:
+                xyz_c, zok_c = backproject(uv_cur, cur["depth"], FX, cx, cy)
+                sel = zok_o & zok_c
+                if sel.sum() >= 8:
+                    H0 = X_ego @ G_obj
+                    refine_motion_np(
+                        xyz_o[sel].astype(np.float64),
+                        xyz_c[sel].astype(np.float64),
+                        np.eye(4), X_ego, H0, K,
+                    )
+            stage["motion_ref"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
         stage["obj"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -200,11 +507,78 @@ def main():
                 "metric": "reference_frontend_frames_per_s",
                 "value": round(fps, 3),
                 "unit": "frames/s",
-                "note": "OpenCV replica of the reference frontend hot path "
-                        "(refinements excluded; upper bound)",
+                "stages_ms": {
+                    k: round(v / n_steps * 1e3, 2) for k, v in stage.items()
+                },
+                "note": "OpenCV + numpy-LM replica of the reference "
+                        "frontend hot path INCLUDING both gtsam "
+                        "refinement stages (joint flow+pose, motion-only)",
             }
         )
     )
+
+    if "--window-standin" in sys.argv:
+        # CPU window-solve stand-in (VERDICT r4 #2): the reference backend
+        # is gtsam LM (sparse Cholesky per iteration) — not buildable here
+        # (BASELINE.md).  Stand-in: OUR direct-Schur window-10 solve
+        # compiled for CPU (same graph, same LM schedule; a competitive
+        # CPU implementation of the same linear algebra class).
+        import jax
+        import jax.numpy as jnp
+
+        from dynosam_tpu.backend import formulation as fm
+        from dynosam_tpu.backend.map import (MeasurementMap, slice_window,
+                                             update_map)
+        from dynosam_tpu.backend.schur import lm_optimize_schur
+        from dynosam_tpu.backend.solver import LMConfig
+        from dynosam_tpu.testing.simulator import Scenario, ScenarioConfig
+        from dynosam_tpu.utils.config import BackendConfig
+
+        scfg = ScenarioConfig(
+            n_frames=10, n_static=800, n_objects=3, pts_per_object=120,
+            ns=1024, nd=1024, no=8,
+        )
+        sc = Scenario(scfg)
+        m = MeasurementMap.create(10, 1024, 1024, 8)
+        for k, pkt in enumerate(sc.frontend_outputs()):
+            m = update_map(m, pkt, k)
+        bcfg = BackendConfig()
+        lmc = LMConfig(max_iterations=7)
+
+        @jax.jit
+        def solve(mm):
+            w_ = slice_window(mm, 0, 10)
+            masks = fm.build_masks(w_, bcfg)
+            vals = fm.init_values(w_, masks, bcfg)
+            return lm_optimize_schur(
+                vals, w_, masks, bcfg, lmc, w_.X_init[0]
+            ).error
+
+        float(np.asarray(solve(m)))          # compile
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            e = float(np.asarray(solve(m)))
+        win_ms = (time.perf_counter() - t0) / reps * 1e3
+        # sliding window triggers every stride = W - V = 6 frames
+        pipe_fps = 1.0 / (1.0 / fps + win_ms / 1e3 / 6.0)
+        print(
+            f"window-10 CPU stand-in: {win_ms:.1f} ms/solve "
+            f"-> baseline pipeline {pipe_fps:.2f} frames/s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "reference_pipeline_frames_per_s",
+                    "value": round(pipe_fps, 3),
+                    "unit": "frames/s",
+                    "window_solve_ms": round(win_ms, 1),
+                    "note": "frontend replica + CPU direct-Schur window "
+                            "stand-in amortized over the 6-frame stride",
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -7,20 +7,21 @@ measures the transport, not the algorithm.  This harness removes the
 transport entirely and replaces it with a measured-bytes analytic model:
 
 1. **Single-process virtual mesh** (jax_num_cpu_devices=8): all N devices
-   live in one process, collectives are shared-memory memcpys.  All N
-   virtual devices share the same physical host cores, so wall time
-   measures TOTAL WORK + partition overhead, not speedup: for a fixed
-   problem the ideal N-device program takes the SAME wall time as N=1
-   (same work, same cores).  We therefore report the OVERHEAD RATIO
-   T(N)/T(1) — everything above 1.0 is redundant replicated compute,
-   partition bookkeeping, and memcpy collectives.
+   live in one process, collectives are shared-memory memcpys.  Run with
+   XLA_FLAGS=--xla_cpu_multi_thread_eigen=false so every device program
+   executes single-threaded and SERIALLY: wall time then measures the
+   TOTAL WORK across devices, and T(N)/T(1) is the partitioned program's
+   work ratio W(N)/W(1) — replicated pose-family compute, frame-
+   replicated static builds, ghost-row recompute, and memcpy collectives.
+   (Without the flag the N=1 program grabs all host cores and the ratio
+   is confounded by scheduling.)
 
 2. **Analytic ICI projection**: per-iteration collective bytes are read
    from the COMPILED HLO of each N (scripts/collective_census.py
    machinery — the same program the pod would run), and pod efficiency is
 
-       eff(N) = T1 / (N * (T1 * ovh(N) / N + t_comm(N)))
-       t_comm(N) = sum(bytes)/BW_ici + n_collectives * t_lat
+       eff(N) = T1 / (N * (T1 * W(N)/W(1) / N + t_comm(N)))
+       t_comm(N) = lm_iters * (sum(bytes)/BW_ici + n_collectives * t_lat)
 
    with T1 the measured single-chip TPU window-solve time (BENCH_r*),
    ovh(N) the measured overhead ratio from (1), and conservative ICI
