@@ -113,8 +113,14 @@ def optimize_window(
     updater: int = 0,
     prev: dict | None = None,
     prev_mask: dict | None = None,
+    anchor_prior_L=None,
 ):
     """Slice a window from the map, build + solve its graph.  One XLA program.
+
+    `anchor_prior_L`: optional (6, 6) Cholesky factor of a full-covariance
+    prior on the first window pose — the fixed-lag boundary marginal
+    (`backend/fixed_lag.py`); replaces the isotropic gauge anchor in the
+    direct-Schur path.
 
     `anchor` pins the first window pose (gauge); `use_anchor` selects between
     the provided anchor (overlap with previous window) and the frontend pose.
@@ -235,7 +241,8 @@ def optimize_window(
                 w, masks, cfg, prev=prev, prev_mask=prev_mask
             )
         result = schur.lm_optimize_schur(
-            values, w, masks, cfg, lm_cfg, anchor_pose, formulation=updater
+            values, w, masks, cfg, lm_cfg, anchor_pose, formulation=updater,
+            anchor_prior_L=anchor_prior_L,
         )
         return finish(result, masks)
     if updater == 0:
@@ -260,6 +267,20 @@ def optimize_window(
 # entry the online backend dispatches per window trigger
 optimize_window_jit = jax.jit(
     optimize_window, static_argnames=("window", "cfg", "updater")
+)
+
+
+def _boundary_prior_impl(m, start, n_sub, cfg, est_values, updater, anchor,
+                         prev_prior_L):
+    from .fixed_lag import boundary_prior
+
+    return boundary_prior(
+        m, start, n_sub, cfg, est_values, updater, anchor, prev_prior_L
+    )
+
+
+boundary_prior_jit = jax.jit(
+    _boundary_prior_impl, static_argnames=("n_sub", "cfg", "updater")
 )
 
 
@@ -299,6 +320,10 @@ class RGBDBackend:
             cg_tol=cfg.cg_tol,
         )
         self.last_result: Optional[LMResult] = None
+        # fixed-lag smoothing state (`use_fixed_lag_prior`): previous
+        # window start + the running boundary-marginal Cholesky
+        self._last_window_start: Optional[int] = None
+        self._prior_L = None
 
     # ------------------------------------------------------------------
     def spin(self, packet: FrontendOutput):
@@ -346,6 +371,9 @@ class RGBDBackend:
         # whole spin path to never synchronize.
         use_anchor = self.est.X_valid[start]
         anchor = self.est.X[start]
+        anchor_prior_L = None
+        if self.cfg.use_fixed_lag_prior:
+            anchor_prior_L = self._slide_prior(start)
         # warm start from the estimate store (theta_ carry-over): overlap
         # frames re-use previously optimized values.  Always pass prev (one
         # compiled program for first and subsequent windows); before any
@@ -377,9 +405,43 @@ class RGBDBackend:
             self.cfg.backend_updater_enum,
             prev,
             prev_mask,
+            anchor_prior_L,
         )
         self.last_result = result
+        self._last_window_start = start
         self._write_back(start, window, result.values, masks)
+
+    def _slide_prior(self, start: int):
+        """(6, 6) anchor-prior Cholesky for the window starting at `start`
+        (fixed-lag mode).  First window: the isotropic gauge anchor in
+        L-form (bit-equivalent whitening).  Later windows: the boundary
+        marginal of the frames that left since the previous solve."""
+        from .fixed_lag import boundary_prior
+
+        iso = jnp.eye(6, dtype=self.est.X.t.dtype) / (
+            self.cfg.initial_pose_prior_sigma
+        )
+        last = self._last_window_start
+        if last is None or start <= last:
+            self._prior_L = iso
+            return iso
+        n_sub = start - last + 1
+        sl = slice(last, last + n_sub)
+        pose_key = "H" if self.cfg.backend_updater_enum == 0 else "L"
+        pose_est = self.est.H if pose_key == "H" else self.est.L
+        est_values = {
+            "X": self.est.X[sl],
+            pose_key: SE3(pose_est.R[sl], pose_est.t[sl]),
+            "sp": self.est.static_points,
+            "dp": self.est.dyn_points[sl],
+        }
+        L, _ = boundary_prior_jit(
+            self.map, last, n_sub, self.cfg, est_values,
+            self.cfg.backend_updater_enum, self.est.X[last],
+            self._prior_L if self._prior_L is not None else iso,
+        )
+        self._prior_L = L
+        return L
 
     def _write_back(self, start: int, window: int, values: dict, masks):
         """Scatter optimized window values into the estimate store.

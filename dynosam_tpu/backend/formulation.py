@@ -208,6 +208,7 @@ def world_motion_residuals(
     masks: WindowMasks,
     cfg: BackendConfig,
     anchor: SE3 | None = None,
+    anchor_prior_L=None,
 ):
     """All residual families of the WorldMotion formulation, whitened+masked.
 
@@ -234,9 +235,13 @@ def world_motion_residuals(
     # -- anchor prior on the first valid frame pose (gauge fixing, analog of
     # the initial pose prior in `Formulation::addOdometry` bootstrap)
     anchor_pose = anchor if anchor is not None else w.X_init[0]
-    r_anchor = factors.prior_residual(X[0], anchor_pose)[None, :] / (
-        cfg.initial_pose_prior_sigma
-    )
+    r_anchor = factors.prior_residual(X[0], anchor_pose)
+    if anchor_prior_L is None:
+        r_anchor = r_anchor[None, :] / cfg.initial_pose_prior_sigma
+    else:
+        # fixed-lag boundary marginal (backend/fixed_lag.py): whitened by
+        # the marginal information's Cholesky factor
+        r_anchor = (anchor_prior_L.T @ r_anchor)[None, :]
 
     # -- odometry between consecutive poses, measured by frontend VO
     odo_meas = jax.vmap(lambda a, b: se3_compose(se3_inverse(a), b))(
@@ -327,6 +332,7 @@ def world_pose_residuals(
     masks: WindowMasks,
     cfg: BackendConfig,
     anchor: SE3 | None = None,
+    anchor_prior_L=None,
 ):
     """WorldPose (LLWorld) formulation: object poses L_k^j as variables.
 
@@ -352,9 +358,13 @@ def world_pose_residuals(
     )
 
     anchor_pose = anchor if anchor is not None else w.X_init[0]
-    r_anchor = factors.prior_residual(X[0], anchor_pose)[None, :] / (
-        cfg.initial_pose_prior_sigma
-    )
+    r_anchor = factors.prior_residual(X[0], anchor_pose)
+    if anchor_prior_L is None:
+        r_anchor = r_anchor[None, :] / cfg.initial_pose_prior_sigma
+    else:
+        # fixed-lag boundary marginal (backend/fixed_lag.py): whitened by
+        # the marginal information's Cholesky factor
+        r_anchor = (anchor_prior_L.T @ r_anchor)[None, :]
 
     odo_meas = jax.vmap(lambda a, b: se3_compose(se3_inverse(a), b))(
         w.X_init[:-1], w.X_init[1:]

@@ -465,7 +465,8 @@ def _pose_sigmas(cfg: BackendConfig, dtype):
     return pose_sigma, smooth_sigma
 
 
-def _odo_anchor_blocks(X, w, masks, cfg, anchor, r_anchor, r_odo, dtype):
+def _odo_anchor_blocks(X, w, masks, cfg, anchor, r_anchor, r_odo, dtype,
+                       anchor_prior_L=None):
     """Odometry + anchor contributions to the camera-camera Hessian and
     gradient — the REPLICATED-cheap part of `_camera_blocks` (poses only, no
     point grids), shared with the explicit distributed path where every
@@ -496,10 +497,12 @@ def _odo_anchor_blocks(X, w, masks, cfg, anchor, r_anchor, r_odo, dtype):
     )                                                      # (W-1, 6, 6)
 
     def f_anchor(a):
-        return (
-            factors.prior_residual(se3_retract(X[0], a), anchor)
-            / cfg.initial_pose_prior_sigma
-        )
+        r = factors.prior_residual(se3_retract(X[0], a), anchor)
+        if anchor_prior_L is None:
+            return r / cfg.initial_pose_prior_sigma
+        # fixed-lag boundary marginal: full-covariance anchor whitened by
+        # the Cholesky factor L of the marginal information (Lam = L L^T)
+        return anchor_prior_L.T @ r
 
     J_anchor = jax.jacfwd(f_anchor)(z6)                    # (6, 6)
 
@@ -522,12 +525,14 @@ def _odo_anchor_blocks(X, w, masks, cfg, anchor, r_anchor, r_odo, dtype):
 
 
 def _camera_blocks(X, w, masks, cfg, anchor, r_anchor, r_odo, r_static,
-                   r_dyn, wgt_static, wgt_dyn, Jx_s, Jx_d, dtype):
+                   r_dyn, wgt_static, wgt_dyn, Jx_s, Jx_d, dtype,
+                   anchor_prior_L=None):
     """Direct camera-camera blocks + camera gradient (shared by both
     formulations).  Odometry/anchor Jacobians via jacfwd (tiny grids)."""
     W_ = masks.frame.shape[0]
     Hcc, g_cam = _odo_anchor_blocks(
-        X, w, masks, cfg, anchor, r_anchor, r_odo, dtype
+        X, w, masks, cfg, anchor, r_anchor, r_odo, dtype,
+        anchor_prior_L=anchor_prior_L,
     )
     idx = jnp.arange(W_)
     Dcam = _es("kn,knra,knrb->kab", wgt_static, Jx_s, Jx_s) + _es(
@@ -611,6 +616,7 @@ def build_normal_system(
     cfg: BackendConfig,
     anchor: SE3,
     res0: list,
+    anchor_prior_L=None,
 ) -> NormalSystem:
     """WorldMotion normal system (values {X, H, sp, dp}).
 
@@ -665,6 +671,7 @@ def build_normal_system(
     Hcc, b_cam = _camera_blocks(
         X, w, masks, cfg, anchor, r_anchor, r_odo, r_static, r_dyn,
         wgt_static, wgt_dyn, Jx_s, Jx_d, dtype,
+        anchor_prior_L=anchor_prior_L,
     )
 
     # ---- direct motion blocks -------------------------------------------
@@ -833,6 +840,7 @@ def build_normal_system_pose(
     cfg: BackendConfig,
     anchor: SE3,
     res0: list,
+    anchor_prior_L=None,
 ) -> NormalSystem:
     """WorldPose (LLWorld) normal system (values {X, L, sp, dp}).
 
@@ -885,6 +893,7 @@ def build_normal_system_pose(
     Hcc, b_cam = _camera_blocks(
         X, w, masks, cfg, anchor, r_anchor, r_odo, r_static, r_dyn,
         wgt_static, wgt_dyn, Jx_s, Jx_d, dtype,
+        anchor_prior_L=anchor_prior_L,
     )
 
     # ---- direct pose blocks (motion-pose + smoothing triplets) ----------
@@ -1061,8 +1070,13 @@ def assemble_reduced(sys: NormalSystem, Hcc_d, Dmm_d,
 
 
 def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
-               stable: bool | None = None, *, formulation: int):
+               stable: bool | None = None, *, formulation: int,
+               with_reduced: bool = False):
     """One damped Gauss-Newton step via landmark elimination.
+
+    `with_reduced=True` additionally returns the assembled reduced system
+    `(Hred, bred)` over {X (W,6), P (W,O,6)} — the fixed-lag boundary
+    marginal is a Schur complement of it (`backend/fixed_lag.py`).
 
     `formulation` is REQUIRED (0 WorldMotion, 1 WorldPose) and must match
     the build function that produced `sys` (`build_normal_system` vs
@@ -1430,12 +1444,15 @@ def schur_step(sys: NormalSystem, lam, floor: float, chain_solver=None,
             "kdigb,gdb->kdi", Tm, dm_sel
         )
 
-    return {
+    delta = {
         "X": dc.reshape(W_, 6),
         "P": dm,
         "sp": d_sp,
         "dp": d_dp,
     }
+    if with_reduced:
+        return delta, (Hred, bred)
+    return delta
 
 
 # --------------------------------------------------------------------------
@@ -1453,6 +1470,7 @@ def lm_optimize_schur(
     formulation: int = 0,
     chain_solver=None,
     overrides: dict | None = None,
+    anchor_prior_L=None,
 ) -> LMResult:
     """Levenberg-Marquardt with direct Schur steps (both formulations).
 
@@ -1487,12 +1505,16 @@ def lm_optimize_schur(
         )
     if formulation == 0:
         spec = world_motion_families(cfg)
-        residual_fn = lambda v: world_motion_residuals(v, w, masks, cfg, anchor)
+        residual_fn = lambda v: world_motion_residuals(
+            v, w, masks, cfg, anchor, anchor_prior_L=anchor_prior_L
+        )
         build_fn = build_normal_system
         pose_key = "H"
     else:
         spec = world_pose_families(cfg)
-        residual_fn = lambda v: world_pose_residuals(v, w, masks, cfg, anchor)
+        residual_fn = lambda v: world_pose_residuals(
+            v, w, masks, cfg, anchor, anchor_prior_L=anchor_prior_L
+        )
         build_fn = build_normal_system_pose
         pose_key = "L"
     specs = spec.robust
@@ -1517,7 +1539,8 @@ def lm_optimize_schur(
                 else jnp.ones(r.shape[:-1], r.dtype)
                 for r, s in zip(res0, specs)
             ]
-            return build_fn(vals, sqrt_w, w, masks, cfg, anchor, res0)
+            return build_fn(vals, sqrt_w, w, masks, cfg, anchor, res0,
+                            anchor_prior_L=anchor_prior_L)
 
     res_init = residual_fn(values)
     err_init = error_fn(res_init)

@@ -230,12 +230,12 @@ def frontend_step(
             R_prior = jnp.swapaxes(state.rel_prev.R, -1, -2)
             ep2 = ransac_translation_given_rot(
                 key_e, prev_uv_s, trk.s_uv, corr2d, cam, R_prior,
-                iters=cfg.camera_solver.ransac_iterations,
+                iters=cfg.camera_solver.ransac_iterations_2d2d,
                 threshold=cfg.camera_solver.ransac_threshold_mono,
             )
             ep5 = ransac_essential(
                 key_e, prev_uv_s, trk.s_uv, corr2d, cam,
-                iters=cfg.camera_solver.ransac_iterations,
+                iters=cfg.camera_solver.ransac_iterations_2d2d,
                 threshold=cfg.camera_solver.ransac_threshold_mono,
             )
             use2 = state.rel_prev_valid
@@ -248,7 +248,7 @@ def frontend_step(
         else:
             ep = ransac_essential(
                 key_e, prev_uv_s, trk.s_uv, corr2d, cam,
-                iters=cfg.camera_solver.ransac_iterations,
+                iters=cfg.camera_solver.ransac_iterations_2d2d,
                 threshold=cfg.camera_solver.ransac_threshold_mono,
             )
             ep_rel, ep_inl, ep_n = ep.rel_pose, ep.inliers, ep.n_inliers

@@ -108,6 +108,13 @@ class MotionSolverConfig:
     ransac_iterations: int = 500
     ransac_probability: float = 0.995
     ransac_threshold_mono: float = 2e-4       # MotionSolver.cc 2d2d default
+    # 2d2d hypothesis count: each 8-point hypothesis costs a batched 9x9
+    # eigh, and ALL batched small-LAPACK kernels serialize on TPU
+    # (CLAUDE.md) — 500 of them cost ~8 ms/frame.  64 samples at ~85%
+    # static-inlier ratio still find an all-inlier set with prob
+    # 1 - 3e-9 (0.85^8 = 0.27 per draw); the final refit re-solves on the
+    # best inlier SET either way.
+    ransac_iterations_2d2d: int = 64
     ransac_threshold_stereo: float = 0.001    # 3d3d (opengv squared-distance
     #                                           units; see threshold_stereo_m)
     # metric 3d3d inlier radius used by our Arun scorer; the reference's
@@ -205,6 +212,13 @@ class BackendConfig:
     object_kinematic_sigma: float = 0.1
     use_full_batch_opt: bool = False
     backend_updater_enum: int = 0             # 0=MotionInWorld, 1=LLWorld
+    # fixed-lag smoothing (the analog of the reference's
+    # IncrementalFixedLagSmoother option, `RGBDBackendModule.hpp:45`):
+    # marginalize the frames leaving each sliding window onto the boundary
+    # camera pose and carry the 6x6 marginal as a full-covariance prior
+    # replacing the isotropic gauge anchor (`backend/fixed_lag.py`).
+    # Default off = the reference's fresh-rebuild behaviour.
+    use_fixed_lag_prior: bool = False
     init_H_with_identity: bool = True
     # Schur-eliminated (variable projection) reduced solve over {X, H};
     # landmarks recovered in closed form (backend/varpro.py)

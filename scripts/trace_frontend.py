@@ -29,7 +29,9 @@ def run_traced(out_dir, n_steps):
 
     sc, frames = benchmod.rendered_frames()
     cam = sc.cam
-    cfg = FrontendConfig(tracker=TrackerConfig(max_features_per_frame=1000))
+    det = os.environ.get("DYNO_TRACE_DETECTOR", "shi_tomasi")
+    cfg = FrontendConfig(tracker=TrackerConfig(
+        max_features_per_frame=1000, feature_detector_type=det))
 
     state0 = FrontendState.create(2048, 4096, 16)
     state0, _, _, _ = frontend_step(
