@@ -459,7 +459,23 @@ def bench_pipeline_streaming(n=100, h=384, w=1280, ns=2048, nd=4096,
         for ch in ("gray", "depth", "flow", "mask"):
             pool.submit(f"{png_dir}/{ch}_{k:05d}.png")
 
-    def run_once(pool):
+    def run_once(pool, stages=None):
+        t_dec = t_h2d = 0.0
+
+        def dec(k):
+            nonlocal t_dec
+            t0 = time.perf_counter()
+            out = decode_frame(pool, k)
+            t_dec += time.perf_counter() - t0
+            return out
+
+        def stage(xs):
+            nonlocal t_h2d
+            t0 = time.perf_counter()
+            out = jax.tree.map(lambda *a: jnp.asarray(np.stack(a)), *xs)
+            t_h2d += time.perf_counter() - t0
+            return out
+
         fe = FrontendState.create(
             cap.max_static_tracks, cap.max_dynamic_tracks, cap.max_objects
         )
@@ -471,8 +487,8 @@ def bench_pipeline_streaming(n=100, h=384, w=1280, ns=2048, nd=4096,
         )
         for k in range(min(n, V + 2 * stride)):
             submit_frame(pool, k)
-        warm_np = [decode_frame(pool, k) for k in range(V)]
-        warm = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *warm_np)
+        warm_np = [dec(k) for k in range(V)]
+        warm = stage(warm_np)
         fe, m = warmup(fe, m, warm, keys[:V])
         prev_frame = warm_np[-1]
         for s in range(plan.n_segments):
@@ -480,32 +496,63 @@ def bench_pipeline_streaming(n=100, h=384, w=1280, ns=2048, nd=4096,
             for k in range(first + 2 * stride, min(first + 3 * stride, n)):
                 submit_frame(pool, k)       # keep the pool ~2 segments ahead
             seg_np = [prev_frame] + [
-                decode_frame(pool, k) for k in range(first, first + stride)
+                dec(k) for k in range(first, first + stride)
             ]
             prev_frame = seg_np[-1]
-            seg = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *seg_np)
+            seg = stage(seg_np)
             fe, m, est, chk = segment(
                 fe, m, est, seg, keys[first:first + stride],
                 jnp.asarray(s, jnp.int32),
             )
+        if stages is not None:
+            stages["decode_s"] = t_dec
+            stages["h2d_s"] = t_h2d
         return est
 
     pool = native_loader.PrefetchDecoder(n_threads=3)
     try:
         est = run_once(pool)                       # compile + settle
         float(np.asarray(est.X.t[-1, 0]))          # fetch barrier
+        stages = {}
         t0 = time.perf_counter()
-        est = run_once(pool)
+        est = run_once(pool, stages=stages)
         float(np.asarray(est.X.t[-1, 0]))
         dt = time.perf_counter() - t0
     finally:
         pool.close()
         shutil.rmtree(png_dir, ignore_errors=True)
     fps = n / dt
+    # stage-wise decomposition (VERDICT r4 #8): decode and H2D staging are
+    # measured host wall (the prefetch pool overlaps decode with device
+    # compute, so decode is an upper bound on its critical-path share);
+    # the remainder is device compute + dispatch wait.  Bytes/frame is the
+    # raw image payload actually shipped host->device.
+    dec_ms = stages.get("decode_s", 0.0) / n * 1e3
+    h2d_ms = stages.get("h2d_s", 0.0) / n * 1e3
+    rest_ms = dt / n * 1e3 - dec_ms - h2d_ms
+    bytes_per_frame = (h * w) * (4 + 4 + 8 + 4)    # gray+depth+flow2+mask f32
+    ingest = bytes_per_frame * fps / 1e6
     print(
         f"pipeline streamed (PNG decode in loop): {fps:.1f} frames/s "
         f"({dt / n * 1e3:.2f} ms/frame incl. native decode + H2D + backend)",
         file=sys.stderr,
+    )
+    print(
+        f"  stages: decode {dec_ms:.2f} ms/frame, H2D staging "
+        f"{h2d_ms:.2f} ms/frame, compute+dispatch {rest_ms:.2f} ms/frame; "
+        f"ingest {bytes_per_frame / 1e6:.1f} MB/frame ({ingest:.0f} MB/s "
+        f"at this rate)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps({
+            "metric": "pipeline_streaming_stages_ms_per_frame",
+            "decode": round(dec_ms, 2), "h2d": round(h2d_ms, 2),
+            "compute_dispatch": round(rest_ms, 2),
+            "fps": round(fps, 2),
+            "ingest_mb_per_frame": round(bytes_per_frame / 1e6, 2),
+        }),
+        flush=True,
     )
     return fps
 

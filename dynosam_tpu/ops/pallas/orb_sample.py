@@ -6,16 +6,19 @@ per frame; TPU serializes per-element gathers at ~40 cycles each, which
 would make the ORB detector mode unusable there (hundreds of ms).  Same
 fix as `ops/pallas/lk.py`: per keypoint, load ONE tile-aligned window
 with a `pl.ds` dynamic slice and restructure every access as dense
-vector/matrix arithmetic on that window:
+vector/matrix arithmetic on that window.
 
-  * the intensity-centroid moments are `sum(P * WX)` where P is the 31x31
-    patch extracted with separable one-hot selection matrices
-    (P = R @ W @ C^T — exact integer selection, no gather) and WX/WY are
-    the precomputed circular moment masks;
-  * the 512 rotated BRIEF taps are bilinear-sampled as
-    `rowsum((R_t @ Wb) * C_t)` with 2-hot row/column weight matrices
-    built from the rotated pattern coordinates by broadcasting — one
-    (512, SY) @ (SY, SX) matmul + one elementwise reduce per keypoint.
+Round 5: the kernel is BLOCK-BATCHED like `lk.py`'s "stack" variant — the
+round-5 ORB trace showed the per-feature form at 14.8 ms/frame, op-COUNT
+bound (~20 sequential Mosaic ops per feature, each with fixed scheduling
+cost).  All F features of a block now run as rank-3 batched ops:
+
+  * the F windows are copied into one (F, SY, SX) VMEM scratch;
+  * the intensity-centroid moments use batched one-hot selection
+    `dot_general`s (P = R @ W @ C^T per feature, batch F);
+  * the 512 rotated BRIEF taps bilinear-sample as
+    `rowsum((Rt @ W) * Ct)` with (F, 512, SY/SX) 2-hot weights built by
+    broadcasting — two fat ops instead of 512-tap per-feature chains.
 
 Outputs match `frontend/orb.py`'s `_orientations`/`_descriptors` up to
 float tolerance (same edge clamping; the XLA versions clip per sample).
@@ -32,6 +35,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...frontend import orb as _orb
+
+import os as _os
+
+# features per kernel program.  The round-5 trace put the block-batched
+# kernel at ~100 us/BLOCK — dominated by per-block fixed cost (iota
+# materialization, phase scheduling), so fatter blocks amortize it
+_ORB_FEAT_BLOCK = int(_os.environ.get("DYNO_ORB_FEAT_BLOCK", "8"))
 
 HALF = _orb.HALF_PATCH                      # 15
 _P31 = 2 * HALF + 1                         # orientation patch size
@@ -64,105 +74,127 @@ def _make_kernel(h: int, w: int, feat_block: int):
         SY = h
     if SX != w and (w - SX) % 128 != 0:
         SX = w
+    F = feat_block
 
-    def kernel(p_ref, pat_ref, raw_ref, blur_ref, ang_ref, desc_ref):
-        base = pl.program_id(0) * feat_block
-        if feat_block % 8 == 0:
+    def kernel(p_ref, pat_ref, raw_ref, blur_ref, ang_ref, desc_ref,
+               wstk_ref):
+        base = pl.program_id(0) * F
+        if F % 8 == 0:
             base = pl.multiple_of(base, 8)
-        pv = p_ref[pl.ds(base, feat_block), :]
+        pv = p_ref[pl.ds(base, F), :]
+        # pattern ships TRANSPOSED (2, 512): a [:, 0] column index on the
+        # minor dim lowers to a Mosaic gather; row slices are free
+        pat_x = pat_ref[0:1, :]                              # (1, 512)
+        pat_y = pat_ref[1:2, :]
 
-        # circular moment masks rebuilt from iota (Pallas kernels cannot
-        # capture array constants)
-        oy = jax.lax.broadcasted_iota(
-            jnp.int32, (_P31, _P31), 0).astype(jnp.float32) - HALF
-        ox = jax.lax.broadcasted_iota(
-            jnp.int32, (_P31, _P31), 1).astype(jnp.float32) - HALF
-        circ = (ox * ox + oy * oy) <= float(HALF * HALF)
-        wx = jnp.where(circ, ox, 0.0)
-        wy = jnp.where(circ, oy, 0.0)
-        pat = pat_ref[:, :]                                  # (512, 2)
+        def _rsum12(x):
+            # Mosaic crashes on multi-axis reduces of rank-3 values —
+            # reduce one axis at a time
+            return jnp.sum(jnp.sum(x, axis=2), axis=1)
 
-        def window(ref, px, py):
-            if SY == h:
-                jy0 = 0
-            else:
-                jy0 = jnp.clip(
-                    ((jnp.floor(py).astype(jnp.int32) - 16) // 8) * 8,
-                    0, h - SY,
-                )
-                jy0 = pl.multiple_of(jy0, 8)
-            if SX == w:
-                jx0 = 0
-            else:
-                jx0 = jnp.clip(
-                    ((jnp.floor(px).astype(jnp.int32) - 16) // 128) * 128,
-                    0, w - SX,
-                )
-                jx0 = pl.multiple_of(jx0, 128)
-            return ref[pl.ds(jy0, SY), pl.ds(jx0, SX)], jy0, jx0
+        def load_stack(ref, off_y, off_x):
+            """Fill the (F, SY, SX) scratch with per-feature windows;
+            returns the window-origin vectors (F, 1) as floats."""
+            jy0s, jx0s = [], []
+            for f in range(F):
+                px = pv[f, 0]
+                py = pv[f, 1]
+                if SY == h:
+                    jy0 = 0
+                else:
+                    jy0 = jnp.clip(
+                        ((jnp.floor(py).astype(jnp.int32) - 16) // 8) * 8,
+                        0, h - SY,
+                    )
+                    jy0 = pl.multiple_of(jy0, 8)
+                if SX == w:
+                    jx0 = 0
+                else:
+                    jx0 = jnp.clip(
+                        ((jnp.floor(px).astype(jnp.int32) - 16) // 128)
+                        * 128, 0, w - SX,
+                    )
+                    jx0 = pl.multiple_of(jx0, 128)
+                wstk_ref[f] = ref[pl.ds(jy0, SY), pl.ds(jx0, SX)]
+                jy0s.append(jy0)
+                jx0s.append(jx0)
+            jy0v = jnp.stack(
+                [jnp.asarray(j, jnp.float32) * 1.0 for j in jy0s]
+            )[:, None]
+            jx0v = jnp.stack(
+                [jnp.asarray(j, jnp.float32) * 1.0 for j in jx0s]
+            )[:, None]
+            return jy0v, jx0v
 
-        angs = []
-        descs = []
-        for f in range(feat_block):
-            px = pv[f, 0]
-            py = pv[f, 1]
+        pxv = pv[:, 0:1]                                     # (F, 1)
+        pyv = pv[:, 1:2]
+        xiv = jnp.round(pxv)                                 # (F, 1) float
+        yiv = jnp.round(pyv)
 
-            # ---- orientation from the RAW level image ------------------
-            wraw, jy0, jx0 = window(raw_ref, px, py)
-            xi = jnp.round(px).astype(jnp.int32)
-            yi = jnp.round(py).astype(jnp.int32)
-            # one-hot selection matrices for the integer 31x31 patch with
-            # per-sample edge clamping (matches orb._orientations' clip)
-            ry = jax.lax.broadcasted_iota(jnp.int32, (_P31, SY), 0)
-            jy = jax.lax.broadcasted_iota(jnp.int32, (_P31, SY), 1)
-            rows = jnp.clip(yi - HALF + ry, 0, h - 1) - jy0
-            Rm = (rows == jy).astype(jnp.float32)            # (31, SY)
-            rx = jax.lax.broadcasted_iota(jnp.int32, (_P31, SX), 0)
-            jx = jax.lax.broadcasted_iota(jnp.int32, (_P31, SX), 1)
-            cols = jnp.clip(xi - HALF + rx, 0, w - 1) - jx0
-            Cm = (cols == jx).astype(jnp.float32)            # (31, SX)
-            p31 = jnp.dot(
-                jnp.dot(Rm, wraw, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST),
-                Cm.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                                 # (31, 31)
-            m10 = jnp.sum(p31 * wx)
-            m01 = jnp.sum(p31 * wy)
-            # Mosaic has no atan2 lowering; the steering only needs
-            # cos/sin of the centroid angle, which come straight from the
-            # normalized moment vector (exactly cos/sin(atan2(m01, m10)),
-            # and the zero-moment case matches atan2(0,0)=0).  The angle
-            # itself is reconstructed by the wrapper via XLA arctan2.
-            angs.append(jnp.stack([m01, m10]))
+        # ---- orientation from the RAW level image ----------------------
+        jy0v, jx0v = load_stack(raw_ref, 16, 16)
+        Ws = wstk_ref[...]                                   # (F, SY, SX)
+        # 2D per-feature coordinates FIRST ((F,1) broadcasts against
+        # (F,31) are fine; a direct (F,1,1) broadcast_in_dim is an
+        # "unsupported shape cast" in Mosaic), then lift to rank 3
+        ri = jax.lax.broadcasted_iota(
+            jnp.int32, (F, _P31), 1).astype(jnp.float32)
+        rows2 = jnp.clip(yiv - HALF + ri, 0.0, h - 1.0) - jy0v  # (F, 31)
+        cols2 = jnp.clip(xiv - HALF + ri, 0.0, w - 1.0) - jx0v
+        jy = jax.lax.broadcasted_iota(
+            jnp.int32, (F, _P31, SY), 2).astype(jnp.float32)
+        Rm = (rows2[:, :, None] == jy).astype(jnp.float32)   # (F, 31, SY)
+        jx = jax.lax.broadcasted_iota(
+            jnp.int32, (F, _P31, SX), 2).astype(jnp.float32)
+        Cm = (cols2[:, :, None] == jx).astype(jnp.float32)   # (F, 31, SX)
+        RW = jax.lax.dot_general(
+            Rm, Ws, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                    # (F, 31, SX)
+        p31 = jax.lax.dot_general(
+            RW, Cm, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                    # (F, 31, 31)
+        oyk = jax.lax.broadcasted_iota(
+            jnp.int32, (F, _P31, _P31), 1).astype(jnp.float32) - HALF
+        oxk = jax.lax.broadcasted_iota(
+            jnp.int32, (F, _P31, _P31), 2).astype(jnp.float32) - HALF
+        circ = (oxk * oxk + oyk * oyk) <= float(HALF * HALF)
+        m10 = _rsum12(p31 * jnp.where(circ, oxk, 0.0))       # (F,)
+        m01 = _rsum12(p31 * jnp.where(circ, oyk, 0.0))
 
-            # ---- steered BRIEF taps from the BLURRED level image -------
-            wblur, jy0b, jx0b = window(blur_ref, px, py)
-            r = jnp.sqrt(m10 * m10 + m01 * m01)
-            r_ok = r > 0.0
-            r_safe = jnp.where(r_ok, r, 1.0)
-            ca = jnp.where(r_ok, m10 / r_safe, 1.0)
-            sa = jnp.where(r_ok, m01 / r_safe, 0.0)
-            tx = px + ca * pat[:, 0] - sa * pat[:, 1]        # (512,)
-            ty = py + sa * pat[:, 0] + ca * pat[:, 1]
-            # 2-hot bilinear row/col weights against the window grid
-            jyt = jax.lax.broadcasted_iota(
-                jnp.int32, (_N_TAPS, SY), 1).astype(jnp.float32)
-            jxt = jax.lax.broadcasted_iota(
-                jnp.int32, (_N_TAPS, SX), 1).astype(jnp.float32)
-            lyt = jnp.clip(ty, 0.0, h - 1.0)[:, None] - jy0b * 1.0
-            lxt = jnp.clip(tx, 0.0, w - 1.0)[:, None] - jx0b * 1.0
-            Rt = jnp.maximum(0.0, 1.0 - jnp.abs(lyt - jyt))  # (512, SY)
-            Ct = jnp.maximum(0.0, 1.0 - jnp.abs(lxt - jxt))  # (512, SX)
-            rw = jnp.dot(Rt, wblur, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            vals = jnp.sum(rw * Ct, axis=1)                  # (512,)
-            a = vals[:_N_PAIRS]                              # de-interleaved
-            b = vals[_N_PAIRS:]
-            descs.append(jnp.where(a < b, 1.0, -1.0))        # (256,)
+        # ---- steered BRIEF taps from the BLURRED level image ------------
+        jy0b, jx0b = load_stack(blur_ref, 16, 16)
+        Wb = wstk_ref[...]                                   # (F, SY, SX)
+        r = jnp.sqrt(m10 * m10 + m01 * m01)
+        r_ok = r > 0.0
+        r_safe = jnp.where(r_ok, r, 1.0)
+        ca = jnp.where(r_ok, m10 / r_safe, 1.0)[:, None]     # (F, 1)
+        sa = jnp.where(r_ok, m01 / r_safe, 0.0)[:, None]
+        tx = pxv + ca * pat_x - sa * pat_y                   # (F, 512)
+        ty = pyv + sa * pat_x + ca * pat_y
+        jyt = jax.lax.broadcasted_iota(
+            jnp.int32, (F, _N_TAPS, SY), 2).astype(jnp.float32)
+        jxt = jax.lax.broadcasted_iota(
+            jnp.int32, (F, _N_TAPS, SX), 2).astype(jnp.float32)
+        lyt2 = jnp.clip(ty, 0.0, h - 1.0) - jy0b             # (F, 512)
+        lxt2 = jnp.clip(tx, 0.0, w - 1.0) - jx0b
+        Rt = jnp.maximum(0.0, 1.0 - jnp.abs(lyt2[:, :, None] - jyt))
+        Ct = jnp.maximum(0.0, 1.0 - jnp.abs(lxt2[:, :, None] - jxt))
+        rw = jax.lax.dot_general(
+            Rt, Wb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                    # (F, 512, SX)
+        vals = jnp.sum(rw * Ct, axis=2)                      # (F, 512)
+        a = vals[:, :_N_PAIRS]                               # de-interleaved
+        b = vals[:, _N_PAIRS:]
+        desc = jnp.where(a < b, 1.0, -1.0)                   # (F, 256)
 
-        ang_ref[pl.ds(base, feat_block), :] = jnp.stack(angs)  # (F, 2)
-        desc_ref[pl.ds(base, feat_block), :] = jnp.stack(descs)
+        ang_ref[pl.ds(base, F), :] = jnp.stack([m01, m10], axis=-1)
+        desc_ref[pl.ds(base, F), :] = desc
 
     return kernel, SY, SX
 
@@ -172,25 +204,27 @@ def orb_orientation_descriptors(
     raw_img: jax.Array,      # (H, W) level image (orientation source)
     blur_img: jax.Array,     # (H, W) blurred level image (BRIEF source)
     uv: jax.Array,           # (N, 2) keypoint positions at this level
-    feat_block: int = 8,
+    feat_block: int | None = None,
     interpret: bool = False,
 ):
     """Returns (angle (N,), desc (N, 256) int8 ±1) — the Pallas analog of
     `frontend.orb._orientations` + `_descriptors` in one pass."""
     h, w = raw_img.shape
+    if feat_block is None:
+        feat_block = _ORB_FEAT_BLOCK
     n = uv.shape[0]
     pad = (-n) % feat_block
     if pad:
         uv = jnp.pad(uv, ((0, pad), (0, 0)))
     np_ = uv.shape[0]
-    kernel, _, _ = _make_kernel(h, w, feat_block)
+    kernel, SY_, SX_ = _make_kernel(h, w, feat_block)
     ang, desc = pl.pallas_call(
         kernel,
         grid=(np_ // feat_block,),
         in_specs=[
             pl.BlockSpec((np_, 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N_TAPS, 2), lambda i: (0, 0),
+            pl.BlockSpec((2, _N_TAPS), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -207,11 +241,14 @@ def orb_orientation_descriptors(
             jax.ShapeDtypeStruct((np_, 2), jnp.float32),
             jax.ShapeDtypeStruct((np_, 256), jnp.float32),
         ],
+        scratch_shapes=(
+            pltpu.VMEM((feat_block, SY_, SX_), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(uv.astype(jnp.float32), jnp.asarray(_PAT), raw_img, blur_img)
+    )(uv.astype(jnp.float32), jnp.asarray(_PAT.T.copy()), raw_img, blur_img)
     # the kernel emits the raw centroid moments (m01, m10) — Mosaic has no
     # atan2 lowering, so the angle is reconstructed here on the XLA side
     angle = jnp.arctan2(ang[:n, 0], ang[:n, 1])
