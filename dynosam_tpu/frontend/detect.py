@@ -224,11 +224,17 @@ def border_mask(shape, shrink_row: int, shrink_col: int) -> jax.Array:
 
 
 def _shift(img: jax.Array, dy: int, dx: int) -> jax.Array:
-    """Shifted copy with edge padding (replicates conv SAME behaviour)."""
+    """Shifted copy with edge padding (replicates conv SAME behaviour).
+
+    Pad+slice, never arange indexing — a clamped-iota row/lane index can
+    lower to a serialized gather on TPU (CLAUDE.md static-shift rule)."""
     h, w = img.shape
-    y0 = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    x0 = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[y0][:, x0]
+    a_t, a_b = max(-dy, 0), max(dy, 0)
+    a_l, a_r = max(-dx, 0), max(dx, 0)
+    p = jnp.pad(img, ((a_t, a_b), (a_l, a_r)), mode="edge")
+    return jax.lax.slice(
+        p, (dy + a_t, dx + a_l), (dy + a_t + h, dx + a_l + w)
+    )
 
 
 def sobel_gradients_fast(gray: jax.Array):
@@ -289,6 +295,53 @@ _FAST_RING = (
 )
 
 
+def _windowed_all(x: jax.Array, width: int) -> jax.Array:
+    """AND over every length-`width` window along axis 0, log-depth:
+    out[i] = all(x[i : i + width]).  Shape (L - width + 1, ...)."""
+    tbl = {1: x}
+    w = 1
+    while w * 2 <= width:
+        t = tbl[w]
+        tbl[w * 2] = t[:-w] & t[w:]
+        w *= 2
+    n_out = x.shape[0] - width + 1
+    res = None
+    off = 0
+    rem = width
+    for p in sorted(tbl, reverse=True):
+        while rem >= p:
+            seg = jax.lax.slice_in_dim(tbl[p], off, off + n_out, axis=0)
+            res = seg if res is None else (res & seg)
+            off += p
+            rem -= p
+    return res
+
+
+def _fast_from_diff(diff: jax.Array, threshold: float, arc: int):
+    """FAST criterion + strength from the precomputed (16, H, W) ring
+    differences.  A circular run of >= arc equals "some length-arc window
+    of the ring, wrapped, is all True" — evaluated with the log-depth
+    windowed AND instead of a 32-step run-length scan (the scan cost ~2x
+    the whole ring build at every pyramid level in ORB mode)."""
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    def ok_arc(flags):
+        doubled = jnp.concatenate([flags, flags[: arc - 1]], axis=0)
+        return jnp.any(_windowed_all(doubled, arc), axis=0)
+
+    ok = ok_arc(brighter) | ok_arc(darker)
+    strength = jnp.sum(jnp.abs(diff) * (brighter | darker), axis=0)
+    return jnp.where(ok, strength, 0.0)
+
+
+def _fast_ring_diff(gray: jax.Array) -> jax.Array:
+    ring = jnp.stack(
+        [_shift(gray, dy, dx) for (dx, dy) in _FAST_RING], axis=0
+    )                                                       # (16, H, W)
+    return ring - gray[None]
+
+
 def fast_response(gray: jax.Array, threshold: float = 20.0, arc: int = 9):
     """FAST-N corner test, dense: every pixel at once.
 
@@ -298,25 +351,17 @@ def fast_response(gray: jax.Array, threshold: float = 20.0, arc: int = 9):
     (`frontend/vision/ORBextractor.hpp:58`), without the pyramid/BRIEF
     stages (KLT tracking replaces descriptor matching in this design).
     """
-    ring = jnp.stack(
-        [_shift(gray, dy, dx) for (dx, dy) in _FAST_RING], axis=0
-    )                                                       # (16, H, W)
-    diff = ring - gray[None]
-    brighter = diff > threshold
-    darker = diff < -threshold
+    return _fast_from_diff(_fast_ring_diff(gray), threshold, arc)
 
-    def max_run(flags):
-        # longest circular run of True: double the ring, cumulative run via
-        # scan over the 32 positions
-        doubled = jnp.concatenate([flags, flags], axis=0)   # (32, H, W)
 
-        def step(run, f):
-            run = jnp.where(f, run + 1, 0)
-            return run, run
-
-        _, runs = jax.lax.scan(step, jnp.zeros_like(gray), doubled)
-        return jnp.minimum(jnp.max(runs, axis=0), 16)
-
-    ok = (max_run(brighter) >= arc) | (max_run(darker) >= arc)
-    strength = jnp.sum(jnp.abs(diff) * (brighter | darker), axis=0)
-    return jnp.where(ok, strength, 0.0)
+def fast_response_pair(
+    gray: jax.Array, t_init: float, t_min: float, arc: int = 9
+):
+    """`fast_response` at BOTH ORB thresholds sharing one ring build (the
+    extractor's init->min fallback needs both maps every level,
+    `ORBextractor.cc` ComputeKeyPointsOctTree)."""
+    diff = _fast_ring_diff(gray)
+    return (
+        _fast_from_diff(diff, t_init, arc),
+        _fast_from_diff(diff, t_min, arc),
+    )

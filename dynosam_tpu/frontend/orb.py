@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .detect import Detections, detect_grid_nms, fast_response
+from .detect import Detections, detect_grid_nms, fast_response_pair
 
 HALF_PATCH = 15          # orientation patch radius (ORBextractor HALF_PATCH_SIZE)
 EDGE_THRESHOLD = 19      # detection keep-away border per level
@@ -234,8 +234,9 @@ def extract_orb(
             # FAST with per-cell init->min threshold fallback
             # (`ComputeKeyPointsOctTree`: cells where the init threshold
             # finds nothing are re-run at the min threshold)
-            r_init = fast_response(level_img, init_threshold)
-            r_min = fast_response(level_img, min_threshold)
+            r_init, r_min = fast_response_pair(
+                level_img, init_threshold, min_threshold
+            )
             has_init = _cell_max(r_init, cell_size) > 0.0
             resp = jnp.where(has_init, r_init, r_min)
 

@@ -62,18 +62,20 @@ _N_TAPS = _PAT.shape[0]
 _N_PAIRS = _N_TAPS // 2
 
 
-def _make_kernel(h: int, w: int, feat_block: int):
+def _make_kernel(h: int, w: int, orig_h: int, orig_w: int, feat_block: int):
     # Window coverage: the patch spans floor(p)-16 .. floor(p)+17
     # (orientation +-15 with nearest-int rounding, taps +-13 with +1
     # bilinear).  The start is floor(p)-16 rounded DOWN to the tile grid
     # (8 rows / 128 lanes of slack), so SY >= 17+16+7+1 -> 48 and
-    # SX >= 17+16+127+1 -> 256.
+    # SX >= 17+16+127+1 -> 256.  (h, w) are the TILE-ALIGNED padded image
+    # dims (the wrapper pads to multiples of (8, 128) — without that,
+    # mid-pyramid levels like 267x889 forced FULL-IMAGE windows and the
+    # kernel cost 7x more at those levels than at aligned full-res);
+    # (orig_h, orig_w) bound the coordinate clips so results are
+    # identical to the unpadded XLA reference.
     SY = min(h, 48)
     SX = min(w, 256)
-    if SY != h and (h - SY) % 8 != 0:
-        SY = h
-    if SX != w and (w - SX) % 128 != 0:
-        SX = w
+    assert (h - SY) % 8 == 0 and (w - SX) % 128 == 0, (h, w, SY, SX)
     F = feat_block
 
     def kernel(p_ref, pat_ref, raw_ref, blur_ref, ang_ref, desc_ref,
@@ -139,8 +141,8 @@ def _make_kernel(h: int, w: int, feat_block: int):
         # "unsupported shape cast" in Mosaic), then lift to rank 3
         ri = jax.lax.broadcasted_iota(
             jnp.int32, (F, _P31), 1).astype(jnp.float32)
-        rows2 = jnp.clip(yiv - HALF + ri, 0.0, h - 1.0) - jy0v  # (F, 31)
-        cols2 = jnp.clip(xiv - HALF + ri, 0.0, w - 1.0) - jx0v
+        rows2 = jnp.clip(yiv - HALF + ri, 0.0, orig_h - 1.0) - jy0v  # (F, 31)
+        cols2 = jnp.clip(xiv - HALF + ri, 0.0, orig_w - 1.0) - jx0v
         jy = jax.lax.broadcasted_iota(
             jnp.int32, (F, _P31, SY), 2).astype(jnp.float32)
         Rm = (rows2[:, :, None] == jy).astype(jnp.float32)   # (F, 31, SY)
@@ -179,8 +181,8 @@ def _make_kernel(h: int, w: int, feat_block: int):
             jnp.int32, (F, _N_TAPS, SY), 2).astype(jnp.float32)
         jxt = jax.lax.broadcasted_iota(
             jnp.int32, (F, _N_TAPS, SX), 2).astype(jnp.float32)
-        lyt2 = jnp.clip(ty, 0.0, h - 1.0) - jy0b             # (F, 512)
-        lxt2 = jnp.clip(tx, 0.0, w - 1.0) - jx0b
+        lyt2 = jnp.clip(ty, 0.0, orig_h - 1.0) - jy0b        # (F, 512)
+        lxt2 = jnp.clip(tx, 0.0, orig_w - 1.0) - jx0b
         Rt = jnp.maximum(0.0, 1.0 - jnp.abs(lyt2[:, :, None] - jyt))
         Ct = jnp.maximum(0.0, 1.0 - jnp.abs(lxt2[:, :, None] - jxt))
         rw = jax.lax.dot_general(
@@ -209,6 +211,14 @@ def orb_orientation_descriptors(
 ):
     """Returns (angle (N,), desc (N, 256) int8 ±1) — the Pallas analog of
     `frontend.orb._orientations` + `_descriptors` in one pass."""
+    orig_h, orig_w = raw_img.shape
+    # tile-align the level image so the kernel always gets 48x256 windows
+    # (unaligned dims previously forced full-image windows — 7x slower)
+    ph = (-orig_h) % 8
+    pw = (-orig_w) % 128
+    if ph or pw:
+        raw_img = jnp.pad(raw_img, ((0, ph), (0, pw)))
+        blur_img = jnp.pad(blur_img, ((0, ph), (0, pw)))
     h, w = raw_img.shape
     if feat_block is None:
         feat_block = _ORB_FEAT_BLOCK
@@ -217,7 +227,7 @@ def orb_orientation_descriptors(
     if pad:
         uv = jnp.pad(uv, ((0, pad), (0, 0)))
     np_ = uv.shape[0]
-    kernel, SY_, SX_ = _make_kernel(h, w, feat_block)
+    kernel, SY_, SX_ = _make_kernel(h, w, orig_h, orig_w, feat_block)
     ang, desc = pl.pallas_call(
         kernel,
         grid=(np_ // feat_block,),

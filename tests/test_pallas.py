@@ -112,6 +112,37 @@ def test_orb_sample_kernel_matches_xla(rng):
     assert agree > 0.995
 
 
+def test_orb_sample_kernel_unaligned_dims(rng):
+    """Tile-UNALIGNED level dims (mid-pyramid shapes like 267x889) must be
+    padded internally to keep 48x256 windows — results identical to the
+    unpadded XLA reference, including keypoints near the image border."""
+    from dynosam_tpu.frontend.orb import (
+        _descriptors,
+        _gaussian_blur7,
+        _orientations,
+    )
+    from dynosam_tpu.ops.pallas.orb_sample import orb_orientation_descriptors
+
+    h, w = 157, 331          # h%8=5, w%128=75 — both unaligned
+    img = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    blurred = _gaussian_blur7(img)
+    uv = jnp.concatenate([
+        jnp.asarray(rng.uniform([19, 19], [w - 20, h - 20], (24, 2)),
+                    jnp.float32),
+        # corners at the edge-threshold keep-away distance
+        jnp.asarray([[19.0, 19.0], [w - 20.0, 19.0],
+                     [19.0, h - 20.0], [w - 20.0, h - 20.0]], jnp.float32),
+    ])
+    ang_ref = _orientations(img, uv)
+    desc_ref = _descriptors(blurred, uv, ang_ref)
+    ang, desc = orb_orientation_descriptors(img, blurred, uv, interpret=True)
+    da = np.abs(np.asarray(ang) - np.asarray(ang_ref))
+    da = np.minimum(da, 2 * np.pi - da)
+    assert da.max() < 1e-3
+    agree = (np.asarray(desc) == np.asarray(desc_ref)).mean()
+    assert agree > 0.995
+
+
 def test_point_sample_kernel_matches_xla(rng):
     """Pallas point sampler (interpret) == bilinear_sample / nearest_at /
     flow_at XLA semantics, incl. border-clamped coords
