@@ -253,20 +253,15 @@ def sobel_gradients_fast(gray: jax.Array):
 
 
 def _box_sum(img: jax.Array, r: int) -> jax.Array:
-    """(2r+1)^2 box sum via integral image (two cumsums + four gathers)."""
+    """(2r+1)^2 box sum via integral image (two cumsums + four SHIFTED
+    copies — pad+slice via `_shift`, never clamped-arange gathers)."""
     h, w = img.shape
     ii = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
-    ii = jnp.pad(ii, ((1, 0), (1, 0)))
-    y = jnp.arange(h)
-    x = jnp.arange(w)
-    y0 = jnp.clip(y - r, 0, h)
-    y1 = jnp.clip(y + r + 1, 0, h)
-    x0 = jnp.clip(x - r, 0, w)
-    x1 = jnp.clip(x + r + 1, 0, w)
-    a = ii[y1][:, x1]
-    b = ii[y0][:, x1]
-    c = ii[y1][:, x0]
-    d = ii[y0][:, x0]
+    ii = jnp.pad(ii, ((1, 0), (1, 0)))                  # (h+1, w+1)
+    a = _shift(ii, r + 1, r + 1)[:h, :w]
+    b = _shift(ii, -r, r + 1)[:h, :w]
+    c = _shift(ii, r + 1, -r)[:h, :w]
+    d = _shift(ii, -r, -r)[:h, :w]
     return a - b - c + d
 
 

@@ -127,21 +127,20 @@ def _sample_bilinear(img: jax.Array, xy: jax.Array) -> jax.Array:
 
 def _gaussian_blur7(img: jax.Array, sigma: float = 2.0) -> jax.Array:
     """Separable 7x7 Gaussian via shifted adds (the pre-BRIEF blur,
-    `GaussianBlur(7, 7, 2, 2)` in the reference's compute path)."""
+    `GaussianBlur(7, 7, 2, 2)` in the reference's compute path).  Shifts
+    are pad+slice (`detect._shift`) — clamped-arange row/lane indexing can
+    lower to serialized gathers on TPU."""
+    from .detect import _shift
+
     taps = np.exp(-0.5 * (np.arange(-3, 4) / sigma) ** 2)
     taps = (taps / taps.sum()).astype(np.float32)
-    h, w = img.shape
     out = jnp.zeros_like(img)
     for i, t in enumerate(taps):
-        d = i - 3
-        y = jnp.clip(jnp.arange(h) + d, 0, h - 1)
-        out = out + float(t) * img[y]
+        out = out + float(t) * _shift(img, i - 3, 0)
     img2 = out
     out = jnp.zeros_like(img)
     for i, t in enumerate(taps):
-        d = i - 3
-        x = jnp.clip(jnp.arange(w) + d, 0, w - 1)
-        out = out + float(t) * img2[:, x]
+        out = out + float(t) * _shift(img2, 0, i - 3)
     return out
 
 

@@ -43,6 +43,21 @@ import os as _os
 # materialization, phase scheduling), so fatter blocks amortize it
 _ORB_FEAT_BLOCK = int(_os.environ.get("DYNO_ORB_FEAT_BLOCK", "8"))
 
+# dot precision for the selection/sampling matmuls.  DEFAULT (bf16) is the
+# production setting: the weights are exact 0/1 one-hot rows resp. [0,1]
+# bilinear coefficients over 8-bit-scale intensities, and the only effect
+# of bf16 rounding is near-tie BRIEF bit flips — measured on-device vs
+# HIGHEST: 99.19% descriptor-bit agreement, orientation err p99 0.022 rad
+# (tpu_runs/orb_fb_prec_ab.txt), for +11% ORB-mode pipeline fps.  This is
+# NOT the geometry-matmul precision rule (no rotations/poses flow through
+# these dots).  Set DYNO_ORB_PRECISION=highest for bit-exact A/B against
+# the XLA path.  Mosaic lowers only DEFAULT and HIGHEST.
+_ORB_PRECISION = (
+    jax.lax.Precision.HIGHEST
+    if _os.environ.get("DYNO_ORB_PRECISION", "default") == "highest"
+    else jax.lax.Precision.DEFAULT
+)
+
 HALF = _orb.HALF_PATCH                      # 15
 _P31 = 2 * HALF + 1                         # orientation patch size
 
@@ -152,12 +167,12 @@ def _make_kernel(h: int, w: int, orig_h: int, orig_w: int, feat_block: int):
         RW = jax.lax.dot_general(
             Rm, Ws, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_ORB_PRECISION,
         )                                                    # (F, 31, SX)
         p31 = jax.lax.dot_general(
             RW, Cm, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_ORB_PRECISION,
         )                                                    # (F, 31, 31)
         oyk = jax.lax.broadcasted_iota(
             jnp.int32, (F, _P31, _P31), 1).astype(jnp.float32) - HALF
@@ -188,7 +203,7 @@ def _make_kernel(h: int, w: int, orig_h: int, orig_w: int, feat_block: int):
         rw = jax.lax.dot_general(
             Rt, Wb, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_ORB_PRECISION,
         )                                                    # (F, 512, SX)
         vals = jnp.sum(rw * Ct, axis=2)                      # (F, 512)
         a = vals[:, :_N_PAIRS]                               # de-interleaved

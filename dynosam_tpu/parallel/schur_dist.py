@@ -11,10 +11,11 @@ partitioning).
 Two implementations:
 
   * **Explicit-collective path (default, WorldMotion)** — the whole LM loop
-    runs inside ONE `shard_map` with hand-placed collectives: 6 per
-    iteration (2 dp-ghost ppermutes, 1 error psum, 1 SPIKE halo ppermute,
-    1 packed SPIKE all_gather, 1 packed psum of every contracted small
-    quantity), independent of pool size.  See the section comment at
+    runs inside ONE `shard_map` with hand-placed collectives: 7 per
+    iteration (2 dp-ghost ppermutes, 1 error psum, 1 packed static-family
+    psum reassembling the frame-sharded Hll/b_sp/Us partials, 1 SPIKE halo
+    ppermute, 1 packed SPIKE all_gather, 1 packed psum of every contracted
+    small quantity), independent of pool size.  See the section comment at
     `_optimize_schur_explicit` for the domain decomposition.
   * **Legacy GSPMD path** (`DYNO_DIST_GSPMD=1`, and WorldPose) — sharding
     annotations + the shard_map SPIKE chain solver, everything else left to
@@ -341,9 +342,14 @@ def distributed_schur_optimize(
 #     neighbour's last dp row; the boundary factor owned by the right
 #     neighbour is recomputed locally from the RIGHT ghost row instead of
 #     halo-adding its contributions back).
-#   * static grids shard tracks only (frame-replicated): the static family
-#     couples every frame to the same landmark, and at W <= 16 frames the
-#     replicated copy is ~100 KB; its psum contributions scale by 1/F.
+#   * the static family is FRAME-SHARDED like the dynamic one: residuals,
+#     Jacobians and elimination blocks are built for the local S frames
+#     only (the earlier frame-REPLICATED build was the dominant N=4 total-
+#     work blowup, W(4)/W(1) ~ 1.6-1.75 in scripts/scaling_1proc.py).  The
+#     cross-frame reductions (landmark Hessian Hll, rhs b_sp, and the
+#     per-frame coupling rows Us) are reassembled by ONE packed psum in
+#     step_fn (~1.2 MB at W=16/512-cap); the per-lambda camera couplings
+#     d_cc_s/d_bc_s are computed on local rows and ride the final psum.
 #   * the object one-hot table is mask-derived (constant across LM
 #     iterations) and gathered ONCE in the prologue — no per-iteration mask
 #     communication at all.
@@ -565,6 +571,9 @@ def _optimize_schur_explicit(
         eye_rows = (
             jnp.arange(W_)[None, :] == rows_gl[:, None]
         ).astype(dtype)                                  # (S, W)
+        static_obs_loc = jax.lax.dynamic_slice_in_dim(
+            static_obs, start, S, 0
+        )                                                # (S, ns) local rows
 
         def _x_loc(X: SE3) -> SE3:
             return SE3(
@@ -620,12 +629,21 @@ def _optimize_schur_explicit(
             )
             r_odo = jnp.where(odometry[1:, None], r_odo, 0.0)
 
+            # static family is FRAME-SHARDED: residuals only for the local
+            # S frames (the frame-REPLICATED static build was the dominant
+            # N=4 work blowup measured by scripts/scaling_1proc.py,
+            # W(4)/W(1) ~ 1.6-1.75); the cross-frame reductions are
+            # reassembled with one small packed psum + one Us all_gather
+            # per linearization in build_fn
+            X_loc = _x_loc(X)
+            static_xyz_loc = jax.lax.dynamic_slice_in_dim(
+                static_xyz, start, S, 0
+            )
             r_static = jax.vmap(
                 lambda Xk, zk: factors.pose_to_point_residual(Xk, sp, zk)
-            )(X, static_xyz) / sig_s
-            r_static = jnp.where(static_obs[..., None], r_static, 0.0)
+            )(X_loc, static_xyz_loc) / sig_s
+            r_static = jnp.where(static_obs_loc[..., None], r_static, 0.0)
 
-            X_loc = _x_loc(X)
             r_dyn = jax.vmap(
                 lambda Xk, mk, zk: factors.pose_to_point_residual(Xk, mk, zk)
             )(X_loc, dp, dyn_xyz) / sig_d
@@ -689,7 +707,7 @@ def _optimize_schur_explicit(
             loc = (
                 jnp.sum(robust_loss(res[3], spec.robust[3]))
                 + jnp.sum(robust_loss(res[4][:S], spec.robust[4]))
-                + jnp.sum(robust_loss(res[2], spec.robust[2])) / F
+                + jnp.sum(robust_loss(res[2], spec.robust[2]))
             )
             tot = jax.lax.psum(loc, (FA, TA))
             repl = (
@@ -719,7 +737,7 @@ def _optimize_schur_explicit(
             X, Hm, sp, dp = v["X"], v[pose_key], v["sp"], v["dp"]
             r_anchor, r_odo, r_static, r_dyn, r_stiff = res0[:5]
             dp_l, dp_r = res0[-2], res0[-1]
-            wgt_static = sqrt_w[2] ** 2 * static_obs.astype(dtype)
+            wgt_static = sqrt_w[2] ** 2 * static_obs_loc.astype(dtype)
             wgt_dyn = sqrt_w[3] ** 2 * dyn_obs.astype(dtype)
             sqw_t = sqrt_w[4] * tern_ext.astype(dtype)     # (S+1, nd)
             wt = sqw_t**2
@@ -765,23 +783,28 @@ def _optimize_schur_explicit(
                     [-_mm(Lcv.R, so3_hat(q)), Lcv.R], axis=-1
                 )
 
-            Jx_s, Jp_s, _ = _pose_point_jacobians(
-                X, jnp.broadcast_to(sp[None], (W_, *sp.shape)), sig_s
-            )
             X_loc = _x_loc(X)
+            Jx_s, Jp_s, _ = _pose_point_jacobians(
+                X_loc, jnp.broadcast_to(sp[None], (S, *sp.shape)), sig_s
+            )
             Jx_d, Jp_d, _ = _pose_point_jacobians(X_loc, dp, sig_d)
 
             # square-root stiff-factor pieces (ext slots 0..S)
             s_ext = sqw_t / sig_t                          # (S+1, nd)
             phi_ext = sqw_t[..., None] * r_stiff           # (S+1, nd, 3)
 
-            # psum partials (static family is frame-replicated -> 1/F)
+            # psum partials (static family frame-sharded like dyn: local
+            # rows embedded at `start`, the cross-device psum assembles)
             Dcam = _embed_rows(
-                _es("kn,knra,knrb->kab", wgt_dyn, Jx_d, Jx_d), W_, start
-            ) + _es("kn,knra,knrb->kab", wgt_static, Jx_s, Jx_s) / F
+                _es("kn,knra,knrb->kab", wgt_dyn, Jx_d, Jx_d)
+                + _es("kn,knra,knrb->kab", wgt_static, Jx_s, Jx_s),
+                W_, start,
+            )
             g_pts = _embed_rows(
-                _es("kn,knra,knr->ka", wgt_dyn, Jx_d, r_dyn), W_, start
-            ) + _es("kn,knra,knr->ka", wgt_static, Jx_s, r_static) / F
+                _es("kn,knra,knr->ka", wgt_dyn, Jx_d, r_dyn)
+                + _es("kn,knra,knr->ka", wgt_static, Jx_s, r_static),
+                W_, start,
+            )
             # stiff-factor diagonal of the full Dmm (damping only — the
             # matrix itself arrives additively via the Woodbury correction)
             Gsq = jnp.sum(G_ext[:S] ** 2, axis=2)          # (S, nd, 6)
@@ -796,6 +819,10 @@ def _optimize_schur_explicit(
                     + _embed_rows(dd_t, W_, start)
                 )
 
+            # static elimination blocks from the LOCAL frames only.  The
+            # cached system stores the PRE-psum partials (build runs under
+            # the rebuild cond — no collectives here); step_fn reassembles
+            # them with one packed psum per trial.
             Hll_s, Us, b_sp = _static_blocks(
                 wgt_static, Jx_s, Jp_s, r_static, dtype
             )
@@ -828,18 +855,46 @@ def _optimize_schur_explicit(
             alpha_z = loc["ch_c"] + loc["ch_T"] + loc["ch_Tn"]
             c_lam = loc["ch_c"] + lam * jnp.maximum(alpha_z, floor)
             inv_c = 1.0 / c_lam
-            Hll_s = _damp_blocks(loc["Hll_s"], lam, floor)
 
-            # static elimination (frame-replicated, track-local)
-            Us = loc["Us"]
-            ns_ = Us.shape[1]
+            # static family: the cached system carries PRE-psum local
+            # partials (frame-sharded build); ONE packed psum assembles
+            # the landmark Hessian/rhs frame-sums and the per-frame Us
+            # rows (embedded at this device's rows).  Idempotent across
+            # the rebuild cache, legal SPMD (unconditional).
+            Us_loc = loc["Us"]                             # (S, ns, 6, 3)
+            ns_ = Us_loc.shape[1]
+            if F > 1:
+                reds = _pack_psum(
+                    {
+                        "Hll": loc["Hll_s"],
+                        "b_sp": loc["b_sp"],
+                        "Us": _embed_rows(Us_loc, W_, start),
+                    },
+                    (FA,),
+                )
+                # _static_blocks adds its tiny*I floor once per device;
+                # keep exactly one copy after the frame-sum
+                tiny_s = _floor_consts(dtype)[1]
+                Hll_full = reds["Hll"] - (F - 1) * tiny_s * jnp.eye(
+                    3, dtype=dtype
+                )
+                b_sp_full = reds["b_sp"]
+                Us = reds["Us"]                            # (W, ns, 6, 3)
+            else:
+                Hll_full, b_sp_full, Us = (
+                    loc["Hll_s"], loc["b_sp"], Us_loc,
+                )
+            Hll_s = _damp_blocks(Hll_full, lam, floor)
             Us_t = jnp.swapaxes(Us, -1, -2)
             Us_cols = jnp.transpose(Us_t, (1, 2, 0, 3)).reshape(ns_, 3, nc)
-            rhs_s = jnp.concatenate([Us_cols, loc["b_sp"][..., None]], -1)
+            rhs_s = jnp.concatenate([Us_cols, b_sp_full[..., None]], -1)
             Ys = _mm(_inv3(Hll_s), rhs_s)
             Yc_s, yb_s = Ys[..., :nc], Ys[..., nc]
-            d_cc_s = _es("knam,nmq->kaq", Us, Yc_s)        # (W, 6, nc)
-            d_bc_s = _es("knam,nm->ka", Us, yb_s)          # (W, 6)
+            # camera-camera/rhs couplings: only the LOCAL frame rows (the
+            # full-W reduction was per-lambda replicated work; rows embed
+            # at `start` and ride the final packed psum)
+            d_cc_s = _es("knam,nmq->kaq", Us_loc, Yc_s)    # (S, 6, nc)
+            d_bc_s = _es("knam,nm->ka", Us_loc, yb_s)      # (S, 6)
 
             s_ext = loc["st_s"]
             s_loc = s_ext[:S]
@@ -995,8 +1050,9 @@ def _optimize_schur_explicit(
                 {
                     **sys["part"],
                     "d_cc": d_cc1 - d_cc2
-                    + d_cc_s.reshape(nc, nc) / F,
-                    "d_bc": d_bc1 - d_bc2 + d_bc_s.reshape(nc) / F,
+                    + _embed_rows(d_cc_s, W_, start).reshape(nc, nc),
+                    "d_bc": d_bc1 - d_bc2
+                    + _embed_rows(d_bc_s, W_, start).reshape(nc),
                     "d_cm": _embed_rows(cm_cur, W_, start)
                     + _embed_rows_shiftm1(cm_prev, W_, start),
                     "d_mm": d_mm_p,
