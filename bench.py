@@ -313,7 +313,12 @@ def bench_pipeline_sustained(reps=2, n=100, h=384, w=1280):
         # the budget is a pure quality knob — @7 the window-population
         # median err (1.185) already beats the legacy solver @10 (1.259);
         # BENCH_NOTES session 9.
-        backend=BackendConfig(use_full_batch_opt=False, lm_max_iterations=7),
+        backend=BackendConfig(
+            use_full_batch_opt=False, lm_max_iterations=7,
+            opt_windows_per_dispatch=int(
+                os.environ.get("DYNO_BENCH_WPD", "1")
+            ),
+        ),
         capacity=CapacityConfig(
             max_static_tracks=2048, max_dynamic_tracks=4096,
             max_objects=16, max_frames=n,

@@ -329,9 +329,13 @@ def match_descriptors(
     and mutual cross-check — the brute-force Hamming `BFMatcher` the
     reference's descriptor path implies, with zero gather stages."""
     n_bits = desc_a.shape[1]
+    # DEFAULT (bf16) is BIT-EXACT here: both operands are ±1 (exactly
+    # representable) and the f32 accumulator sums integers <= n_bits=256,
+    # so no rounding can occur — unlike the geometry-matmul HIGHEST rule,
+    # which exists for f32-valued rotations/coordinates.
     sim = jnp.matmul(
         desc_a.astype(jnp.float32), desc_b.astype(jnp.float32).T,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.DEFAULT,
     )
     ham = (n_bits - sim) * 0.5
     big = jnp.float32(n_bits + 1)

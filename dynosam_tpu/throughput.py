@@ -80,10 +80,8 @@ def _dus(full, win, start):
     return jax.lax.dynamic_update_slice_in_dim(full, win, start, axis=0)
 
 
-def _solve_window(est: EstStore, m: MeasurementMap, start, window: int,
-                  cfg, lm_cfg, pose_key: str, updater: int):
-    """Traced mirror of `RGBDBackend._optimize` + `_write_back` with a
-    DYNAMIC window start (one program for every trigger)."""
+def _window_inputs(est: EstStore, start, window: int, pose_key: str):
+    """Warm-start values/masks for the window at `start` (pure reads)."""
     use_anchor = est.X_valid[start]
     anchor = SE3(est.X.R[start], est.X.t[start])
     prev = {
@@ -100,11 +98,11 @@ def _solve_window(est: EstStore, m: MeasurementMap, start, window: int,
         "sp": est.static_valid & use_anchor,
         "dp": _dsl(est.dyn_valid, start, window) & use_anchor,
     }
-    result, masks = optimize_window(
-        m, start, window, cfg.backend, lm_cfg, anchor, use_anchor,
-        updater, prev, prev_mask,
-    )
-    values = result.values
+    return anchor, use_anchor, prev, prev_mask
+
+
+def _writeback(est: EstStore, values, masks, start, pose_key: str):
+    """Mirror of `RGBDBackend._write_back` at a dynamic start."""
     X = values["X"]
     P = values[pose_key]
     est = est._replace(
@@ -116,13 +114,61 @@ def _solve_window(est: EstStore, m: MeasurementMap, start, window: int,
         dyn_valid=_dus(est.dyn_valid, masks.dyn_obs, start),
     )
     new_static_valid = jnp.any(masks.static_obs, axis=0)
-    est = est._replace(
+    return est._replace(
         static_points=jnp.where(
             new_static_valid[:, None], values["sp"], est.static_points
         ),
         static_valid=est.static_valid | new_static_valid,
     )
+
+
+def _solve_window(est: EstStore, m: MeasurementMap, start, window: int,
+                  cfg, lm_cfg, pose_key: str, updater: int):
+    """Traced mirror of `RGBDBackend._optimize` + `_write_back` with a
+    DYNAMIC window start (one program for every trigger)."""
+    anchor, use_anchor, prev, prev_mask = _window_inputs(
+        est, start, window, pose_key
+    )
+    result, masks = optimize_window(
+        m, start, window, cfg.backend, lm_cfg, anchor, use_anchor,
+        updater, prev, prev_mask,
+    )
+    est = _writeback(est, result.values, masks, start, pose_key)
     return est, result
+
+
+def _solve_windows_batched(est: EstStore, m: MeasurementMap, first_start,
+                           wpd: int, stride: int, window: int,
+                           cfg, lm_cfg, pose_key: str, updater: int):
+    """Solve `wpd` consecutive pending windows in ONE vmapped LM program.
+
+    The window solve is op-latency bound on TPU (BENCH_NOTES), so vmapping
+    the whole LM over pending windows amortizes it nearly wpd-fold.  All
+    windows warm-start from the state BEFORE any of them solved (the later
+    windows' overlap frames are one writeback staler than in sequential
+    mode); writebacks apply in order so overlap frames keep the LATER
+    window's estimate, matching the sequential stitching."""
+    starts = first_start + jnp.arange(wpd, dtype=jnp.int32) * stride
+
+    def solve_one(start):
+        anchor, use_anchor, prev, prev_mask = _window_inputs(
+            est, start, window, pose_key
+        )
+        return optimize_window(
+            m, start, window, cfg.backend, lm_cfg, anchor, use_anchor,
+            updater, prev, prev_mask,
+        )
+
+    results, masks = jax.vmap(solve_one)(starts)
+    for i in range(wpd):
+        est = _writeback(
+            est,
+            jax.tree.map(lambda a: a[i], results.values),
+            jax.tree.map(lambda a: a[i], masks),
+            starts[i], pose_key,
+        )
+    last = jax.tree.map(lambda a: a[-1], results)
+    return est, last
 
 
 class SegmentPlan(NamedTuple):
@@ -211,6 +257,9 @@ def make_offline_runner(cam: CameraParams, cfg: DynoConfig, n_frames: int,
     updater = bcfg.backend_updater_enum
     pose_key = "H" if updater == 0 else "L"
     lm_cfg = _lm_cfg(bcfg)
+    wpd = max(1, int(bcfg.opt_windows_per_dispatch))
+    if n_segments % wpd != 0:
+        wpd = 1                      # fall back to strictly sequential
 
     fe_scan = _make_fe_scan(cam, cfg, use_klt)
 
@@ -232,6 +281,7 @@ def make_offline_runner(cam: CameraParams, cfg: DynoConfig, n_frames: int,
         )
 
         # ---- steady segments: stride frontend steps + one window solve
+        # (wpd > 1: wpd*stride frontend steps + wpd vmapped window solves)
         def segment(carry, s):
             fe_state, m, est = carry
             seg_first = V + s * stride          # first frame this segment
@@ -247,10 +297,32 @@ def make_offline_runner(cam: CameraParams, cfg: DynoConfig, n_frames: int,
             )
             return (fe_state, m, est), (pkts, result)
 
-        (fe_state, m, est), (seg_pkts, results) = jax.lax.scan(
-            segment, (fe_state, m, est),
-            jnp.arange(n_segments, dtype=jnp.int32),
-        )
+        def group(carry, g):
+            fe_state, m, est = carry
+            seg_first = V + g * (wpd * stride)
+            frames = jax.tree.map(
+                lambda a: _dsl(a, seg_first - 1, wpd * stride + 1), stacked
+            )
+            seg_keys = _dsl(keys, seg_first, wpd * stride)
+            fe_state, m, pkts = fe_scan(
+                fe_state, m, frames, seg_keys, seg_first, wpd * stride
+            )
+            est, result = _solve_windows_batched(
+                est, m, g * (wpd * stride), wpd, stride, W, cfg, lm_cfg,
+                pose_key, updater,
+            )
+            return (fe_state, m, est), (pkts, result)
+
+        if wpd > 1:
+            (fe_state, m, est), (seg_pkts, results) = jax.lax.scan(
+                group, (fe_state, m, est),
+                jnp.arange(n_segments // wpd, dtype=jnp.int32),
+            )
+        else:
+            (fe_state, m, est), (seg_pkts, results) = jax.lax.scan(
+                segment, (fe_state, m, est),
+                jnp.arange(n_segments, dtype=jnp.int32),
+            )
         # (S, stride, ...) -> (S*stride, ...); prepend warmup packets
         flat = jax.tree.map(
             lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]),

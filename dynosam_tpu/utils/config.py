@@ -231,6 +231,14 @@ class BackendConfig:
     # back to PCG, whose memory footprint is O(variables) not O(W^2).
     use_schur: bool = True
     schur_max_window: int = 16
+    # Offline throughput pipeline only: solve this many pending sliding
+    # windows per dispatch, vmapped (the window-10 solve is op-latency
+    # bound, so batching ~halves its amortized per-frame cost).  Windows
+    # in a batch warm-start from the state before ANY of them solved
+    # (one writeback of staleness for the later windows — the online
+    # pipeline and wpd=1 keep the reference's strictly sequential
+    # semantics, `RGBDBackendModule.cc:343-388`).
+    opt_windows_per_dispatch: int = 1
     # Window compaction: each window solve gathers only the top-K
     # most-observed track slots / objects before building its normal
     # system, so solve cost tracks window content rather than global pool

@@ -152,3 +152,53 @@ def test_streaming_matches_offline(scene_and_cfg):
     assert np.array_equal(
         np.asarray(est.X_valid), np.asarray(est_ref.X_valid)
     )
+
+
+def test_batched_window_solves_close_to_sequential(scene_and_cfg):
+    """opt_windows_per_dispatch=2: both pending windows solve in one
+    vmapped LM program, warm-started from the pre-group state.  Solutions
+    must stay close to strictly sequential mode (each window is solved to
+    convergence, so the staler warm start moves the optimum only within
+    solver tolerance), and writeback order keeps the later window's
+    estimate on overlap frames."""
+    import dataclasses
+
+    scene, cfg = scene_and_cfg
+    frames = scene.frames()
+
+    _, est1, _ = run_offline(frames, scene.cam, cfg)
+    cfg2 = dataclasses.replace(
+        cfg, backend=dataclasses.replace(
+            cfg.backend, opt_windows_per_dispatch=2
+        )
+    )
+    _, est2, _ = run_offline(frames, scene.cam, cfg2)
+
+    v1 = np.asarray(est1.X_valid)
+    v2 = np.asarray(est2.X_valid)
+    assert np.array_equal(v1, v2)
+    np.testing.assert_allclose(
+        np.asarray(est1.X.t)[v1], np.asarray(est2.X.t)[v1], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(est1.X.R)[v1], np.asarray(est2.X.R)[v1], atol=2e-3
+    )
+
+
+def test_batched_window_solves_fallback(scene_and_cfg):
+    """A wpd that does not divide n_segments falls back to sequential
+    (bit-identical to wpd=1)."""
+    import dataclasses
+
+    scene, cfg = scene_and_cfg
+    frames = scene.frames()
+    _, est1, _ = run_offline(frames, scene.cam, cfg)
+    cfg3 = dataclasses.replace(
+        cfg, backend=dataclasses.replace(
+            cfg.backend, opt_windows_per_dispatch=3   # n_segments=2
+        )
+    )
+    _, est3, _ = run_offline(frames, scene.cam, cfg3)
+    np.testing.assert_array_equal(
+        np.asarray(est1.X.t), np.asarray(est3.X.t)
+    )
