@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -212,8 +213,15 @@ def extract_orb(
     h, w = gray.shape
     quotas = features_per_level(n_features, n_levels, scale_factor)
     img = gray.astype(jnp.float32)
+    # DYNO_ORB_FORCE_PALLAS=1 exercises the canvas-packed kernel path in
+    # interpret mode on CPU (tests)
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("DYNO_ORB_FORCE_PALLAS", "0") == "1"
+    )
 
     uts, rts, ats, lts, sts, dts, vts = [], [], [], [], [], [], []
+    pending = []            # canvas jobs: (level_img, blurred, uv, out_idx)
     level_img = img
     for lvl in range(n_levels):
         scale = scale_factor ** lvl
@@ -258,17 +266,14 @@ def extract_orb(
                 quality_level=0.0,
             )
             blurred = _gaussian_blur7(level_img)
-            if jax.default_backend() == "tpu":
+            if use_pallas:
                 # per-element gathers serialize on TPU; the Pallas window
                 # kernel does the same sampling as dense matrix arithmetic
-                # (`ops/pallas/orb_sample.py`)
-                from ..ops.pallas.orb_sample import (
-                    orb_orientation_descriptors,
-                )
-
-                ang, desc = orb_orientation_descriptors(
-                    level_img, blurred, dets.uv
-                )
+                # (`ops/pallas/orb_sample.py`).  ALL levels run in ONE
+                # canvas-packed call after the loop (placeholders here).
+                ang = None
+                desc = None
+                pending.append((level_img, blurred, dets.uv, len(ats)))
             else:
                 ang = _orientations(level_img, dets.uv)
                 desc = _descriptors(blurred, dets.uv, ang)
@@ -283,6 +288,47 @@ def extract_orb(
             nh = max(int(round(h / scale_factor ** (lvl + 1))), 1)
             nw = max(int(round(w / scale_factor ** (lvl + 1))), 1)
             level_img = jax.image.resize(img, (nh, nw), method="bilinear")
+
+    if pending:
+        # ---- one canvas-packed kernel call for every pyramid level ------
+        # Levels stack vertically (each padded to 8-row alignment and the
+        # base width); keypoint windows never read across a level band:
+        # detected keypoints keep the 19 px EDGE_THRESHOLD margin while
+        # orientation/tap samples reach at most +-16 px, and the kernel's
+        # selection weights are zero outside the sampled rows, so whatever
+        # the 48x256 VMEM window covers beyond the band is never selected.
+        # This removes 7 per-level kernel launches (~0.1 ms fixed cost
+        # each on the round-5 trace).
+        from ..ops.pallas.orb_sample import orb_orientation_descriptors
+
+        raws, blurs, uvs, y_offs = [], [], [], []
+        y = 0
+        for limg, lblur, luv, _ in pending:
+            lh_, lw_ = limg.shape
+            ph = (-lh_) % 8
+            raws.append(jnp.pad(limg, ((0, ph), (0, w - lw_))))
+            blurs.append(jnp.pad(lblur, ((0, ph), (0, w - lw_))))
+            y_offs.append(y)
+            y += lh_ + ph
+        canvas_raw = jnp.concatenate(raws, axis=0)
+        canvas_blur = jnp.concatenate(blurs, axis=0)
+        uv_all = jnp.concatenate(
+            [
+                luv + jnp.asarray([0.0, yo], jnp.float32)
+                for (_, _, luv, _), yo in zip(pending, y_offs)
+            ],
+            axis=0,
+        )
+        ang_all, desc_all = orb_orientation_descriptors(
+            canvas_raw, canvas_blur, uv_all,
+            interpret=jax.default_backend() != "tpu",
+        )
+        o = 0
+        for (_, _, luv, idx) in pending:
+            n_l = luv.shape[0]
+            ats[idx] = ang_all[o : o + n_l]
+            dts[idx] = desc_all[o : o + n_l]
+            o += n_l
 
     return OrbFeatures(
         uv=jnp.concatenate(uts, axis=0),

@@ -238,3 +238,29 @@ def test_orb_reassociation_revives_slots(rng):
     assert n_re >= 5, f"only {n_re} tracklets revived"
     # the revived ids are among the killed ones
     assert np.asarray(st3.s_active)[kill].sum() >= 5
+
+
+def test_canvas_packed_kernel_matches_xla(rng, monkeypatch):
+    """The TPU path packs every pyramid level into ONE canvas and runs a
+    single Pallas sampling call; forced on CPU (interpret mode) it must
+    reproduce the per-level XLA orientations/descriptors for all valid
+    keypoints (canvas offsets + band isolation are exact)."""
+    img = jnp.asarray(_textured_image(rng, h=170, w=250))  # unaligned dims
+
+    ref = extract_orb(img, n_features=400, n_levels=4)
+    monkeypatch.setenv("DYNO_ORB_FORCE_PALLAS", "1")
+    extract_orb.clear_cache()
+    got = extract_orb(img, n_features=400, n_levels=4)
+    extract_orb.clear_cache()
+
+    v = np.asarray(ref.valid) & np.asarray(got.valid)
+    assert v.sum() >= 100
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    np.testing.assert_allclose(
+        np.asarray(ref.uv)[v], np.asarray(got.uv)[v], atol=1e-5
+    )
+    da = np.abs(np.asarray(ref.angle)[v] - np.asarray(got.angle)[v])
+    da = np.minimum(da, 2 * np.pi - da)
+    assert da.max() < 1e-3
+    agree = (np.asarray(ref.desc)[v] == np.asarray(got.desc)[v]).mean()
+    assert agree > 0.995
