@@ -40,8 +40,10 @@ import os as _os
 
 # features per kernel program.  The round-5 trace put the block-batched
 # kernel at ~100 us/BLOCK — dominated by per-block fixed cost (iota
-# materialization, phase scheduling), so fatter blocks amortize it
-_ORB_FEAT_BLOCK = int(_os.environ.get("DYNO_ORB_FEAT_BLOCK", "8"))
+# materialization, phase scheduling), so fatter blocks amortize it.
+# 16 won the canvas-packed A/B (115.3 vs 113.2 fps in-pipeline,
+# tpu_runs/orb_canvas_ab.txt); scratch is 16x48x256x4 = 786 KB.
+_ORB_FEAT_BLOCK = int(_os.environ.get("DYNO_ORB_FEAT_BLOCK", "16"))
 
 # dot precision for the selection/sampling matmuls.  DEFAULT (bf16) is the
 # production setting: the weights are exact 0/1 one-hot rows resp. [0,1]
